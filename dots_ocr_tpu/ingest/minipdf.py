@@ -1,0 +1,1227 @@
+"""minipdf: self-contained pure-Python PDF parser + page rasterizer.
+
+The reference delegates PDF rasterization to PyMuPDF/MuPDF (C), see
+``dots_ocr/utils/doc_utils.py:20-59``. This environment has no PDF native
+library, so the rebuild ships its own ingestion subsystem with a pluggable
+backend registry (``dots_ocr_tpu/ingest/pdf.py``); this module is the
+built-in fallback backend.
+
+Scope (an OCR front end, not a full viewer):
+  * object model: full PDF object syntax, streams, object streams (ObjStm);
+    robust object discovery by linear scan (works with broken xref tables,
+    which also sidesteps xref-stream parsing),
+  * filters: FlateDecode (incl. PNG predictors), DCTDecode, ASCIIHexDecode,
+    ASCII85Decode, RunLengthDecode,
+  * rasterization: image XObjects (the scanned-document case) composited
+    under the full affine CTM; Form XObjects (recursive); rectangle fills;
+    approximate text rendering using embedded TrueType/CFF fonts through
+    PIL's FreeType binding, positioned by the PDF text matrix and advanced
+    by font widths (/Widths for simple fonts, /W + /DW for CID fonts),
+    with code->unicode mapping via ToUnicode CMaps.
+
+Fidelity notes: glyphs are mapped through ToUnicode (not raw glyph IDs), so
+fonts lacking a ToUnicode CMap render as best-effort latin-1; vector art
+other than rect fills is skipped. For document OCR (text + images on a white
+page) this reproduces what the model needs to see.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zlib
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+from PIL import Image, ImageDraw, ImageFont
+
+# ---------------------------------------------------------------------------
+# Object model
+# ---------------------------------------------------------------------------
+
+
+class Name(str):
+    """A PDF name (/Foo). Subclass of str so it hashes/compares naturally."""
+
+    __slots__ = ()
+
+
+@dataclass(frozen=True)
+class Ref:
+    num: int
+    gen: int
+
+
+@dataclass
+class StreamObj:
+    dict: Dict[Name, Any]
+    raw: bytes
+
+    def decoded(self, doc: "PDFDocument") -> bytes:
+        return apply_filters(self.dict, self.raw, doc)
+
+
+_WHITESPACE = b"\x00\t\n\x0c\r "
+_DELIMS = b"()<>[]{}/%"
+
+
+class Lexer:
+    """Tokenizer/parser over a bytes buffer at a movable position."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        data, n = self.data, len(self.data)
+        while self.pos < n:
+            c = data[self.pos]
+            if c in _WHITESPACE:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment to EOL
+                while self.pos < n and data[self.pos] not in b"\r\n":
+                    self.pos += 1
+            else:
+                break
+
+    def peek_keyword(self) -> Optional[bytes]:
+        self._skip_ws()
+        m = re.match(rb"[A-Za-z'\"*]+", self.data[self.pos : self.pos + 32])
+        return m.group() if m else None
+
+    def parse_value(self) -> Any:
+        self._skip_ws()
+        data, pos = self.data, self.pos
+        if pos >= len(data):
+            raise EOFError("unexpected end of PDF data")
+        c = data[pos : pos + 1]
+
+        if c == b"<":
+            if data[pos : pos + 2] == b"<<":
+                return self._parse_dict_or_stream()
+            return self._parse_hex_string()
+        if c == b"(":
+            return self._parse_literal_string()
+        if c == b"/":
+            return self._parse_name()
+        if c == b"[":
+            return self._parse_array()
+        if c in b"+-.0123456789":
+            return self._parse_number_or_ref()
+        kw = self.peek_keyword()
+        if kw is not None:
+            if kw.startswith(b"true"):
+                self.pos += 4
+                return True
+            if kw.startswith(b"false"):
+                self.pos += 5
+                return False
+            if kw.startswith(b"null"):
+                self.pos += 4
+                return None
+        raise ValueError(f"cannot parse PDF value at offset {pos}: {data[pos:pos+20]!r}")
+
+    def _parse_name(self) -> Name:
+        assert self.data[self.pos : self.pos + 1] == b"/"
+        self.pos += 1
+        start = self.pos
+        data, n = self.data, len(self.data)
+        while self.pos < n:
+            c = data[self.pos]
+            if c in _WHITESPACE or c in _DELIMS:
+                break
+            self.pos += 1
+        raw = data[start : self.pos]
+        # #xx hex escapes
+        if b"#" in raw:
+            out = bytearray()
+            i = 0
+            while i < len(raw):
+                if raw[i : i + 1] == b"#" and i + 2 < len(raw) + 1:
+                    try:
+                        out.append(int(raw[i + 1 : i + 3], 16))
+                        i += 3
+                        continue
+                    except ValueError:
+                        pass
+                out.append(raw[i])
+                i += 1
+            raw = bytes(out)
+        return Name(raw.decode("latin-1"))
+
+    def _parse_number_or_ref(self) -> Any:
+        m = re.match(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)", self.data[self.pos :])
+        tok = m.group()
+        self.pos += len(tok)
+        if b"." in tok:
+            return float(tok)
+        value = int(tok)
+        # Lookahead for "gen R" making this an indirect reference.
+        save = self.pos
+        self._skip_ws()
+        m2 = re.match(rb"(\d+)\s+R(?![A-Za-z])", self.data[self.pos : self.pos + 24])
+        if value >= 0 and m2:
+            self.pos += m2.end()
+            return Ref(value, int(m2.group(1)))
+        self.pos = save
+        return value
+
+    def _parse_array(self) -> list:
+        self.pos += 1  # '['
+        out = []
+        while True:
+            self._skip_ws()
+            if self.data[self.pos : self.pos + 1] == b"]":
+                self.pos += 1
+                return out
+            out.append(self.parse_value())
+
+    def _parse_hex_string(self) -> bytes:
+        self.pos += 1  # '<'
+        end = self.data.index(b">", self.pos)
+        hexdata = re.sub(rb"\s", b"", self.data[self.pos : end])
+        self.pos = end + 1
+        if len(hexdata) % 2:
+            hexdata += b"0"
+        return bytes.fromhex(hexdata.decode("ascii"))
+
+    def _parse_literal_string(self) -> bytes:
+        self.pos += 1  # '('
+        out = bytearray()
+        depth = 1
+        data, n = self.data, len(self.data)
+        while self.pos < n:
+            c = data[self.pos]
+            if c == 0x5C:  # backslash
+                self.pos += 1
+                if self.pos >= n:
+                    break
+                e = data[self.pos]
+                esc = {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b", 0x66: b"\f"}
+                if e in esc:
+                    out += esc[e]
+                    self.pos += 1
+                elif e in b"01234567":
+                    oct_digits = bytearray()
+                    while len(oct_digits) < 3 and self.pos < n and data[self.pos] in b"01234567":
+                        oct_digits.append(data[self.pos])
+                        self.pos += 1
+                    out.append(int(oct_digits, 8) & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    self.pos += 1
+                    if e == 0x0D and self.pos < n and data[self.pos] == 0x0A:
+                        self.pos += 1
+                else:
+                    out.append(e)
+                    self.pos += 1
+            elif c == 0x28:  # '('
+                depth += 1
+                out.append(c)
+                self.pos += 1
+            elif c == 0x29:  # ')'
+                depth -= 1
+                self.pos += 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(c)
+            else:
+                out.append(c)
+                self.pos += 1
+        return bytes(out)
+
+    def _parse_dict_or_stream(self) -> Any:
+        self.pos += 2  # '<<'
+        d: Dict[Name, Any] = {}
+        while True:
+            self._skip_ws()
+            if self.data[self.pos : self.pos + 2] == b">>":
+                self.pos += 2
+                break
+            key = self._parse_name()
+            d[key] = self.parse_value()
+        # stream?
+        save = self.pos
+        self._skip_ws()
+        if self.data[self.pos : self.pos + 6] == b"stream":
+            self.pos += 6
+            if self.data[self.pos : self.pos + 2] == b"\r\n":
+                self.pos += 2
+            elif self.data[self.pos : self.pos + 1] in (b"\n", b"\r"):
+                self.pos += 1
+            return ("__stream__", d, self.pos)  # resolved by caller (needs /Length)
+        self.pos = save
+        return d
+
+
+# ---------------------------------------------------------------------------
+# Filters
+# ---------------------------------------------------------------------------
+
+
+def _png_unpredict(data: bytes, predictor: int, columns: int, colors: int, bpc: int) -> bytes:
+    if predictor < 10:
+        # TIFF predictor 2: horizontal differencing.
+        if predictor == 2 and bpc == 8:
+            row_len = columns * colors
+            out = bytearray(data)
+            for r in range(0, len(out) - row_len + 1, row_len):
+                for i in range(colors, row_len):
+                    out[r + i] = (out[r + i] + out[r + i - colors]) & 0xFF
+            return bytes(out)
+        return data
+    bpp = max(1, (colors * bpc) // 8)
+    row_len = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(row_len)
+    pos = 0
+    while pos + 1 + row_len <= len(data) + row_len and pos < len(data):
+        ft = data[pos]
+        pos += 1
+        row = bytearray(data[pos : pos + row_len])
+        pos += len(row)
+        if len(row) < row_len:
+            row += bytearray(row_len - len(row))
+        if ft == 1:  # Sub
+            for i in range(bpp, row_len):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(row_len):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(row_len):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(row_len):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _flate_decode(data: bytes, parms: Optional[dict]) -> bytes:
+    try:
+        raw = zlib.decompress(data)
+    except zlib.error:
+        try:
+            raw = zlib.decompressobj().decompress(data)
+        except zlib.error:
+            raw = zlib.decompressobj(-15).decompress(data)
+    if parms:
+        predictor = int(parms.get("Predictor", 1) or 1)
+        if predictor > 1:
+            raw = _png_unpredict(
+                raw,
+                predictor,
+                int(parms.get("Columns", 1) or 1),
+                int(parms.get("Colors", 1) or 1),
+                int(parms.get("BitsPerComponent", 8) or 8),
+            )
+    return raw
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    data = data.split(b">")[0]
+    data = re.sub(rb"\s", b"", data)
+    if len(data) % 2:
+        data += b"0"
+    return bytes.fromhex(data.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    data = data.split(b"~>")[0]
+    data = re.sub(rb"\s", b"", data)
+    return base64.a85decode(data)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n == 128:
+            break
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        else:
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+# Image filters that are handed to PIL as encoded payloads rather than decoded.
+IMAGE_CODEC_FILTERS = {"DCTDecode", "DCT", "JPXDecode", "CCITTFaxDecode", "JBIG2Decode"}
+
+
+def apply_filters(sdict: Dict[Name, Any], data: bytes, doc: "PDFDocument") -> bytes:
+    """Apply the non-image filter chain of a stream. Image codec filters are
+    left in place (the image decoder hands them to PIL)."""
+    filters = doc.resolve(sdict.get("Filter"))
+    parms = doc.resolve(sdict.get("DecodeParms")) or doc.resolve(sdict.get("DP"))
+    if filters is None:
+        return data
+    if not isinstance(filters, list):
+        filters = [filters]
+    if not isinstance(parms, list):
+        parms = [parms] * len(filters)
+    for f, p in zip(filters, parms):
+        f = str(doc.resolve(f))
+        p = doc.resolve(p)
+        if f in ("FlateDecode", "Fl"):
+            data = _flate_decode(data, p)
+        elif f in ("ASCIIHexDecode", "AHx"):
+            data = _ascii_hex_decode(data)
+        elif f in ("ASCII85Decode", "A85"):
+            data = _ascii85_decode(data)
+        elif f in ("RunLengthDecode", "RL"):
+            data = _runlength_decode(data)
+        elif f in IMAGE_CODEC_FILTERS:
+            return data  # terminal: PIL decodes the codec payload
+        else:
+            raise NotImplementedError(f"PDF filter {f} not supported")
+    return data
+
+
+# ---------------------------------------------------------------------------
+# Document
+# ---------------------------------------------------------------------------
+
+_OBJ_HEADER_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+class PDFDocument:
+    """Parsed PDF: object map + page list.
+
+    Object discovery is a linear scan over ``N G obj`` headers (robust to
+    damaged xref tables; object streams are expanded afterwards). Matches
+    that fall inside a previously parsed stream body are skipped.
+    """
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.objects: Dict[int, Any] = {}
+        self._scan_objects()
+        self._expand_object_streams()
+        self._pages: Optional[List[Dict[Name, Any]]] = None
+
+    # -- parsing ------------------------------------------------------------
+
+    def _parse_object_at(self, pos: int) -> Tuple[Any, int]:
+        lex = Lexer(self.data, pos)
+        value = lex.parse_value()
+        if isinstance(value, tuple) and value and value[0] == "__stream__":
+            _, sdict, start = value
+            length = self.resolve(sdict.get("Length"))
+            raw: Optional[bytes] = None
+            if isinstance(length, int) and 0 <= length <= len(self.data) - start:
+                candidate = self.data[start : start + length]
+                tail = self.data[start + length : start + length + 20]
+                if re.match(rb"\s*endstream", tail):
+                    raw = candidate
+            if raw is None:  # /Length wrong or indirect-and-unresolved: scan
+                end = self.data.find(b"endstream", start)
+                if end == -1:
+                    end = len(self.data)
+                raw = self.data[start:end].rstrip(b"\r\n")
+            end_pos = start + len(raw)
+            m = re.compile(rb"endstream").search(self.data, end_pos)
+            return StreamObj(sdict, raw), (m.end() if m else end_pos)
+        return value, lex.pos
+
+    def _scan_objects(self) -> None:
+        pos = 0
+        n = len(self.data)
+        while pos < n:
+            m = _OBJ_HEADER_RE.search(self.data, pos)
+            if not m:
+                break
+            num = int(m.group(1))
+            try:
+                obj, end = self._parse_object_at(m.end())
+            except Exception:
+                pos = m.end()
+                continue
+            # First definition wins unless a later one exists (linearized PDFs
+            # repeat objects; incremental updates append newer versions last).
+            self.objects[num] = obj
+            pos = max(end, m.end())
+
+    def _expand_object_streams(self) -> None:
+        for obj in list(self.objects.values()):
+            if not (isinstance(obj, StreamObj) and obj.dict.get("Type") == Name("ObjStm")):
+                continue
+            try:
+                payload = obj.decoded(self)
+                count = int(self.resolve(obj.dict.get("N")))
+                first = int(self.resolve(obj.dict.get("First")))
+                header = Lexer(payload[:first])
+                pairs = []
+                for _ in range(count):
+                    onum = header.parse_value()
+                    ooff = header.parse_value()
+                    pairs.append((int(onum), int(ooff)))
+                for onum, ooff in pairs:
+                    if onum in self.objects:
+                        continue
+                    lex = Lexer(payload, first + ooff)
+                    value = lex.parse_value()
+                    if isinstance(value, tuple) and value and value[0] == "__stream__":
+                        value = value[1]  # streams are illegal in ObjStm
+                    self.objects[onum] = value
+            except Exception:
+                continue
+
+    # -- resolution ---------------------------------------------------------
+
+    def resolve(self, obj: Any, depth: int = 0) -> Any:
+        while isinstance(obj, Ref) and depth < 32:
+            obj = self.objects.get(obj.num)
+            depth += 1
+        return obj
+
+    # -- page tree ----------------------------------------------------------
+
+    def _walk_pages(self, node: Any, inherited: Dict[Name, Any], out: List[dict]) -> None:
+        node = self.resolve(node)
+        if not isinstance(node, dict):
+            return
+        inheritable = dict(inherited)
+        for key in ("Resources", "MediaBox", "CropBox", "Rotate"):
+            if key in node:
+                inheritable[Name(key)] = node[key]
+        if node.get("Type") == Name("Page"):
+            merged = dict(inheritable)
+            merged.update(node)
+            out.append(merged)
+            return
+        for kid in self.resolve(node.get("Kids")) or []:
+            self._walk_pages(kid, inheritable, out)
+
+    def pages(self) -> List[Dict[Name, Any]]:
+        if self._pages is not None:
+            return self._pages
+        out: List[dict] = []
+        root = None
+        for obj in self.objects.values():
+            resolved = self.resolve(obj)
+            if isinstance(resolved, dict) and resolved.get("Type") == Name("Catalog"):
+                root = resolved
+                break
+        if root is not None:
+            self._walk_pages(root.get("Pages"), {}, out)
+        if not out:  # damaged page tree: collect raw Page objects in order
+            for num in sorted(self.objects):
+                resolved = self.resolve(self.objects[num])
+                if isinstance(resolved, dict) and resolved.get("Type") == Name("Page"):
+                    out.append(resolved)
+        self._pages = out
+        return out
+
+    @property
+    def page_count(self) -> int:
+        return len(self.pages())
+
+
+# ---------------------------------------------------------------------------
+# Fonts
+# ---------------------------------------------------------------------------
+
+
+def _parse_tounicode_cmap(data: bytes) -> Dict[int, str]:
+    """Parse the bfchar/bfrange sections of a ToUnicode CMap."""
+    mapping: Dict[int, str] = {}
+
+    def hex_to_int(h: bytes) -> int:
+        return int(h, 16)
+
+    def hex_to_str(h: bytes) -> str:
+        raw = bytes.fromhex(h.decode("ascii"))
+        try:
+            return raw.decode("utf-16-be")
+        except UnicodeDecodeError:
+            return raw.decode("latin-1", "replace")
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.DOTALL):
+        for src, dst in re.findall(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)):
+            mapping[hex_to_int(src)] = hex_to_str(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.DOTALL):
+        body = m.group(1)
+        # <lo> <hi> <dst>
+        for lo, hi, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", body
+        ):
+            lo_i, hi_i = hex_to_int(lo), hex_to_int(hi)
+            base = hex_to_str(dst)
+            if not base:
+                continue
+            base_cp = ord(base[-1])
+            prefix = base[:-1]
+            for code in range(lo_i, min(hi_i, lo_i + 65535) + 1):
+                mapping[code] = prefix + chr(base_cp + (code - lo_i))
+        # <lo> <hi> [<d1> <d2> ...]
+        for lo, hi, arr in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]", body, re.DOTALL
+        ):
+            lo_i = hex_to_int(lo)
+            dsts = re.findall(rb"<([0-9A-Fa-f]+)>", arr)
+            for offset, dst in enumerate(dsts):
+                mapping[lo_i + offset] = hex_to_str(dst)
+    return mapping
+
+
+@dataclass
+class LoadedFont:
+    """A PDF font prepared for rendering."""
+
+    two_byte: bool = False  # CID font with Identity-H: 2-byte codes
+    to_unicode: Dict[int, str] = field(default_factory=dict)
+    widths: Dict[int, float] = field(default_factory=dict)  # code -> width/1000
+    default_width: float = 0.5
+    font_bytes: Optional[bytes] = None
+    _cache: Dict[int, ImageFont.FreeTypeFont] = field(default_factory=dict)
+
+    def pil_font(self, px: int) -> ImageFont.ImageFont:
+        px = max(1, min(px, 512))
+        if px not in self._cache:
+            font = None
+            if self.font_bytes:
+                try:
+                    font = ImageFont.truetype(io.BytesIO(self.font_bytes), px)
+                except Exception:
+                    font = None
+            if font is None:
+                try:
+                    font = ImageFont.load_default(size=px)
+                except TypeError:
+                    font = ImageFont.load_default()
+            self._cache[px] = font
+        return self._cache[px]
+
+    def decode(self, raw: bytes) -> List[Tuple[int, str]]:
+        """Split a string operand into (code, unicode) glyph entries."""
+        out: List[Tuple[int, str]] = []
+        if self.two_byte:
+            for i in range(0, len(raw) - 1, 2):
+                code = (raw[i] << 8) | raw[i + 1]
+                out.append((code, self.to_unicode.get(code, "")))
+        else:
+            for b in raw:
+                uni = self.to_unicode.get(b)
+                if uni is None:
+                    uni = bytes([b]).decode("latin-1", "replace")
+                out.append((b, uni))
+        return out
+
+    def width(self, code: int) -> float:
+        return self.widths.get(code, self.default_width)
+
+
+def load_font(doc: PDFDocument, font_dict: Any) -> LoadedFont:
+    font_dict = doc.resolve(font_dict)
+    if not isinstance(font_dict, dict):
+        return LoadedFont()
+    font = LoadedFont()
+
+    subtype = font_dict.get("Subtype")
+    tu = doc.resolve(font_dict.get("ToUnicode"))
+    if isinstance(tu, StreamObj):
+        try:
+            font.to_unicode = _parse_tounicode_cmap(tu.decoded(doc))
+        except Exception:
+            pass
+
+    target = font_dict
+    if subtype == Name("Type0"):
+        font.two_byte = True
+        descendants = doc.resolve(font_dict.get("DescendantFonts")) or []
+        if descendants:
+            target = doc.resolve(descendants[0]) or {}
+        # CID widths: /W [ c [w1 w2 ...] | c1 c2 w ]
+        dw = doc.resolve(target.get("DW"))
+        font.default_width = (float(dw) / 1000.0) if isinstance(dw, (int, float)) else 1.0
+        w_arr = doc.resolve(target.get("W")) or []
+        i = 0
+        while i < len(w_arr):
+            c = doc.resolve(w_arr[i])
+            nxt = doc.resolve(w_arr[i + 1]) if i + 1 < len(w_arr) else None
+            if isinstance(nxt, list):
+                for j, w in enumerate(nxt):
+                    font.widths[int(c) + j] = float(doc.resolve(w)) / 1000.0
+                i += 2
+            elif nxt is not None and i + 2 < len(w_arr):
+                w = float(doc.resolve(w_arr[i + 2])) / 1000.0
+                for code in range(int(c), int(nxt) + 1):
+                    font.widths[code] = w
+                i += 3
+            else:
+                break
+    else:
+        first = doc.resolve(font_dict.get("FirstChar"))
+        widths = doc.resolve(font_dict.get("Widths"))
+        if isinstance(first, int) and isinstance(widths, list):
+            for j, w in enumerate(widths):
+                w = doc.resolve(w)
+                if isinstance(w, (int, float)):
+                    font.widths[first + j] = float(w) / 1000.0
+
+    descriptor = doc.resolve(target.get("FontDescriptor"))
+    if isinstance(descriptor, dict):
+        for key in ("FontFile2", "FontFile3", "FontFile"):
+            ff = doc.resolve(descriptor.get(key))
+            if isinstance(ff, StreamObj):
+                try:
+                    font.font_bytes = ff.decoded(doc)
+                except Exception:
+                    font.font_bytes = None
+                break
+        mw = doc.resolve(descriptor.get("MissingWidth"))
+        if isinstance(mw, (int, float)) and not font.two_byte:
+            font.default_width = float(mw) / 1000.0
+    return font
+
+
+# ---------------------------------------------------------------------------
+# Image XObject decoding
+# ---------------------------------------------------------------------------
+
+
+def _resolve_colorspace(doc: PDFDocument, cs: Any) -> Tuple[str, Optional[bytes], int]:
+    """Return (pil_mode, palette_or_None, n_components)."""
+    cs = doc.resolve(cs)
+    if isinstance(cs, list) and cs:
+        head = doc.resolve(cs[0])
+        if head == Name("Indexed"):
+            base_mode, _, ncomp = _resolve_colorspace(doc, cs[1])
+            lookup = doc.resolve(cs[3])
+            if isinstance(lookup, StreamObj):
+                lookup = lookup.decoded(doc)
+            if isinstance(lookup, str):
+                lookup = lookup.encode("latin-1")
+            return "P", bytes(lookup or b""), 1
+        if head in (Name("ICCBased"),):
+            stream = doc.resolve(cs[1])
+            n = 3
+            if isinstance(stream, StreamObj):
+                n = int(doc.resolve(stream.dict.get("N")) or 3)
+            return {1: ("L", None, 1), 3: ("RGB", None, 3), 4: ("CMYK", None, 4)}[n]
+        if head in (Name("DeviceN"), Name("Separation")):
+            return "L", None, 1
+        if head in (Name("CalRGB"), Name("Lab")):
+            return "RGB", None, 3
+        if head == Name("CalGray"):
+            return "L", None, 1
+    if cs == Name("DeviceRGB"):
+        return "RGB", None, 3
+    if cs == Name("DeviceGray"):
+        return "L", None, 1
+    if cs == Name("DeviceCMYK"):
+        return "CMYK", None, 4
+    return "RGB", None, 3
+
+
+def decode_image_xobject(doc: PDFDocument, xobj: StreamObj) -> Optional[Image.Image]:
+    """Decode an image XObject to a PIL image (RGB or L; mask -> L stencil)."""
+    d = xobj.dict
+    width = int(doc.resolve(d.get("Width") or d.get("W") or 0))
+    height = int(doc.resolve(d.get("Height") or d.get("H") or 0))
+    if width <= 0 or height <= 0:
+        return None
+    bpc = int(doc.resolve(d.get("BitsPerComponent") or d.get("BPC") or 8))
+    filters = doc.resolve(d.get("Filter") or d.get("F"))
+    if not isinstance(filters, list):
+        filters = [filters] if filters else []
+    filter_names = {str(doc.resolve(f)) for f in filters}
+
+    data = apply_filters(d, xobj.raw, doc)
+
+    if filter_names & {"DCTDecode", "DCT", "JPXDecode"}:
+        try:
+            img = Image.open(io.BytesIO(data))
+            img.load()
+            return img
+        except Exception:
+            return None
+    if filter_names & {"CCITTFaxDecode", "JBIG2Decode"}:
+        return None  # fax/JBIG2 codecs not supported by the builtin backend
+
+    is_mask = bool(doc.resolve(d.get("ImageMask") or d.get("IM")))
+    if is_mask or bpc == 1:
+        row_bytes = (width + 7) // 8
+        img = Image.frombytes("1", (width, height), data[: row_bytes * height])
+        return img.convert("L")
+
+    mode, palette, ncomp = _resolve_colorspace(doc, d.get("ColorSpace") or d.get("CS"))
+    if bpc != 8:
+        return None
+    expected = width * height * ncomp
+    if len(data) < expected:
+        data = data + b"\x00" * (expected - len(data))
+    if mode == "P":
+        img = Image.frombytes("P", (width, height), data[: width * height])
+        if palette:
+            img.putpalette(palette[: 256 * 3])
+        return img.convert("RGB")
+    img = Image.frombytes(mode, (width, height), data[:expected])
+    if mode == "CMYK":
+        img = img.convert("RGB")
+    return img
+
+
+# ---------------------------------------------------------------------------
+# Content-stream rasterizer
+# ---------------------------------------------------------------------------
+
+Matrix = Tuple[float, float, float, float, float, float]  # a b c d e f
+
+IDENTITY: Matrix = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def mat_mul(m1: Matrix, m2: Matrix) -> Matrix:
+    """Row-vector convention: point' = point @ m1 @ m2."""
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def mat_apply(m: Matrix, x: float, y: float) -> Tuple[float, float]:
+    a, b, c, d, e, f = m
+    return (a * x + c * y + e, b * x + d * y + f)
+
+
+@dataclass
+class GraphicsState:
+    ctm: Matrix = IDENTITY
+    fill_rgb: Tuple[int, int, int] = (0, 0, 0)
+    font: Optional[LoadedFont] = None
+    font_size: float = 12.0
+    char_spacing: float = 0.0
+    word_spacing: float = 0.0
+    h_scale: float = 1.0
+    leading: float = 0.0
+    rise: float = 0.0
+
+    def clone(self) -> "GraphicsState":
+        return GraphicsState(
+            self.ctm, self.fill_rgb, self.font, self.font_size,
+            self.char_spacing, self.word_spacing, self.h_scale,
+            self.leading, self.rise,
+        )
+
+
+def _tokenize_content(data: bytes):
+    """Yield ('op', name) and ('val', value) tokens from a content stream."""
+    lex = Lexer(data)
+    n = len(data)
+    while True:
+        lex._skip_ws()
+        if lex.pos >= n:
+            return
+        c = data[lex.pos : lex.pos + 1]
+        if c in b"/<([+-.0123456789":
+            try:
+                yield ("val", lex.parse_value())
+            except Exception:
+                lex.pos += 1
+            continue
+        m = re.match(rb"[A-Za-z'\"*0-9]+", data[lex.pos :])
+        if not m:
+            lex.pos += 1
+            continue
+        op = m.group().decode("latin-1")
+        lex.pos += m.end()
+        if op == "BI":  # inline image: parse dict then binary payload
+            d: Dict[Name, Any] = {}
+            while True:
+                lex._skip_ws()
+                if data[lex.pos : lex.pos + 2] == b"ID":
+                    lex.pos += 2
+                    break
+                try:
+                    key = lex._parse_name()
+                    d[key] = lex.parse_value()
+                except Exception:
+                    break
+            if data[lex.pos : lex.pos + 1] in b" \r\n":
+                lex.pos += 1
+            end = data.find(b"EI", lex.pos)
+            while end != -1 and end + 2 < n and data[end + 2 : end + 3] not in b" \r\n\t[]</(%" + b"":
+                end = data.find(b"EI", end + 1)
+            if end == -1:
+                end = n
+            payload = data[lex.pos : end].rstrip(b"\r\n")
+            lex.pos = min(end + 2, n)
+            yield ("inline_image", (d, payload))
+            continue
+        if op in ("true", "false", "null"):
+            yield ("val", {"true": True, "false": False, "null": None}[op])
+            continue
+        yield ("op", op)
+
+
+class PageRasterizer:
+    """Rasterize one PDF page to a PIL RGB image at a given DPI."""
+
+    def __init__(self, doc: PDFDocument, page: Dict[Name, Any], dpi: float = 72.0):
+        self.doc = doc
+        self.page = page
+        media = [float(doc.resolve(v)) for v in (doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792])]
+        x0, y0, x1, y1 = media
+        self.scale = dpi / 72.0
+        self.width = max(1, round((x1 - x0) * self.scale))
+        self.height = max(1, round((y1 - y0) * self.scale))
+        # PDF user space (y up) -> device pixels (y down).
+        self.base: Matrix = mat_mul(
+            (1, 0, 0, 1, -x0, -y0),
+            (self.scale, 0.0, 0.0, -self.scale, 0.0, y1 * self.scale - y0 * self.scale),
+        )
+        self.canvas = Image.new("RGB", (self.width, self.height), (255, 255, 255))
+        self.draw = ImageDraw.Draw(self.canvas)
+        self._font_cache: Dict[int, LoadedFont] = {}
+
+    # -- resources ----------------------------------------------------------
+
+    def _resources(self, page_or_form: Dict[Name, Any]) -> Dict[Name, Any]:
+        return self.doc.resolve(page_or_form.get("Resources")) or {}
+
+    def _get_font(self, resources: Dict[Name, Any], name: str) -> LoadedFont:
+        fonts = self.doc.resolve(resources.get("Font")) or {}
+        ref = fonts.get(Name(name))
+        key = id(ref) if not isinstance(ref, Ref) else ref.num
+        if key not in self._font_cache:
+            self._font_cache[key] = load_font(self.doc, ref)
+        return self._font_cache[key]
+
+    # -- drawing ------------------------------------------------------------
+
+    def _paste_image(self, img: Image.Image, ctm: Matrix, fill_rgb=(0, 0, 0), is_mask=False) -> None:
+        """Map the image's unit square through ctm∘base onto the canvas."""
+        m = mat_mul(ctm, self.base)
+        corners = [mat_apply(m, x, y) for x, y in ((0, 0), (1, 0), (0, 1), (1, 1))]
+        xs = [p[0] for p in corners]
+        ys = [p[1] for p in corners]
+        x_min, x_max = min(xs), max(xs)
+        y_min, y_max = min(ys), max(ys)
+        out_w = max(1, round(x_max - x_min))
+        out_h = max(1, round(y_max - y_min))
+        if out_w <= 0 or out_h <= 0 or x_min >= self.width or y_min >= self.height:
+            return
+        if x_max < 0 or y_max < 0:
+            return
+
+        a, b, c, d, e, f = m
+        axis_aligned = abs(b) < 1e-9 and abs(c) < 1e-9
+        if is_mask:
+            # Stencil mask: 0 bits paint fill color (PDF semantics: sample 0
+            # = paint). Our "1" conversion gave 255 for set bits.
+            color_img = Image.new("RGB", img.size, fill_rgb)
+            mask = img.point(lambda v: 255 - v)
+            src = color_img
+        else:
+            src = img.convert("RGB")
+            mask = None
+
+        if axis_aligned:
+            resized = src.resize((out_w, out_h))
+            mask_resized = mask.resize((out_w, out_h)) if mask is not None else None
+            # Flips: negative a/d mean the unit square maps reversed.
+            if a < 0:
+                resized = resized.transpose(Image.FLIP_LEFT_RIGHT)
+                if mask_resized is not None:
+                    mask_resized = mask_resized.transpose(Image.FLIP_LEFT_RIGHT)
+            if d > 0:  # device y grows downward; ctm with d>0 after flip = upside down
+                pass
+            else:
+                pass
+            # In device space the unit square's (0,1) corner is the image top
+            # in the common case (d<0 pre-flip). The corner mapping already
+            # accounts for orientation via min/max; PDF images draw top row
+            # at v=1. Determine vertical flip from where v=1 lands:
+            top_left_v1 = mat_apply(m, 0, 1)
+            if top_left_v1[1] > min(ys) + 1e-6:
+                resized = resized.transpose(Image.FLIP_TOP_BOTTOM)
+                if mask_resized is not None:
+                    mask_resized = mask_resized.transpose(Image.FLIP_TOP_BOTTOM)
+            self.canvas.paste(resized, (round(x_min), round(y_min)), mask_resized)
+        else:
+            # General affine: compute output->source mapping for PIL.
+            det = a * d - b * c
+            if abs(det) < 1e-12:
+                return
+            # forward: (u,v) unit -> device; source pixel (px,py): u=px/w, v=1-py/h
+            w0, h0 = src.size
+            inv_a, inv_b = d / det, -b / det
+            inv_c, inv_d = -c / det, a / det
+
+            def src_coeffs():
+                # device (X,Y) -> unit: u = inv_a*(X-e') + inv_c*(Y-f') ...
+                e2 = x_min
+                f2 = y_min
+                # unit coords of output pixel (ox,oy): first device = (ox+x_min, oy+y_min)
+                # u = inv_a*(dx-e) + inv_c*(dy-f); v = inv_b*(dx-e) + inv_d*(dy-f)
+                # src px = u*w0; py = (1-v)*h0
+                A = inv_a * w0
+                B = inv_c * w0
+                C = (inv_a * (e2 - e) + inv_c * (f2 - f)) * w0
+                D = -inv_b * h0
+                E = -inv_d * h0
+                F = (1 - (inv_b * (e2 - e) + inv_d * (f2 - f))) * h0
+                return (A, B, C, D, E, F)
+
+            coeffs = src_coeffs()
+            region = src.transform((out_w, out_h), Image.AFFINE, coeffs, fillcolor=(255, 255, 255))
+            if mask is not None:
+                mask_region = mask.transform((out_w, out_h), Image.AFFINE, coeffs, fillcolor=0)
+            else:
+                mask_region = Image.new("L", (out_w, out_h), 255)
+                mask_region = mask_region.transform(
+                    (out_w, out_h), Image.AFFINE, (1, 0, 0, 0, 1, 0)
+                )
+                # Build coverage mask so out-of-quad pixels stay transparent.
+                cov = Image.new("L", src.size, 255)
+                mask_region = cov.transform((out_w, out_h), Image.AFFINE, coeffs, fillcolor=0)
+            self.canvas.paste(region, (round(x_min), round(y_min)), mask_region)
+
+    def _fill_rect(self, pts: List[Tuple[float, float]], rgb: Tuple[int, int, int], ctm: Matrix) -> None:
+        m = mat_mul(ctm, self.base)
+        device = [mat_apply(m, x, y) for x, y in pts]
+        self.draw.polygon(device, fill=rgb)
+
+    # -- main loop ------------------------------------------------------------
+
+    def render(self) -> Image.Image:
+        contents = self.doc.resolve(self.page.get("Contents"))
+        chunks: List[bytes] = []
+        if isinstance(contents, list):
+            for c in contents:
+                c = self.doc.resolve(c)
+                if isinstance(c, StreamObj):
+                    try:
+                        chunks.append(c.decoded(self.doc))
+                    except Exception:
+                        pass
+        elif isinstance(contents, StreamObj):
+            try:
+                chunks.append(contents.decoded(self.doc))
+            except Exception:
+                pass
+        data = b"\n".join(chunks)
+        self._execute(data, self._resources(self.page), GraphicsState(), depth=0)
+        return self.canvas
+
+    def _execute(self, data: bytes, resources: Dict[Name, Any], gs: GraphicsState, depth: int) -> None:
+        if depth > 8:
+            return
+        stack: List[Any] = []
+        gs_stack: List[GraphicsState] = []
+        tm: Matrix = IDENTITY
+        tlm: Matrix = IDENTITY
+        pending_rects: List[List[Tuple[float, float]]] = []
+
+        def show_text(raw: bytes) -> None:
+            nonlocal tm
+            font = gs.font or LoadedFont()
+            trm = mat_mul((gs.font_size * gs.h_scale, 0, 0, gs.font_size, 0, gs.rise), mat_mul(tm, gs.ctm))
+            total = mat_mul(trm, self.base)
+            # Effective pixel size of the glyphs: vertical scale of total.
+            px = max(1, round(abs(total[3]) if abs(total[3]) > 1e-9 else abs(total[1])))
+            pil_font = font.pil_font(px)
+            x_cursor = 0.0
+            text_buf: List[Tuple[float, str]] = []
+            for code, uni in font.decode(raw):
+                if uni:
+                    text_buf.append((x_cursor, uni))
+                w0 = font.width(code)
+                adv = w0 * gs.font_size + gs.char_spacing
+                if not font.two_byte and code == 32:
+                    adv += gs.word_spacing
+                x_cursor += adv * gs.h_scale
+            # Draw each run at its device position (baseline anchored).
+            m = mat_mul(tm, mat_mul(gs.ctm, self.base))
+            for x_off, uni in text_buf:
+                dx, dy = mat_apply(m, x_off, gs.rise)
+                try:
+                    self.draw.text((dx, dy), uni, font=pil_font, fill=gs.fill_rgb, anchor="ls")
+                except (ValueError, OSError):
+                    self.draw.text((dx, dy - px), uni, font=pil_font, fill=gs.fill_rgb)
+            # Advance the text matrix.
+            tm = mat_mul((1, 0, 0, 1, x_cursor, 0), tm)
+
+        for kind, tok in _tokenize_content(data):
+            if kind == "val":
+                stack.append(tok)
+                continue
+            if kind == "inline_image":
+                d, payload = tok
+                try:
+                    img = decode_image_xobject(self.doc, StreamObj(d, payload))
+                    if img is not None:
+                        self._paste_image(img, gs.ctm, gs.fill_rgb,
+                                          is_mask=bool(self.doc.resolve(d.get("IM") or d.get("ImageMask"))))
+                except Exception:
+                    pass
+                stack.clear()
+                continue
+
+            op = tok
+            try:
+                if op == "q":
+                    gs_stack.append(gs.clone())
+                elif op == "Q":
+                    if gs_stack:
+                        gs = gs_stack.pop()
+                elif op == "cm" and len(stack) >= 6:
+                    m = tuple(float(v) for v in stack[-6:])
+                    gs.ctm = mat_mul(m, gs.ctm)  # type: ignore[arg-type]
+                elif op == "Do" and stack:
+                    name = stack[-1]
+                    xobjects = self.doc.resolve(resources.get("XObject")) or {}
+                    xobj = self.doc.resolve(xobjects.get(Name(str(name))))
+                    if isinstance(xobj, StreamObj):
+                        subtype = xobj.dict.get("Subtype")
+                        if subtype == Name("Image"):
+                            img = decode_image_xobject(self.doc, xobj)
+                            if img is not None:
+                                self._paste_image(
+                                    img, gs.ctm, gs.fill_rgb,
+                                    is_mask=bool(self.doc.resolve(xobj.dict.get("ImageMask"))),
+                                )
+                        elif subtype == Name("Form"):
+                            inner = gs.clone()
+                            fm = self.doc.resolve(xobj.dict.get("Matrix"))
+                            if isinstance(fm, list) and len(fm) == 6:
+                                inner.ctm = mat_mul(tuple(float(v) for v in fm), inner.ctm)  # type: ignore[arg-type]
+                            form_res = self.doc.resolve(xobj.dict.get("Resources")) or resources
+                            try:
+                                self._execute(xobj.decoded(self.doc), form_res, inner, depth + 1)
+                            except Exception:
+                                pass
+                # Color (track fill color for text/masks/rects)
+                elif op == "g" and stack:
+                    v = int(float(stack[-1]) * 255)
+                    gs.fill_rgb = (v, v, v)
+                elif op == "rg" and len(stack) >= 3:
+                    gs.fill_rgb = tuple(int(float(v) * 255) for v in stack[-3:])  # type: ignore[assignment]
+                elif op == "k" and len(stack) >= 4:
+                    cc, mm, yy, kk = (float(v) for v in stack[-4:])
+                    gs.fill_rgb = (
+                        int(255 * (1 - min(1.0, cc + kk))),
+                        int(255 * (1 - min(1.0, mm + kk))),
+                        int(255 * (1 - min(1.0, yy + kk))),
+                    )
+                elif op in ("sc", "scn") and stack:
+                    nums = [v for v in stack if isinstance(v, (int, float))]
+                    if len(nums) >= 3:
+                        gs.fill_rgb = tuple(int(float(v) * 255) for v in nums[-3:])  # type: ignore[assignment]
+                    elif len(nums) == 1:
+                        v = int(float(nums[0]) * 255)
+                        gs.fill_rgb = (v, v, v)
+                # Paths: only rectangle fills matter for documents (cell
+                # shading, rules). Everything else is dropped.
+                elif op == "re" and len(stack) >= 4:
+                    x, y, w, h = (float(v) for v in stack[-4:])
+                    pending_rects.append([(x, y), (x + w, y), (x + w, y + h), (x, y + h)])
+                elif op in ("f", "F", "f*", "b", "b*", "B", "B*"):
+                    for rect in pending_rects:
+                        self._fill_rect(rect, gs.fill_rgb, gs.ctm)
+                    pending_rects = []
+                elif op in ("n", "S", "s", "W", "W*"):
+                    if op in ("n", "S", "s"):
+                        pending_rects = []
+                # Text
+                elif op == "BT":
+                    tm = IDENTITY
+                    tlm = IDENTITY
+                elif op == "ET":
+                    pass
+                elif op == "Tf" and len(stack) >= 2:
+                    gs.font = self._get_font(resources, str(stack[-2]))
+                    gs.font_size = float(stack[-1])
+                elif op == "Td" and len(stack) >= 2:
+                    tlm = mat_mul((1, 0, 0, 1, float(stack[-2]), float(stack[-1])), tlm)
+                    tm = tlm
+                elif op == "TD" and len(stack) >= 2:
+                    gs.leading = -float(stack[-1])
+                    tlm = mat_mul((1, 0, 0, 1, float(stack[-2]), float(stack[-1])), tlm)
+                    tm = tlm
+                elif op == "Tm" and len(stack) >= 6:
+                    tlm = tuple(float(v) for v in stack[-6:])  # type: ignore[assignment]
+                    tm = tlm
+                elif op == "T*":
+                    tlm = mat_mul((1, 0, 0, 1, 0, -gs.leading), tlm)
+                    tm = tlm
+                elif op == "TL" and stack:
+                    gs.leading = float(stack[-1])
+                elif op == "Tc" and stack:
+                    gs.char_spacing = float(stack[-1])
+                elif op == "Tw" and stack:
+                    gs.word_spacing = float(stack[-1])
+                elif op == "Tz" and stack:
+                    gs.h_scale = float(stack[-1]) / 100.0
+                elif op == "Ts" and stack:
+                    gs.rise = float(stack[-1])
+                elif op == "Tj" and stack:
+                    if isinstance(stack[-1], bytes):
+                        show_text(stack[-1])
+                elif op == "'" and stack:
+                    tlm = mat_mul((1, 0, 0, 1, 0, -gs.leading), tlm)
+                    tm = tlm
+                    if isinstance(stack[-1], bytes):
+                        show_text(stack[-1])
+                elif op == '"' and len(stack) >= 3:
+                    gs.word_spacing = float(stack[-3])
+                    gs.char_spacing = float(stack[-2])
+                    tlm = mat_mul((1, 0, 0, 1, 0, -gs.leading), tlm)
+                    tm = tlm
+                    if isinstance(stack[-1], bytes):
+                        show_text(stack[-1])
+                elif op == "TJ" and stack and isinstance(stack[-1], list):
+                    for item in stack[-1]:
+                        if isinstance(item, bytes):
+                            show_text(item)
+                        elif isinstance(item, (int, float)):
+                            shift = -float(item) / 1000.0 * gs.font_size * gs.h_scale
+                            tm = mat_mul((1, 0, 0, 1, shift, 0), tm)
+            except Exception:
+                pass
+            stack.clear()
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def open_pdf(source) -> PDFDocument:
+    """Open a PDF from a path, bytes, or file-like object."""
+    if isinstance(source, (bytes, bytearray)):
+        data = bytes(source)
+    elif hasattr(source, "read"):
+        data = source.read()
+    else:
+        with open(source, "rb") as f:
+            data = f.read()
+    return PDFDocument(data)
+
+
+def render_page(doc: PDFDocument, page_index: int, dpi: float = 72.0) -> Image.Image:
+    pages = doc.pages()
+    if not 0 <= page_index < len(pages):
+        raise IndexError(f"page {page_index} out of range ({len(pages)} pages)")
+    return PageRasterizer(doc, pages[page_index], dpi=dpi).render()

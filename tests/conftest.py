@@ -1,0 +1,23 @@
+"""Test harness config.
+
+Tests run on CPU with 8 virtual XLA devices so that multi-chip sharding
+(mesh/pjit) is exercised without TPU hardware. The env vars must be set
+before jax is first imported anywhere, hence this lives at conftest import
+time.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng_seed():
+    return 0
