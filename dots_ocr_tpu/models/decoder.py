@@ -1,0 +1,197 @@
+"""Qwen2.5-style causal decoder with GQA, scan-stacked layers, KV cache.
+
+TPU-first design (vs. the reference's HF-transformers/vLLM CUDA decoder):
+
+  * **Two jitted entry points, fixed shapes**: ``prefill`` (batched, padded
+    to a token bucket) and ``decode_step`` (one token per live sequence).
+    The serving engine re-buckets work so XLA compiles each shape once.
+  * **lax.scan over 28 stacked layers** with the KV cache threaded through
+    as scan xs/ys — O(1) compile size, cache updates stay on device.
+  * **Contiguous cache here** ([L, B, S, KV, D]); the paged-cache variant
+    used by continuous batching lives in ``engine/kv_cache.py`` and reuses
+    these block functions.
+  * GQA (12 query / 2 KV heads) computed grouped — KV is never materialized
+    per-query-head.
+
+Spec: hidden 1536, 28 layers, GQA 12/2, head_dim 128, intermediate 8960,
+RMSNorm + SwiGLU, RoPE theta 1e6, qkv bias, tied embeddings (SURVEY.md §2.4,
+[EXTERNAL — verified against checkpoint config at load time]).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dots_ocr_tpu.models.config import DecoderConfig
+from dots_ocr_tpu.models.layers import embed, linear, rms_norm, swiglu, unembed
+from dots_ocr_tpu.models.rope import apply_rope, rope_table
+from dots_ocr_tpu.ops.attention import (
+    attention,
+    make_causal_mask,
+    make_length_mask,
+    mha_reference,
+)
+
+
+class KVCache(NamedTuple):
+    """Contiguous per-layer KV cache: k/v [num_layers, B, max_len, KV, D]."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @staticmethod
+    def create(
+        cfg: DecoderConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+    ) -> "KVCache":
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _project_qkv(x: jnp.ndarray, attn_p: dict, cfg: DecoderConfig):
+    """x: [..., D] -> q [..., H, hd], k/v [..., KV, hd]."""
+    lead = x.shape[:-1]
+    q = linear(x, attn_p["wq"], attn_p.get("bq")).reshape(
+        *lead, cfg.num_heads, cfg.head_dim
+    )
+    k = linear(x, attn_p["wk"], attn_p.get("bk")).reshape(
+        *lead, cfg.num_kv_heads, cfg.head_dim
+    )
+    v = linear(x, attn_p["wv"], attn_p.get("bv")).reshape(
+        *lead, cfg.num_kv_heads, cfg.head_dim
+    )
+    return q, k, v
+
+
+def decoder_layer_prefill(
+    x: jnp.ndarray,
+    block_params: dict,
+    cfg: DecoderConfig,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    mask: jnp.ndarray,
+    attn_impl: str = "xla",
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """One layer over x: [B, T, D]. Returns (x, (k, v)) for cache capture."""
+    attn_p = block_params["attn"]
+    h = rms_norm(x, block_params["input_norm"], cfg.rms_norm_eps)
+    q, k, v = _project_qkv(h, attn_p, cfg)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    out = attention(q, k, v, mask=mask, impl=attn_impl)
+    b, t = x.shape[:2]
+    x = x + linear(out.reshape(b, t, cfg.q_dim), attn_p["wo"])
+
+    h = rms_norm(x, block_params["post_attn_norm"], cfg.rms_norm_eps)
+    m = block_params["mlp"]
+    x = x + swiglu(h, m["gate"], m["up"], m["down"])
+    return x, (k, v)
+
+
+def decoder_layer_decode(
+    x: jnp.ndarray,
+    block_params: dict,
+    cfg: DecoderConfig,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    write_pos: jnp.ndarray,
+    seq_lens: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One layer, one new token per sequence.
+
+    x: [B, D]; k_cache/v_cache: [B, S, KV, hd]; write_pos: [B] cache slot for
+    the new token; seq_lens: [B] valid length AFTER this write.
+    """
+    attn_p = block_params["attn"]
+    h = rms_norm(x, block_params["input_norm"], cfg.rms_norm_eps)
+    q, k, v = _project_qkv(h, attn_p, cfg)  # q [B,H,hd], k/v [B,KV,hd]
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    batch = x.shape[0]
+    batch_idx = jnp.arange(batch)
+    k_cache = k_cache.at[batch_idx, write_pos].set(k.astype(k_cache.dtype))
+    v_cache = v_cache.at[batch_idx, write_pos].set(v.astype(v_cache.dtype))
+
+    mask = make_length_mask(seq_lens, k_cache.shape[1])  # [B, S]
+    out = mha_reference(q[:, None], k_cache, v_cache, mask=mask[:, None, :])[:, 0]
+    x = x + linear(out.reshape(batch, cfg.q_dim), attn_p["wo"])
+
+    h = rms_norm(x, block_params["post_attn_norm"], cfg.rms_norm_eps)
+    m = block_params["mlp"]
+    x = x + swiglu(h, m["gate"], m["up"], m["down"])
+    return x, k_cache, v_cache
+
+
+def decoder_prefill(
+    params: dict,
+    cfg: DecoderConfig,
+    inputs_embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    seq_lens: jnp.ndarray,
+    attn_impl: str = "xla",
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Full-sequence forward. inputs_embeds: [B, T, D]; positions: [B, T];
+    seq_lens: [B] valid lengths (padding masked out of attention).
+
+    Returns (hidden [B, T, D], KVCache with the prefill K/V)."""
+    b, t, _ = inputs_embeds.shape
+    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
+    causal = make_causal_mask(positions, t)
+    valid = make_length_mask(seq_lens, t)  # [B, T] keys
+    mask = causal & valid[:, None, :]
+
+    def scan_body(x, block_params):
+        x, kv = decoder_layer_prefill(x, block_params, cfg, cos, sin, mask, attn_impl)
+        return x, kv
+
+    x, (k_all, v_all) = jax.lax.scan(scan_body, inputs_embeds, params["blocks"])
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return x, KVCache(k_all, v_all)
+
+
+def decoder_decode_step(
+    params: dict,
+    cfg: DecoderConfig,
+    inputs_embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    cache: KVCache,
+    seq_lens: jnp.ndarray,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One decode step for a batch of live sequences.
+
+    inputs_embeds: [B, D] embedding of the latest token per sequence;
+    positions: [B] its absolute position (== cache write slot);
+    seq_lens: [B] valid length after this token.
+    Returns (hidden [B, D], updated cache)."""
+    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
+
+    def scan_body(x, layer_in):
+        block_params, k_cache, v_cache = layer_in
+        x, k_cache, v_cache = decoder_layer_decode(
+            x, block_params, cfg, cos, sin, k_cache, v_cache, positions, seq_lens
+        )
+        return x, (k_cache, v_cache)
+
+    x, (k_all, v_all) = jax.lax.scan(
+        scan_body, inputs_embeds, (params["blocks"], cache.k, cache.v)
+    )
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return x, KVCache(k_all, v_all)
+
+
+def logits_from_hidden(params: dict, cfg: DecoderConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    """Project hidden states to vocab logits (tied or separate head), f32."""
+    if cfg.tie_word_embeddings or "lm_head" not in params:
+        return unembed(hidden, params["embed"])
+    return jnp.einsum(
+        "...d,dv->...v", hidden, params["lm_head"], preferred_element_type=jnp.float32
+    )
+
+
+def embed_tokens(params: dict, input_ids: jnp.ndarray) -> jnp.ndarray:
+    return embed(input_ids, params["embed"])

@@ -1,0 +1,59 @@
+"""Primitive layers as pure functions over param pytrees.
+
+No module framework: params are nested dicts of jnp arrays, layers are
+functions. This keeps the model trivially compatible with pjit sharding
+(PartitionSpec per pytree path), orbax checkpointing, and lax.scan layer
+stacking.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """RMSNorm in float32, output cast back to x.dtype (Qwen convention)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def linear(
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """x @ kernel (+ bias). kernel: [in, out] — row-major for MXU-friendly
+    [tokens, in] x [in, out] matmuls."""
+    out = jnp.einsum("...i,io->...o", x, kernel, preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
+
+
+def swiglu(
+    x: jnp.ndarray,
+    gate_kernel: jnp.ndarray,
+    up_kernel: jnp.ndarray,
+    down_kernel: jnp.ndarray,
+) -> jnp.ndarray:
+    """SwiGLU MLP: down(silu(gate(x)) * up(x)). Used by both the Qwen decoder
+    and the dots vision blocks."""
+    gate = linear(x, gate_kernel)
+    up = linear(x, up_kernel)
+    hidden = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    return linear(hidden, down_kernel)
+
+
+def embed(input_ids: jnp.ndarray, embedding: jnp.ndarray) -> jnp.ndarray:
+    """Token embedding lookup."""
+    return jnp.take(embedding, input_ids, axis=0)
+
+
+def unembed(x: jnp.ndarray, embedding: jnp.ndarray) -> jnp.ndarray:
+    """Tied-embedding logits: x @ embedding.T in f32."""
+    return jnp.einsum(
+        "...d,vd->...v", x, embedding, preferred_element_type=jnp.float32
+    )

@@ -1,0 +1,133 @@
+"""The full VLM: vision tokens spliced into the decoder's embedding stream.
+
+The prompt carries an image span ``<|img|><|imgpad|>*N<|endofimg|>`` where N
+is the merged-vision-token count for the image (reference client convention
+at ``dots_ocr/model/inference.py:33``; vLLM expands the pad server-side).
+Here the splice is a static scatter: the host precomputes, per batch row,
+the positions of the ``<|imgpad|>`` tokens and which merged vision row fills
+each one, so the jitted function does one ``.at[].set`` — no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dots_ocr_tpu.models.config import DotsOCRConfig
+from dots_ocr_tpu.models.decoder import (
+    KVCache,
+    decoder_decode_step,
+    decoder_prefill,
+    embed_tokens,
+    logits_from_hidden,
+)
+from dots_ocr_tpu.models.vision import encode_images
+
+
+def splice_vision_embeddings(
+    token_embeds: jnp.ndarray,
+    vision_tokens: jnp.ndarray,
+    batch_idx: jnp.ndarray,
+    pos_idx: jnp.ndarray,
+) -> jnp.ndarray:
+    """Insert vision tokens at imgpad positions.
+
+    token_embeds: [B, T, D]; vision_tokens: [M, D] (padded rows allowed);
+    batch_idx/pos_idx: [M] destination coordinates. Padded scatter entries
+    must point at a sacrificial position (host uses (B-1, T-1) of a pad
+    token) OR carry batch_idx = -1 -> mapped to a no-op via clamping with a
+    zero-delta trick; the host-side builder guarantees valid coordinates.
+    """
+    return token_embeds.at[batch_idx, pos_idx].set(
+        vision_tokens.astype(token_embeds.dtype)
+    )
+
+
+def build_scatter_indices(
+    input_ids: np.ndarray, imgpad_id: int, num_merged_padded: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host helper: destination coords of each merged vision row.
+
+    Rows beyond the count of imgpad tokens (bucket padding of the vision
+    axis) are routed to (0, first_pad_slot) only if available; to keep the
+    jitted scatter total and harmless we route extra rows to position
+    [B-1, T-1] ONLY when that slot is not an imgpad destination — otherwise
+    writes would collide. The engine always sizes T with trailing padding,
+    so [B-1, T-1] is a pad token.
+    """
+    batch_idx, pos_idx = np.nonzero(input_ids == imgpad_id)
+    m = len(batch_idx)
+    if m > num_merged_padded:
+        raise ValueError(
+            f"{m} imgpad tokens but only {num_merged_padded} vision rows"
+        )
+    out_b = np.full(num_merged_padded, input_ids.shape[0] - 1, np.int32)
+    out_p = np.full(num_merged_padded, input_ids.shape[1] - 1, np.int32)
+    out_b[:m] = batch_idx
+    out_p[:m] = pos_idx
+    return out_b, out_p
+
+
+def vlm_prefill(
+    params: dict,
+    config: DotsOCRConfig,
+    input_ids: jnp.ndarray,
+    positions: jnp.ndarray,
+    seq_lens: jnp.ndarray,
+    patches: Optional[jnp.ndarray] = None,
+    rope_cos: Optional[jnp.ndarray] = None,
+    rope_sin: Optional[jnp.ndarray] = None,
+    segment_ids: Optional[jnp.ndarray] = None,
+    scatter_batch: Optional[jnp.ndarray] = None,
+    scatter_pos: Optional[jnp.ndarray] = None,
+    attn_impl: str = "xla",
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Full multimodal prefill.
+
+    input_ids/positions: [B, T]; seq_lens: [B]. Vision args are the packed
+    arrays from ``preprocess.pack_images`` plus scatter coords from
+    ``build_scatter_indices`` (all optional: text-only prefill skips the
+    encoder entirely).
+
+    Returns (logits [B, T, V] float32, KVCache).
+    """
+    x = embed_tokens(params["decoder"], input_ids)
+    if patches is not None:
+        vision_tokens = encode_images(
+            params["vision"],
+            config.vision,
+            patches,
+            rope_cos,
+            rope_sin,
+            segment_ids,
+            attn_impl=attn_impl,
+        )
+        x = splice_vision_embeddings(x, vision_tokens, scatter_batch, scatter_pos)
+
+    hidden, cache = decoder_prefill(
+        params["decoder"], config.decoder, x, positions, seq_lens, attn_impl
+    )
+    logits = logits_from_hidden(params["decoder"], config.decoder, hidden)
+    return logits, cache
+
+
+def vlm_decode_step(
+    params: dict,
+    config: DotsOCRConfig,
+    token_ids: jnp.ndarray,
+    positions: jnp.ndarray,
+    cache: KVCache,
+    seq_lens: jnp.ndarray,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One decode step. token_ids/positions/seq_lens: [B].
+
+    Returns (logits [B, V] float32, updated cache)."""
+    x = embed_tokens(params["decoder"], token_ids)
+    hidden, cache = decoder_decode_step(
+        params["decoder"], config.decoder, x, positions, cache, seq_lens
+    )
+    logits = logits_from_hidden(params["decoder"], config.decoder, hidden)
+    return logits, cache

@@ -18,6 +18,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    # XLA's DEFAULT matmul precision truncates f32 inputs (bf16-class passes,
+    # on CPU and TPU alike). Numerical-equivalence tests need true f32.
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+
 @pytest.fixture(scope="session")
 def rng_seed():
     return 0
