@@ -1,0 +1,318 @@
+"""OpenAI-compatible HTTP serving front end over the TPU engine.
+
+The reference serves through vLLM's OpenAI server
+(``docker/docker-compose.yml:35-40``); this module is its TPU-native
+replacement, preserving the wire shape the reference client sends
+(``dots_ocr/model/inference.py:20-44``): POST ``/v1/chat/completions`` with
+an ``image_url`` data-URL part and a text part that starts with the literal
+``<|img|><|imgpad|><|endofimg|>`` placeholder.
+
+Serving model (round 1): an asyncio micro-batcher — requests land in a
+queue; a worker drains up to ``max_batch`` of them per step and executes one
+batched ``engine.generate_batch`` in a thread executor. The paged-KV
+continuous-batching scheduler (``engine/scheduler.py``) replaces the inner
+execution as it lands; the HTTP surface stays identical.
+
+Endpoints: /v1/chat/completions, /v1/models, /health, /metrics.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+from aiohttp import web
+
+from dots_ocr_tpu.engine.chat_template import IMAGE_PLACEHOLDER
+from dots_ocr_tpu.utils.image_io import base64_to_pil, fetch_image
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class ServerMetrics:
+    requests_total: int = 0
+    requests_failed: int = 0
+    prompt_tokens_total: int = 0
+    completion_tokens_total: int = 0
+    batches_total: int = 0
+    batch_size_sum: int = 0
+    started_at: float = field(default_factory=time.time)
+
+    def render(self) -> str:
+        lines = [
+            f"dots_ocr_requests_total {self.requests_total}",
+            f"dots_ocr_requests_failed {self.requests_failed}",
+            f"dots_ocr_prompt_tokens_total {self.prompt_tokens_total}",
+            f"dots_ocr_completion_tokens_total {self.completion_tokens_total}",
+            f"dots_ocr_batches_total {self.batches_total}",
+            f"dots_ocr_batch_size_sum {self.batch_size_sum}",
+            f"dots_ocr_uptime_seconds {time.time() - self.started_at:.1f}",
+        ]
+        return "\n".join(lines) + "\n"
+
+
+@dataclass
+class _PendingRequest:
+    prompt: str
+    images: list
+    temperature: float
+    top_p: float
+    max_new_tokens: int
+    system_prompt: Optional[str]
+    future: asyncio.Future
+
+
+def parse_chat_messages(messages: List[Dict[str, Any]]):
+    """Extract (prompt_text, images, system_prompt) from OpenAI messages.
+
+    The literal image placeholder in the text is removed — the engine
+    re-inserts the expanded span per image (chat_template.build_prompt_ids).
+    """
+    system_prompt = None
+    prompt_parts: List[str] = []
+    images = []
+    for message in messages:
+        role = message.get("role")
+        content = message.get("content")
+        if role == "system":
+            system_prompt = content if isinstance(content, str) else str(content)
+            continue
+        if role != "user":
+            continue
+        if isinstance(content, str):
+            prompt_parts.append(content)
+            continue
+        for part in content or []:
+            ptype = part.get("type")
+            if ptype == "text":
+                prompt_parts.append(part.get("text", ""))
+            elif ptype == "image_url":
+                url = (part.get("image_url") or {}).get("url", "")
+                if url.startswith("data:image"):
+                    images.append(base64_to_pil(url))
+                else:
+                    images.append(fetch_image(url))
+    prompt = "".join(prompt_parts).replace(IMAGE_PLACEHOLDER, "")
+    return prompt, images, system_prompt
+
+
+class OpenAIServer:
+    def __init__(
+        self,
+        engine,
+        model_name: str = "model",
+        max_batch: int = 8,
+        batch_window_ms: float = 5.0,
+    ):
+        self.engine = engine
+        self.model_name = model_name
+        self.max_batch = max_batch
+        self.batch_window_ms = batch_window_ms
+        self.metrics = ServerMetrics()
+        self._queue: asyncio.Queue = asyncio.Queue()
+        self._worker_task = None
+
+    # -- batching worker ----------------------------------------------------
+
+    async def _worker(self):
+        while True:
+            first: _PendingRequest = await self._queue.get()
+            batch = [first]
+            if self.batch_window_ms > 0:
+                await asyncio.sleep(self.batch_window_ms / 1000.0)
+            while len(batch) < self.max_batch:
+                try:
+                    batch.append(self._queue.get_nowait())
+                except asyncio.QueueEmpty:
+                    break
+            await self._run_batch(batch)
+
+    async def _run_batch(self, batch: List[_PendingRequest]):
+        loop = asyncio.get_running_loop()
+        self.metrics.batches_total += 1
+        self.metrics.batch_size_sum += len(batch)
+        max_new = max(r.max_new_tokens for r in batch)
+        # System prompts must match to batch; split otherwise.
+        sys_prompts = {r.system_prompt for r in batch}
+        if len(sys_prompts) > 1:
+            for r in batch:
+                await self._run_batch([r])
+            return
+        try:
+            texts = await loop.run_in_executor(
+                None,
+                lambda: self.engine.generate_batch(
+                    [r.prompt for r in batch],
+                    [r.images for r in batch],
+                    temperature=[r.temperature for r in batch],
+                    top_p=[r.top_p for r in batch],
+                    max_new_tokens=max_new,
+                    system_prompt=batch[0].system_prompt,
+                ),
+            )
+            stats = self.engine.last_stats
+            self.metrics.prompt_tokens_total += stats.prompt_tokens
+            self.metrics.completion_tokens_total += stats.completion_tokens
+            for r, text in zip(batch, texts):
+                if not r.future.done():
+                    r.future.set_result(text)
+        except Exception as e:  # noqa: BLE001
+            logger.exception("batch execution failed")
+            for r in batch:
+                if not r.future.done():
+                    r.future.set_exception(e)
+
+    # -- handlers -----------------------------------------------------------
+
+    async def handle_chat_completions(self, request: web.Request) -> web.Response:
+        self.metrics.requests_total += 1
+        try:
+            try:
+                body = await request.json()
+            except (json.JSONDecodeError, ValueError) as e:
+                self.metrics.requests_failed += 1
+                return web.json_response(
+                    {"error": {"message": f"invalid JSON body: {e}",
+                               "type": "invalid_request_error"}},
+                    status=400,
+                )
+            messages = body.get("messages")
+            if not isinstance(messages, list) or not messages:
+                self.metrics.requests_failed += 1
+                return web.json_response(
+                    {"error": {"message": "'messages' must be a non-empty list",
+                               "type": "invalid_request_error"}},
+                    status=400,
+                )
+            prompt, images, system_prompt = parse_chat_messages(messages)
+            if not prompt and not images:
+                self.metrics.requests_failed += 1
+                return web.json_response(
+                    {"error": {"message": "no user content in 'messages'",
+                               "type": "invalid_request_error"}},
+                    status=400,
+                )
+            max_new = int(
+                body.get("max_completion_tokens")
+                or body.get("max_tokens")
+                or self.engine.default_max_new_tokens
+            )
+            pending = _PendingRequest(
+                prompt=prompt,
+                images=images,
+                temperature=float(body.get("temperature", 0.1)),
+                top_p=float(body.get("top_p", 1.0)),
+                max_new_tokens=max_new,
+                system_prompt=system_prompt,
+                future=asyncio.get_running_loop().create_future(),
+            )
+            await self._queue.put(pending)
+            text = await pending.future
+            stats = self.engine.last_stats
+            response = {
+                "id": f"chatcmpl-{uuid.uuid4().hex[:24]}",
+                "object": "chat.completion",
+                "created": int(time.time()),
+                "model": body.get("model", self.model_name),
+                "choices": [
+                    {
+                        "index": 0,
+                        "message": {"role": "assistant", "content": text},
+                        "finish_reason": "stop",
+                    }
+                ],
+                "usage": {
+                    "prompt_tokens": stats.prompt_tokens,
+                    "completion_tokens": stats.completion_tokens,
+                    "total_tokens": stats.prompt_tokens + stats.completion_tokens,
+                },
+            }
+            return web.json_response(response)
+        except Exception as e:  # noqa: BLE001
+            self.metrics.requests_failed += 1
+            logger.exception("chat completion failed")
+            return web.json_response(
+                {"error": {"message": str(e), "type": type(e).__name__}}, status=500
+            )
+
+    async def handle_models(self, request: web.Request) -> web.Response:
+        return web.json_response(
+            {
+                "object": "list",
+                "data": [
+                    {
+                        "id": self.model_name,
+                        "object": "model",
+                        "owned_by": "dots_ocr_tpu",
+                    }
+                ],
+            }
+        )
+
+    async def handle_health(self, request: web.Request) -> web.Response:
+        return web.json_response({"status": "ok"})
+
+    async def handle_metrics(self, request: web.Request) -> web.Response:
+        return web.Response(text=self.metrics.render(), content_type="text/plain")
+
+    # -- app ----------------------------------------------------------------
+
+    def build_app(self) -> web.Application:
+        app = web.Application(client_max_size=256 * 1024 * 1024)
+        app.router.add_post("/v1/chat/completions", self.handle_chat_completions)
+        app.router.add_get("/v1/models", self.handle_models)
+        app.router.add_get("/health", self.handle_health)
+        app.router.add_get("/metrics", self.handle_metrics)
+
+        async def on_startup(app):
+            self._worker_task = asyncio.create_task(self._worker())
+
+        async def on_cleanup(app):
+            if self._worker_task:
+                self._worker_task.cancel()
+
+        app.on_startup.append(on_startup)
+        app.on_cleanup.append(on_cleanup)
+        return app
+
+    def run(self, host: str = "0.0.0.0", port: int = 8000):
+        web.run_app(self.build_app(), host=host, port=port)
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description="dots_ocr_tpu OpenAI-compatible server")
+    parser.add_argument("--weights", type=str, default=None, help="checkpoint dir")
+    parser.add_argument("--host", type=str, default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--model-name", type=str, default="model")
+    parser.add_argument("--max-batch", type=int, default=8)
+    parser.add_argument(
+        "--random-tiny", action="store_true",
+        help="serve a tiny random-weight model (smoke tests without weights)",
+    )
+    args = parser.parse_args(argv)
+
+    from dots_ocr_tpu.engine.engine import InferenceEngine
+
+    if args.random_tiny:
+        engine = InferenceEngine.random_init()
+    else:
+        if not args.weights:
+            raise SystemExit("--weights is required (or use --random-tiny)")
+        engine = InferenceEngine.from_pretrained(args.weights)
+
+    OpenAIServer(
+        engine, model_name=args.model_name, max_batch=args.max_batch
+    ).run(host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""OpenAI-compatible server tests (aiohttp test client + fake engine)."""
+
+import asyncio
+import json
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+from PIL import Image
+
+from dots_ocr_tpu.engine.engine import RequestStats
+from dots_ocr_tpu.serve.server import OpenAIServer, parse_chat_messages
+from dots_ocr_tpu.utils.image_io import pil_to_base64
+
+
+class FakeEngine:
+    default_max_new_tokens = 64
+
+    def __init__(self):
+        self.last_stats = RequestStats(prompt_tokens=5, completion_tokens=7)
+        self.batches = []
+
+    def generate_batch(self, prompts, images_per_prompt, **kwargs):
+        self.batches.append(len(prompts))
+        return [f"echo:{p}|imgs:{len(imgs)}" for p, imgs in zip(prompts, images_per_prompt)]
+
+
+def test_parse_chat_messages_extracts_parts():
+    img_url = pil_to_base64(Image.new("RGB", (8, 8)))
+    messages = [
+        {"role": "system", "content": "be helpful"},
+        {
+            "role": "user",
+            "content": [
+                {"type": "image_url", "image_url": {"url": img_url}},
+                {"type": "text", "text": "<|img|><|imgpad|><|endofimg|>do ocr"},
+            ],
+        },
+    ]
+    prompt, images, system = parse_chat_messages(messages)
+    assert prompt == "do ocr"
+    assert len(images) == 1 and images[0].size == (8, 8)
+    assert system == "be helpful"
+
+
+def test_parse_chat_messages_plain_string():
+    prompt, images, system = parse_chat_messages(
+        [{"role": "user", "content": "hello"}]
+    )
+    assert prompt == "hello" and images == [] and system is None
+
+
+@pytest.fixture
+def server_client(event_loop=None):
+    return None  # placeholder; real fixture below
+
+
+async def _with_client(fn):
+    engine = FakeEngine()
+    server = OpenAIServer(engine, model_name="test-model", batch_window_ms=1.0)
+    app = server.build_app()
+    client = TestClient(TestServer(app))
+    await client.start_server()
+    try:
+        await fn(client, engine)
+    finally:
+        await client.close()
+
+
+def test_chat_completions_roundtrip():
+    async def scenario(client, engine):
+        img_url = pil_to_base64(Image.new("RGB", (8, 8)))
+        payload = {
+            "model": "test-model",
+            "temperature": 0.1,
+            "top_p": 1.0,
+            "max_completion_tokens": 32,
+            "messages": [
+                {
+                    "role": "user",
+                    "content": [
+                        {"type": "image_url", "image_url": {"url": img_url}},
+                        {"type": "text", "text": "<|img|><|imgpad|><|endofimg|>parse"},
+                    ],
+                }
+            ],
+        }
+        resp = await client.post("/v1/chat/completions", json=payload)
+        assert resp.status == 200
+        data = await resp.json()
+        assert data["object"] == "chat.completion"
+        assert data["choices"][0]["message"]["content"] == "echo:parse|imgs:1"
+        assert data["usage"]["prompt_tokens"] == 5
+        assert data["choices"][0]["finish_reason"] == "stop"
+
+    asyncio.run(_with_client(scenario))
+
+
+def test_health_models_metrics():
+    async def scenario(client, engine):
+        resp = await client.get("/health")
+        assert (await resp.json())["status"] == "ok"
+        resp = await client.get("/v1/models")
+        data = await resp.json()
+        assert data["data"][0]["id"] == "test-model"
+        resp = await client.get("/metrics")
+        text = await resp.text()
+        assert "dots_ocr_requests_total" in text
+
+    asyncio.run(_with_client(scenario))
+
+
+def test_concurrent_requests_batched():
+    async def scenario(client, engine):
+        async def one(i):
+            payload = {
+                "messages": [{"role": "user", "content": f"q{i}"}],
+                "max_tokens": 16,
+            }
+            resp = await client.post("/v1/chat/completions", json=payload)
+            return (await resp.json())["choices"][0]["message"]["content"]
+
+        results = await asyncio.gather(*[one(i) for i in range(6)])
+        assert sorted(results) == sorted(f"echo:q{i}|imgs:0" for i in range(6))
+        # at least one multi-request batch was formed
+        assert max(engine.batches) >= 2
+
+    asyncio.run(_with_client(scenario))
+
+
+def test_bad_requests_return_400():
+    async def scenario(client, engine):
+        # missing messages
+        resp = await client.post("/v1/chat/completions", json={"bogus": True})
+        assert resp.status == 400
+        # malformed JSON
+        resp = await client.post(
+            "/v1/chat/completions",
+            data=b"not json",
+            headers={"Content-Type": "application/json"},
+        )
+        assert resp.status == 400
+        # no user content
+        resp = await client.post(
+            "/v1/chat/completions",
+            json={"messages": [{"role": "system", "content": "x"}]},
+        )
+        assert resp.status == 400
+        data = await resp.json()
+        assert data["error"]["type"] == "invalid_request_error"
+
+    asyncio.run(_with_client(scenario))
+
+
+def test_error_returns_500():
+    class BoomEngine(FakeEngine):
+        def generate_batch(self, *a, **k):
+            raise RuntimeError("boom")
+
+    async def scenario(client, engine):
+        resp = await client.post(
+            "/v1/chat/completions",
+            json={"messages": [{"role": "user", "content": "x"}]},
+        )
+        assert resp.status == 500
+        data = await resp.json()
+        assert "boom" in data["error"]["message"]
+
+    async def run():
+        engine = BoomEngine()
+        server = OpenAIServer(engine, batch_window_ms=0.0)
+        client = TestClient(TestServer(server.build_app()))
+        await client.start_server()
+        try:
+            await scenario(client, engine)
+        finally:
+            await client.close()
+
+    asyncio.run(run())
