@@ -195,6 +195,7 @@ class InferenceEngine:
         tp = np.broadcast_to(np.asarray(top_p, np.float32), (batch,)).copy()
         rng = jax.random.PRNGKey(seed) if seed is not None else self._next_rng()
 
+        nucleus = bool(np.any(tp < 1.0))
         t0 = time.perf_counter()
         result = generate(
             self.params,
@@ -206,6 +207,7 @@ class InferenceEngine:
             jnp.asarray(tp),
             max_new_tokens=max_new,
             attn_impl=self.attn_impl,
+            nucleus=nucleus,
             **kwargs,
         )
         tokens = np.asarray(result.tokens)

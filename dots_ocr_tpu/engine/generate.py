@@ -31,7 +31,7 @@ class GenerateResult(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("config", "max_new_tokens", "attn_impl"),
+    static_argnames=("config", "max_new_tokens", "attn_impl", "nucleus"),
     donate_argnames=(),
 )
 def generate(
@@ -50,6 +50,7 @@ def generate(
     scatter_batch: Optional[jnp.ndarray] = None,
     scatter_pos: Optional[jnp.ndarray] = None,
     attn_impl: str = "xla",
+    nucleus: bool = True,
 ) -> GenerateResult:
     """Generate up to ``max_new_tokens`` per sequence.
 
@@ -74,6 +75,7 @@ def generate(
         scatter_batch=scatter_batch,
         scatter_pos=scatter_pos,
         attn_impl=attn_impl,
+        last_logit_only=True,
     )
 
     # Widen the cache for the decode phase.
@@ -87,9 +89,8 @@ def generate(
     )
 
     batch_idx = jnp.arange(batch)
-    last_logits = logits[batch_idx, seq_lens - 1]  # [B, V]
     rng, step_rng = jax.random.split(rng)
-    current = sample_logits(step_rng, last_logits, temperature, top_p)
+    current = sample_logits(step_rng, logits, temperature, top_p, nucleus=nucleus)
 
     tokens0 = jnp.full((batch, max_new_tokens), pad, jnp.int32)
     done0 = jnp.zeros((batch,), bool)
@@ -111,7 +112,7 @@ def generate(
             params, config, current, pos, cache, pos + 1
         )
         rng, step_rng = jax.random.split(rng)
-        nxt = sample_logits(step_rng, logits, temperature, top_p)
+        nxt = sample_logits(step_rng, logits, temperature, top_p, nucleus=nucleus)
         done = done | newly_done
         return (step + 1, nxt, cache, done, tokens, count, rng)
 

@@ -17,15 +17,21 @@ def sample_logits(
     logits: jnp.ndarray,
     temperature: jnp.ndarray,
     top_p: jnp.ndarray,
+    nucleus: bool = True,
 ) -> jnp.ndarray:
     """Sample next tokens. logits: [B, V] float32; temperature/top_p: [B]
     (scalars broadcast). temperature <= 0 means greedy. Returns [B] int32.
+
+    ``nucleus`` is a STATIC flag: the full-vocab sort behind top-p costs
+    real decode throughput at V=152k, so callers whose whole batch runs
+    top_p >= 1 (the layout/OCR default, ``parser.py:28``) compile the
+    sort-free variant. With nucleus=False the top_p argument is ignored.
 
     Implementation notes (all per-row, vectorized):
       * greedy rows are selected with where(), not control flow,
       * top-p masks the tail of the sorted distribution; the most-probable
         token always survives (nucleus definition),
-      * Gumbel-max sampling avoids building a CDF.
+      * categorical (Gumbel-max) sampling avoids building a CDF.
     """
     logits = logits.astype(jnp.float32)
     temperature = jnp.asarray(temperature, jnp.float32)
@@ -41,18 +47,19 @@ def sample_logits(
     safe_t = jnp.where(temperature > 0, temperature, 1.0)
     scaled = logits / safe_t[:, None]
 
-    # Top-p filtering in sorted space, scattered back via argsort inverse.
-    sort_idx = jnp.argsort(-scaled, axis=-1)
-    sorted_logits = jnp.take_along_axis(scaled, sort_idx, axis=-1)
-    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cumprobs = jnp.cumsum(sorted_probs, axis=-1)
-    # Keep tokens while the cumulative mass *before* them is < top_p;
-    # the first token is always kept.
-    keep_sorted = (cumprobs - sorted_probs) < top_p[:, None]
-    keep = jnp.zeros_like(keep_sorted).at[
-        jnp.arange(logits.shape[0])[:, None], sort_idx
-    ].set(keep_sorted)
-    filtered = jnp.where(keep, scaled, -jnp.inf)
+    if nucleus:
+        # Top-p filtering in sorted space, scattered back via argsort inverse.
+        sort_idx = jnp.argsort(-scaled, axis=-1)
+        sorted_logits = jnp.take_along_axis(scaled, sort_idx, axis=-1)
+        sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cumprobs = jnp.cumsum(sorted_probs, axis=-1)
+        # Keep tokens while the cumulative mass *before* them is < top_p;
+        # the first token is always kept.
+        keep_sorted = (cumprobs - sorted_probs) < top_p[:, None]
+        keep = jnp.zeros_like(keep_sorted).at[
+            jnp.arange(logits.shape[0])[:, None], sort_idx
+        ].set(keep_sorted)
+        scaled = jnp.where(keep, scaled, -jnp.inf)
 
-    sampled = jax.random.categorical(rng, filtered, axis=-1).astype(jnp.int32)
+    sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
     return jnp.where(temperature > 0, sampled, greedy_tokens)

@@ -84,6 +84,7 @@ def vlm_prefill(
     scatter_batch: Optional[jnp.ndarray] = None,
     scatter_pos: Optional[jnp.ndarray] = None,
     attn_impl: str = "xla",
+    last_logit_only: bool = False,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Full multimodal prefill.
 
@@ -92,7 +93,9 @@ def vlm_prefill(
     ``build_scatter_indices`` (all optional: text-only prefill skips the
     encoder entirely).
 
-    Returns (logits [B, T, V] float32, KVCache).
+    Returns (logits, KVCache). logits is [B, T, V] float32, or [B, V] when
+    ``last_logit_only`` — generation needs only the last valid position, and
+    the full [B, T, V] f32 tensor is ~10 GB at B=16, T=1k, V=152k.
     """
     x = embed_tokens(params["decoder"], input_ids)
     if patches is not None:
@@ -110,6 +113,9 @@ def vlm_prefill(
     hidden, cache = decoder_prefill(
         params["decoder"], config.decoder, x, positions, seq_lens, attn_impl
     )
+    if last_logit_only:
+        batch_idx = jnp.arange(hidden.shape[0])
+        hidden = hidden[batch_idx, seq_lens - 1]  # [B, D]
     logits = logits_from_hidden(params["decoder"], config.decoder, hidden)
     return logits, cache
 

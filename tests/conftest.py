@@ -8,7 +8,8 @@ time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the host environment pre-sets JAX_PLATFORMS=axon (TPU).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,10 +20,15 @@ import pytest  # noqa: E402
 
 
 def pytest_configure(config):
-    # XLA's DEFAULT matmul precision truncates f32 inputs (bf16-class passes,
-    # on CPU and TPU alike). Numerical-equivalence tests need true f32.
     import jax
 
+    # The host environment force-registers the 'axon' TPU plugin and rewrites
+    # jax_platforms to "axon,cpu" regardless of JAX_PLATFORMS; pin CPU here
+    # (before any backend is touched) so tests run on the virtual 8-device
+    # CPU mesh.
+    jax.config.update("jax_platforms", "cpu")
+    # XLA's DEFAULT matmul precision truncates f32 inputs (bf16-class passes,
+    # on CPU and TPU alike). Numerical-equivalence tests need true f32.
     jax.config.update("jax_default_matmul_precision", "highest")
 
 
