@@ -52,7 +52,7 @@ class InferenceEngine:
         prompt_bucket_step: int = 128,
         vision_bucket_step: int = 512,
         default_max_new_tokens: int = 16384,
-        attn_impl: str = "xla",
+        attn_impl: str = "auto",
     ):
         self.params = params
         self.config = config
@@ -60,6 +60,10 @@ class InferenceEngine:
         self.prompt_bucket_step = prompt_bucket_step
         self.vision_bucket_step = vision_bucket_step
         self.default_max_new_tokens = default_max_new_tokens
+        if attn_impl == "auto":
+            # Pallas flash attention on TPU (required for 14k-token vision
+            # sequences); dense XLA reference elsewhere (CPU tests).
+            attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
         self.attn_impl = attn_impl
         self._rng = jax.random.PRNGKey(0)
         self.last_stats = RequestStats()

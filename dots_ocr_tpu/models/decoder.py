@@ -72,6 +72,7 @@ def decoder_layer_prefill(
     cos: jnp.ndarray,
     sin: jnp.ndarray,
     mask: jnp.ndarray,
+    segment_ids: jnp.ndarray,
     attn_impl: str = "xla",
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """One layer over x: [B, T, D]. Returns (x, (k, v)) for cache capture."""
@@ -80,7 +81,16 @@ def decoder_layer_prefill(
     q, k, v = _project_qkv(h, attn_p, cfg)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    out = attention(q, k, v, mask=mask, impl=attn_impl)
+    out = attention(
+        q,
+        k,
+        v,
+        mask=mask,
+        q_segment_ids=segment_ids,
+        kv_segment_ids=segment_ids,
+        causal=True,
+        impl=attn_impl,
+    )
     b, t = x.shape[:2]
     x = x + linear(out.reshape(b, t, cfg.q_dim), attn_p["wo"])
 
@@ -141,12 +151,22 @@ def decoder_prefill(
     Returns (hidden [B, T, D], KVCache with the prefill K/V)."""
     b, t, _ = inputs_embeds.shape
     cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
-    causal = make_causal_mask(positions, t)
-    valid = make_length_mask(seq_lens, t)  # [B, T] keys
-    mask = causal & valid[:, None, :]
+    # Valid-length masking doubles as segment ids for the flash path:
+    # padding tokens get segment -1 and attend to nothing.
+    segment_ids = jnp.where(
+        jnp.arange(t)[None, :] < seq_lens[:, None], 0, -1
+    ).astype(jnp.int32)
+    if attn_impl == "xla":
+        causal = make_causal_mask(positions, t)
+        valid = make_length_mask(seq_lens, t)  # [B, T] keys
+        mask = causal & valid[:, None, :]
+    else:
+        mask = None
 
     def scan_body(x, block_params):
-        x, kv = decoder_layer_prefill(x, block_params, cfg, cos, sin, mask, attn_impl)
+        x, kv = decoder_layer_prefill(
+            x, block_params, cfg, cos, sin, mask, segment_ids, attn_impl
+        )
         return x, kv
 
     x, (k_all, v_all) = jax.lax.scan(scan_body, inputs_embeds, params["blocks"])

@@ -42,6 +42,7 @@ def vision_block(
     cos: jnp.ndarray,
     sin: jnp.ndarray,
     mask: jnp.ndarray,
+    segment_ids: jnp.ndarray,
     attn_impl: str = "xla",
 ) -> jnp.ndarray:
     """One transformer block over packed tokens x: [T, D]."""
@@ -56,7 +57,13 @@ def vision_block(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         out = attention(
-            q[None], k[None], v[None], mask=mask, impl=attn_impl
+            q[None],
+            k[None],
+            v[None],
+            mask=mask,
+            q_segment_ids=segment_ids[None],
+            kv_segment_ids=segment_ids[None],
+            impl=attn_impl,
         )[0]
         return linear(out.reshape(t, num_heads * head_dim), attn_p["wo"])
 
@@ -98,13 +105,20 @@ def vision_forward(
         params["patch_embed"]["kernel"],
         params["patch_embed"].get("bias"),
     )
-    mask = make_segment_mask(segment_ids, segment_ids)[None]  # [1, T, T]
+    # Dense mask only exists on the XLA path; flash masks via segment ids.
+    mask = (
+        make_segment_mask(segment_ids, segment_ids)[None]
+        if attn_impl == "xla"
+        else None
+    )
     cos = rope_cos.astype(jnp.float32)
     sin = rope_sin.astype(jnp.float32)
 
     def scan_body(carry, block_params):
         return (
-            vision_block(carry, block_params, cfg, cos, sin, mask, attn_impl),
+            vision_block(
+                carry, block_params, cfg, cos, sin, mask, segment_ids, attn_impl
+            ),
             None,
         )
 

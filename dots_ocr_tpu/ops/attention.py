@@ -111,13 +111,42 @@ def attention(
     v: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
     impl: str = "xla",
+    q_segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    causal: bool = False,
     **kwargs,
 ) -> jnp.ndarray:
-    """Dispatcher. impl: 'xla' (reference) or 'flash' (Pallas kernel)."""
+    """Dispatcher.
+
+    impl:
+      * 'xla' — dense-mask reference (mask wins; else built from causal/
+        segments). Always correct, materializes [B, T, S] scores.
+      * 'flash' — Pallas online-softmax kernel (segment ids + causal flag;
+        causal assumes query index == absolute position, which holds for
+        engine prefill where sequences start at position 0).
+      * 'flash_interpret' — same kernel in interpreter mode (CPU tests).
+    """
     if impl == "xla":
+        if mask is None and (q_segment_ids is not None or causal):
+            t, s = q.shape[1], k.shape[1]
+            mask = jnp.ones((q.shape[0], t, s), bool)
+            if q_segment_ids is not None:
+                mask &= make_segment_mask(q_segment_ids, kv_segment_ids)
+            if causal:
+                positions = jnp.broadcast_to(jnp.arange(t), (q.shape[0], t))
+                mask &= make_causal_mask(positions, s)
         return mha_reference(q, k, v, mask=mask, **kwargs)
-    if impl == "flash":
+    if impl in ("flash", "flash_interpret"):
         from dots_ocr_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, mask=mask, **kwargs)
+        return flash_attention(
+            q,
+            k,
+            v,
+            q_segment_ids=q_segment_ids,
+            kv_segment_ids=kv_segment_ids,
+            causal=causal,
+            interpret=(impl == "flash_interpret"),
+            **kwargs,
+        )
     raise ValueError(f"unknown attention impl: {impl}")

@@ -1,0 +1,234 @@
+"""Fused flash attention (Pallas/TPU): online-softmax tiled attention.
+
+TPU-native replacement for the reference's flash-attn 2.8 CUDA dependency
+(``docker/Dockerfile:5``, ``parser.py:71``). One kernel serves both uses:
+
+  * **NaViT packed vision attention** — segment ids give block-diagonal
+    masking over images packed into one token axis (what flash-attn varlen
+    + cu_seqlens provides on GPU),
+  * **causal decoder prefill** — causal flag + segment-encoded length
+    masking (padding tokens carry segment -1 and attend to nothing).
+
+Why it matters functionally, not just for speed: at the 11.3 MP resolution
+cap the ViT sees ~14.4k packed tokens; an XLA-materialized score tensor is
+12 heads x 14.4k^2 x 4 B ~= 10 GB — it cannot exist on a 16 GB chip. The
+kernel streams K/V tiles through VMEM with online softmax (running max m,
+running sum l, accumulator acc in f32 scratch) and never materializes
+scores.
+
+Grid: (batch*q_heads, Tq/block_q, S/block_k) with the KV axis sequential
+("arbitrary") and the rest parallel across megacores. GQA is handled in the
+K/V index_map: query head h reads KV head h // (H/KV).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NUM_LANES = 128
+# -inf would produce NaN via exp(-inf - (-inf)); large-negative is exact
+# enough (exp underflows to 0).
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _flash_kernel(
+    q_seg_ref,
+    kv_seg_ref,
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    m_scratch,
+    l_scratch,
+    acc_scratch,
+    *,
+    causal: bool,
+    sm_scale: float,
+    num_k_blocks: int,
+    block_q: int,
+    block_k: int,
+):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[...] = jnp.full(m_scratch.shape, -jnp.inf, jnp.float32)
+        l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
+        acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
+
+    # Causal tile-level skip: whole KV tile above the diagonal contributes
+    # nothing (q row block ends before kv block starts).
+    if causal:
+        should_run = (qi + 1) * block_q - 1 >= ki * block_k
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0]  # [block_q, head_dim]
+        k = k_ref[0]  # [block_k, head_dim]
+        v = v_ref[0]  # [block_k, head_dim]
+
+        s = jax.lax.dot_general(
+            q,
+            k,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_q, block_k]
+        if sm_scale != 1.0:
+            s = s * sm_scale
+
+        # Segment mask (padding = -1 never matches, and -1 q rows match
+        # nothing — their l stays 0 and the output row is zeroed at the end).
+        q_seg = q_seg_ref[0]  # [block_q]
+        kv_seg = kv_seg_ref[0]  # [block_k]
+        mask = (q_seg[:, None] == kv_seg[None, :]) & (q_seg[:, None] >= 0)
+
+        if causal:
+            row_ids = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+                + qi * block_q
+            )
+            col_ids = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+                + ki * block_k
+            )
+            mask = mask & (col_ids <= row_ids)
+
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[...]  # [block_q, NUM_LANES]
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=1)[:, None]  # [block_q, 1]
+        m_next = jnp.maximum(m_prev, m_curr)  # lane-broadcasted
+
+        p = jnp.exp(s - m_next[:, :1])  # [block_q, block_k]
+        # Zero masked entries explicitly: a fully-masked row (all entries at
+        # DEFAULT_MASK_VALUE) would otherwise get uniform weights. With p=0
+        # its l stays 0 and the final store zeroes the output row.
+        p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp(m_prev - m_next)  # [block_q, NUM_LANES]
+        alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)  # -inf - -inf case
+
+        l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+        m_scratch[...] = m_next
+        l_scratch[...] = l_next
+
+        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _store():
+        l = l_scratch[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)  # masked rows -> zeros
+        o_ref[0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret"),
+)
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+    mask: Optional[jnp.ndarray] = None,  # unsupported; use segment ids
+) -> jnp.ndarray:
+    """Flash attention over model-layout tensors.
+
+    q: [B, Tq, H, D]; k, v: [B, S, KV, D] with H % KV == 0 (GQA).
+    q_segment_ids: [B, Tq]; kv_segment_ids: [B, S] (int32; -1 = padding;
+    None = all tokens in one segment). causal adds position masking
+    (absolute positions = indices, matching engine prefill).
+
+    Returns [B, Tq, H, D] in q.dtype.
+    """
+    if mask is not None:
+        raise NotImplementedError(
+            "flash_attention masks via segment ids / causal flag, not dense masks"
+        )
+    batch, q_len, num_heads, head_dim = q.shape
+    _, kv_len, kv_heads, _ = k.shape
+    assert num_heads % kv_heads == 0, (num_heads, kv_heads)
+    group = num_heads // kv_heads
+    sm_scale = sm_scale if sm_scale is not None else head_dim**-0.5
+
+    block_q = min(block_q, q_len)
+    block_k = min(block_k, kv_len)
+    assert q_len % block_q == 0, (q_len, block_q)
+    assert kv_len % block_k == 0, (kv_len, block_k)
+    num_q_blocks = q_len // block_q
+    num_k_blocks = kv_len // block_k
+
+    if q_segment_ids is None:
+        q_segment_ids = jnp.zeros((batch, q_len), jnp.int32)
+    if kv_segment_ids is None:
+        kv_segment_ids = jnp.zeros((batch, kv_len), jnp.int32)
+
+    # [B*H, T, D] query-head-major layout.
+    qr = q.transpose(0, 2, 1, 3).reshape(batch * num_heads, q_len, head_dim)
+    kr = k.transpose(0, 2, 1, 3).reshape(batch * kv_heads, kv_len, head_dim)
+    vr = v.transpose(0, 2, 1, 3).reshape(batch * kv_heads, kv_len, head_dim)
+
+    def q_index(bh, qi, ki):
+        return (bh, qi, 0)
+
+    def kv_index(bh, qi, ki):
+        b = bh // num_heads
+        h = bh % num_heads
+        return (b * kv_heads + h // group, ki, 0)
+
+    def q_seg_index(bh, qi, ki):
+        return (bh // num_heads, qi)
+
+    def kv_seg_index(bh, qi, ki):
+        return (bh // num_heads, ki)
+
+    kernel = functools.partial(
+        _flash_kernel,
+        causal=causal,
+        sm_scale=sm_scale,
+        num_k_blocks=num_k_blocks,
+        block_q=block_q,
+        block_k=block_k,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch * num_heads, num_q_blocks, num_k_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q), q_seg_index),
+            pl.BlockSpec((1, block_k), kv_seg_index),
+            pl.BlockSpec((1, block_q, head_dim), q_index),
+            pl.BlockSpec((1, block_k, head_dim), kv_index),
+            pl.BlockSpec((1, block_k, head_dim), kv_index),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, head_dim), q_index),
+        out_shape=jax.ShapeDtypeStruct(qr.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, head_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_segment_ids, kv_segment_ids, qr, kr, vr)
+
+    return out.reshape(batch, num_heads, q_len, head_dim).transpose(0, 2, 1, 3)
