@@ -1,0 +1,176 @@
+"""Paged KV cache: device-resident pages + host-side page allocator.
+
+The TPU analog of vLLM's block manager (SURVEY.md §2.2): K/V for all live
+sequences share one pool of fixed-size pages per layer; each sequence owns a
+page table. The device arrays have static shapes — growth is a host-side
+page-table update, never a reallocation — so every jitted step function
+compiles once.
+
+Device layout (per cache):
+  k_pages / v_pages: [num_layers, KV_heads, num_pages * page_size, head_dim]
+  (flat slot axis; the paged-attention kernel reshapes to pages for free).
+
+Host side:
+  PageAllocator — free list + per-sequence page tables,
+  slot mapping helpers — logical position -> physical flat slot.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dots_ocr_tpu.models.config import DecoderConfig
+
+
+class PagedKV(NamedTuple):
+    """Device-side paged cache arrays."""
+
+    k: jnp.ndarray  # [L, KV, num_pages * page_size, D]
+    v: jnp.ndarray
+
+    @staticmethod
+    def create(
+        cfg: DecoderConfig, num_pages: int, page_size: int, dtype=jnp.bfloat16
+    ) -> "PagedKV":
+        shape = (
+            cfg.num_layers,
+            cfg.num_kv_heads,
+            num_pages * page_size,
+            cfg.head_dim,
+        )
+        return PagedKV(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+class OutOfPages(RuntimeError):
+    """No free pages: the scheduler must defer admission or preempt."""
+
+
+@dataclass
+class PageAllocator:
+    """Host-side page bookkeeping. Page 0 is reserved as the null page
+    (padding slots in page tables point at it)."""
+
+    num_pages: int
+    page_size: int
+    max_pages_per_seq: int
+    _free: List[int] = field(default_factory=list)
+    _tables: Dict[int, List[int]] = field(default_factory=dict)
+    _lengths: Dict[int, int] = field(default_factory=dict)
+
+    def __post_init__(self):
+        self._free = list(range(self.num_pages - 1, 0, -1))  # page 0 reserved
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def pages_needed(self, num_tokens: int) -> int:
+        return -(-num_tokens // self.page_size)
+
+    def can_allocate(self, num_tokens: int) -> bool:
+        return self.pages_needed(num_tokens) <= len(self._free)
+
+    def allocate(self, seq_id: int, num_tokens: int) -> List[int]:
+        """Create a sequence with capacity for num_tokens."""
+        assert seq_id not in self._tables, f"seq {seq_id} already allocated"
+        need = self.pages_needed(num_tokens)
+        if need > self.max_pages_per_seq:
+            raise OutOfPages(
+                f"sequence needs {need} pages > max_pages_per_seq "
+                f"{self.max_pages_per_seq}"
+            )
+        if need > len(self._free):
+            raise OutOfPages(f"need {need} pages, {len(self._free)} free")
+        pages = [self._free.pop() for _ in range(need)]
+        self._tables[seq_id] = pages
+        self._lengths[seq_id] = num_tokens
+        return pages
+
+    def extend(self, seq_id: int, new_length: int) -> None:
+        """Grow a sequence to new_length tokens, appending pages as needed."""
+        table = self._tables[seq_id]
+        need = self.pages_needed(new_length)
+        if need > self.max_pages_per_seq:
+            raise OutOfPages(f"sequence exceeds max_pages_per_seq at {new_length}")
+        while len(table) < need:
+            if not self._free:
+                raise OutOfPages("no free pages to extend sequence")
+            table.append(self._free.pop())
+        self._lengths[seq_id] = new_length
+
+    def free(self, seq_id: int) -> None:
+        pages = self._tables.pop(seq_id, [])
+        self._lengths.pop(seq_id, None)
+        self._free.extend(reversed(pages))
+
+    def page_table(self, seq_id: int) -> List[int]:
+        return self._tables[seq_id]
+
+    def length(self, seq_id: int) -> int:
+        return self._lengths[seq_id]
+
+    def padded_table(self, seq_id: int) -> np.ndarray:
+        """Page table padded to max_pages_per_seq with the null page."""
+        out = np.zeros(self.max_pages_per_seq, np.int32)
+        table = self._tables[seq_id]
+        out[: len(table)] = table
+        return out
+
+    def slot_mapping(self, seq_id: int, start: int, count: int) -> np.ndarray:
+        """Physical flat slots for logical positions [start, start+count)."""
+        table = self._tables[seq_id]
+        pos = np.arange(start, start + count)
+        return (
+            np.asarray(table, np.int64)[pos // self.page_size] * self.page_size
+            + pos % self.page_size
+        ).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Device-side cache writes (jit-friendly pure functions)
+# ---------------------------------------------------------------------------
+
+
+def write_prefill_kv(
+    paged: PagedKV, k_new: jnp.ndarray, v_new: jnp.ndarray, slot_mapping: jnp.ndarray
+) -> PagedKV:
+    """Scatter prefill K/V into pages.
+
+    k_new/v_new: [L, B, T, KV, D] (from decoder_prefill); slot_mapping:
+    [B*T] int32 physical slots (-1 entries write to the reserved null page's
+    slot 0 region — callers pass padded tokens there).
+    """
+    num_layers, batch, t, kv_heads, head_dim = k_new.shape
+    flat_k = k_new.transpose(0, 3, 1, 2, 4).reshape(
+        num_layers, kv_heads, batch * t, head_dim
+    )
+    flat_v = v_new.transpose(0, 3, 1, 2, 4).reshape(
+        num_layers, kv_heads, batch * t, head_dim
+    )
+    slots = jnp.maximum(slot_mapping, 0)
+    k = paged.k.at[:, :, slots].set(flat_k.astype(paged.k.dtype))
+    v = paged.v.at[:, :, slots].set(flat_v.astype(paged.v.dtype))
+    return PagedKV(k, v)
+
+
+def write_decode_kv(
+    k_layer_pages: jnp.ndarray,
+    v_layer_pages: jnp.ndarray,
+    k_new: jnp.ndarray,
+    v_new: jnp.ndarray,
+    slots: jnp.ndarray,
+) -> tuple:
+    """Write one token per sequence for ONE layer (used inside the layer
+    scan). k_layer_pages: [KV, N_slots, D]; k_new: [B, KV, D]; slots: [B]."""
+    k = k_layer_pages.at[:, slots].set(
+        k_new.transpose(1, 0, 2).astype(k_layer_pages.dtype)
+    )
+    v = v_layer_pages.at[:, slots].set(
+        v_new.transpose(1, 0, 2).astype(v_layer_pages.dtype)
+    )
+    return k, v

@@ -1,0 +1,636 @@
+"""Continuous-batching scheduler over the paged KV cache.
+
+The TPU-native replacement for vLLM's scheduler + engine core (SURVEY.md
+§2.2): a single-threaded host loop drives two jitted fixed-shape programs —
+
+  * **prefill**: one admitted request (prompt bucketed) runs the full VLM
+    forward, its K/V scattered straight into the paged cache via a
+    precomputed slot mapping; the first token is sampled from the last
+    valid logit;
+  * **decode**: ONE token for EVERY live slot per call — [S] tokens,
+    [S, max_pages] page tables — with the Pallas paged-attention kernel
+    reading scattered pages and sampling fused in.
+
+Admission is page-aware (allocator watermark); running out of pages during
+decode preempts the youngest request back to the waiting queue (its prompt
++ generated tokens become the new prompt — vLLM's recompute-style
+preemption). All state transitions happen on host between steps; device
+arrays are donated so cache updates are in-place.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from collections import deque
+from functools import partial
+from typing import Any, Deque, Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dots_ocr_tpu.engine.kv_cache import OutOfPages, PageAllocator, PagedKV, write_prefill_kv
+from dots_ocr_tpu.engine.request import prepare_request
+from dots_ocr_tpu.engine.sampling import sample_logits
+from dots_ocr_tpu.engine.tokenizer import TokenizerLike
+from dots_ocr_tpu.models.config import DotsOCRConfig
+from dots_ocr_tpu.models.decoder import (
+    decoder_decode_step_paged,
+    embed_tokens,
+    logits_from_hidden,
+)
+from dots_ocr_tpu.models.vlm import build_scatter_indices, vlm_prefill
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# Jitted step programs
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "attn_impl", "nucleus"),
+    donate_argnames=("k_pages", "v_pages"),
+)
+def prefill_program(
+    params,
+    config: DotsOCRConfig,
+    k_pages,
+    v_pages,
+    input_ids,
+    seq_lens,
+    slot_mapping,
+    rng,
+    temperature,
+    top_p,
+    patches=None,
+    rope_cos=None,
+    rope_sin=None,
+    segment_ids=None,
+    scatter_batch=None,
+    scatter_pos=None,
+    attn_impl: str = "xla",
+    nucleus: bool = False,
+):
+    """Prefill one (bucketed) request batch into the paged cache."""
+    b, t = input_ids.shape
+    positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+    logits, cache = vlm_prefill(
+        params,
+        config,
+        input_ids,
+        positions,
+        seq_lens,
+        patches=patches,
+        rope_cos=rope_cos,
+        rope_sin=rope_sin,
+        segment_ids=segment_ids,
+        scatter_batch=scatter_batch,
+        scatter_pos=scatter_pos,
+        attn_impl=attn_impl,
+        last_logit_only=True,
+    )
+    paged = write_prefill_kv(PagedKV(k_pages, v_pages), cache.k, cache.v, slot_mapping)
+    first = sample_logits(rng, logits, temperature, top_p, nucleus=nucleus)
+    return first, paged.k, paged.v
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "page_size", "num_steps", "attn_impl", "nucleus"),
+    donate_argnames=("k_pages", "v_pages"),
+)
+def decode_program(
+    params,
+    config: DotsOCRConfig,
+    k_pages,
+    v_pages,
+    tokens,
+    positions,
+    page_tables,
+    active,
+    temperature,
+    top_p,
+    rng,
+    page_size: int,
+    num_steps: int = 1,
+    attn_impl: str = "paged",
+    nucleus: bool = False,
+):
+    """Up to ``num_steps`` decode iterations for every slot in ONE dispatch.
+
+    Multi-step scheduling amortizes the host->device round trip (vital when
+    the host link has ~10s-of-ms latency, e.g. the axon tunnel; also a
+    throughput win colocated). Page tables must already cover
+    positions + num_steps; cache-write slots are computed on device from the
+    page table. Rows stop writing once they emit EOS (early global exit when
+    every row is done).
+
+    tokens/positions: [S] current token + its cache write position;
+    active: [S] bool. Returns (tokens_out [S, num_steps] — sampled tokens,
+    pad after EOS; num_decoded [S] — cache writes performed; k, v).
+    """
+    eos = config.special.eos_token_id
+    pad = config.special.pad_token_id
+    s = tokens.shape[0]
+
+    def slot_of(pos):
+        page = jnp.take_along_axis(
+            page_tables, (pos // page_size)[:, None], axis=1
+        )[:, 0]
+        return page * page_size + pos % page_size
+
+    tokens_out0 = jnp.full((s, num_steps), pad, jnp.int32)
+    num_decoded0 = jnp.zeros((s,), jnp.int32)
+    done0 = ~active
+
+    def cond(state):
+        i, _, _, done, _, _, _, _ = state
+        return (i < num_steps) & ~jnp.all(done)
+
+    def body(state):
+        i, current, k_pages, done, tokens_out, num_decoded, pos, rng = state
+        live = ~done
+        write_pos = jnp.where(live, pos, 0)
+        slots = jnp.where(live, slot_of(write_pos), 0)
+        seq_lens = jnp.where(live, pos + 1, 0)
+
+        x = embed_tokens(params["decoder"], current)
+        hidden, kp, vp = decoder_decode_step_paged(
+            params["decoder"],
+            config.decoder,
+            x,
+            write_pos,
+            k_pages[0],
+            k_pages[1],
+            page_tables,
+            seq_lens,
+            slots,
+            page_size,
+            attn_impl=attn_impl,
+        )
+        logits = logits_from_hidden(params["decoder"], config.decoder, hidden)
+        rng, step_rng = jax.random.split(rng)
+        nxt = sample_logits(step_rng, logits, temperature, top_p, nucleus=nucleus)
+
+        tokens_out = tokens_out.at[:, i].set(jnp.where(live, nxt, pad))
+        num_decoded = num_decoded + live.astype(jnp.int32)
+        done = done | (live & (nxt == eos))
+        pos = pos + live.astype(jnp.int32)
+        return (i + 1, jnp.where(live, nxt, current), (kp, vp), done,
+                tokens_out, num_decoded, pos, rng)
+
+    state = (
+        jnp.int32(0), tokens, (k_pages, v_pages), done0,
+        tokens_out0, num_decoded0, positions, rng,
+    )
+    _, _, (k_pages, v_pages), _, tokens_out, num_decoded, _, _ = jax.lax.while_loop(
+        cond, body, state
+    )
+    return tokens_out, num_decoded, k_pages, v_pages
+
+
+# ---------------------------------------------------------------------------
+# Host-side request state
+# ---------------------------------------------------------------------------
+
+WAITING, RUNNING, FINISHED = "waiting", "running", "finished"
+
+
+@dataclasses.dataclass
+class SchedulerConfig:
+    num_pages: int = 512
+    page_size: int = 64
+    max_slots: int = 16
+    max_pages_per_seq: int = 128
+    prompt_bucket_step: int = 128
+    vision_bucket_step: int = 512
+    # Admission watermark: keep this fraction of pages free for decode growth.
+    admit_free_page_fraction: float = 0.05
+    # Decode iterations per device dispatch (multi-step scheduling): larger
+    # amortizes host-link latency; smaller reacts to finishes/admissions
+    # faster. Finished rows idle at most steps_per_sync - 1 iterations.
+    steps_per_sync: int = 8
+    # Requests prefilled per dispatch. The batch is always padded to this
+    # size (inert rows) so each (t_bucket, v_bucket) compiles once.
+    max_prefill_batch: int = 4
+
+
+@dataclasses.dataclass
+class ScheduledRequest:
+    req_id: int
+    prompt_ids: List[int]
+    packed: Any  # PackedVisionInput or None
+    max_new_tokens: int
+    temperature: float
+    top_p: float
+    state: str = WAITING
+    slot: int = -1
+    output_ids: List[int] = dataclasses.field(default_factory=list)
+    preempted: int = 0
+    submitted_at: float = dataclasses.field(default_factory=time.monotonic)
+    finished_reason: Optional[str] = None
+
+    @property
+    def cache_len(self) -> int:
+        """Tokens currently materialized in the KV cache."""
+        # prompt + all generated-and-decoded tokens (the newest sampled token
+        # is not yet written; it is written by the next decode step).
+        return len(self.prompt_ids) + max(0, len(self.output_ids) - 1)
+
+
+class ContinuousBatchingEngine:
+    """Paged continuous-batching engine with an InferenceEngine-compatible
+    ``generate_batch`` convenience API."""
+
+    def __init__(
+        self,
+        params,
+        config: DotsOCRConfig,
+        tokenizer: Optional[TokenizerLike] = None,
+        sched: Optional[SchedulerConfig] = None,
+        default_max_new_tokens: int = 16384,
+        attn_impl: str = "auto",
+        kv_dtype=None,
+    ):
+        from dots_ocr_tpu.engine.engine import InferenceEngine
+
+        self.params = params
+        self.config = config
+        self.tokenizer = tokenizer or InferenceEngine._default_tokenizer(config)
+        self.sched = sched or SchedulerConfig()
+        self.default_max_new_tokens = default_max_new_tokens
+        if attn_impl == "auto":
+            on_tpu = jax.default_backend() == "tpu"
+            self.prefill_impl = "flash" if on_tpu else "xla"
+            self.decode_impl = "paged" if on_tpu else "reference"
+        else:
+            self.prefill_impl = attn_impl
+            self.decode_impl = {
+                "xla": "reference",
+                "flash": "paged",
+                "flash_interpret": "paged_interpret",
+            }.get(attn_impl, attn_impl)
+
+        kv_dtype = kv_dtype or config.jax_dtype
+        self.paged = PagedKV.create(
+            config.decoder, self.sched.num_pages, self.sched.page_size, dtype=kv_dtype
+        )
+        self.allocator = PageAllocator(
+            num_pages=self.sched.num_pages,
+            page_size=self.sched.page_size,
+            max_pages_per_seq=self.sched.max_pages_per_seq,
+        )
+
+        s = self.sched.max_slots
+        self._slot_req: List[Optional[ScheduledRequest]] = [None] * s
+        self._tokens = np.zeros(s, np.int32)
+        self._lengths = np.zeros(s, np.int32)  # tokens in cache per slot
+        self._temps = np.zeros(s, np.float32)
+        self._top_ps = np.ones(s, np.float32)
+
+        self._waiting: Deque[ScheduledRequest] = deque()
+        self._finished: Dict[int, ScheduledRequest] = {}
+        self._next_id = 0
+        self._rng = jax.random.PRNGKey(0)
+        self.metrics = {
+            "steps": 0,
+            "prefills": 0,
+            "generated_tokens": 0,
+            "preemptions": 0,
+        }
+
+    # -- submission ----------------------------------------------------
+
+    def submit(
+        self,
+        prompt: str,
+        images: Sequence = (),
+        max_new_tokens: Optional[int] = None,
+        temperature: float = 0.1,
+        top_p: float = 1.0,
+        system_prompt: Optional[str] = None,
+        min_pixels: Optional[int] = None,
+        max_pixels: Optional[int] = None,
+    ) -> int:
+        prepared = prepare_request(
+            self.tokenizer,
+            self.config,
+            prompt,
+            images,
+            system_prompt=system_prompt,
+            min_pixels=min_pixels,
+            max_pixels=max_pixels,
+            vision_bucket_step=self.sched.vision_bucket_step,
+        )
+        req = ScheduledRequest(
+            req_id=self._next_id,
+            prompt_ids=prepared.prompt_ids,
+            packed=prepared.packed,
+            max_new_tokens=max_new_tokens or self.default_max_new_tokens,
+            temperature=temperature,
+            top_p=top_p,
+        )
+        self._next_id += 1
+        self._waiting.append(req)
+        return req.req_id
+
+    # -- helpers ---------------------------------------------------------
+
+    def _next_rng(self):
+        self._rng, out = jax.random.split(self._rng)
+        return out
+
+    def _free_slots(self) -> List[int]:
+        return [i for i, r in enumerate(self._slot_req) if r is None]
+
+    def has_work(self) -> bool:
+        return bool(self._waiting) or any(r is not None for r in self._slot_req)
+
+    def _bucket(self, n: int) -> int:
+        step = self.sched.prompt_bucket_step
+        return max(step, -(-n // step) * step)
+
+    # -- admission -------------------------------------------------------
+
+    def _try_admit(self) -> None:
+        watermark = int(self.sched.num_pages * self.sched.admit_free_page_fraction)
+        while self._waiting and self._free_slots():
+            batch: List[ScheduledRequest] = []
+            free_slots = len(self._free_slots())
+            budget = self.allocator.free_pages - watermark
+            while (
+                self._waiting
+                and len(batch) < min(self.sched.max_prefill_batch, free_slots)
+            ):
+                req = self._waiting[0]
+                need = self.allocator.pages_needed(len(req.prompt_ids) + 1)
+                if need > budget:
+                    break
+                budget -= need
+                batch.append(self._waiting.popleft())
+            if not batch:
+                return
+            self._admit_batch(batch)
+
+    def _admit_batch(self, reqs: List[ScheduledRequest]) -> None:
+        """Prefill up to max_prefill_batch requests in one dispatch. The
+        batch dim is padded to a fixed size with inert rows so every
+        (t_bucket, v_bucket) pair compiles exactly once."""
+        from dots_ocr_tpu.models.preprocess import merge_packed
+
+        b_fixed = self.sched.max_prefill_batch
+        pad_id = self.config.special.pad_token_id
+        n = len(reqs)
+        slots = self._free_slots()[:n]
+        t_bucket = self._bucket(max(len(r.prompt_ids) for r in reqs))
+
+        input_ids = np.full((b_fixed, t_bucket), pad_id, np.int32)
+        seq_lens = np.zeros(b_fixed, np.int32)
+        slot_mapping = np.full((b_fixed, t_bucket), -1, np.int32)
+        temps = np.zeros(b_fixed, np.float32)
+        tps = np.ones(b_fixed, np.float32)
+        for j, req in enumerate(reqs):
+            plen = len(req.prompt_ids)
+            input_ids[j, :plen] = req.prompt_ids
+            seq_lens[j] = plen
+            self.allocator.allocate(req.req_id, plen + 1)
+            slot_mapping[j, :plen] = self.allocator.slot_mapping(req.req_id, 0, plen)
+            temps[j] = req.temperature
+            tps[j] = req.top_p
+
+        kwargs = {}
+        packs = [r.packed for r in reqs if r.packed is not None]
+        if packs:
+            merged = merge_packed(
+                packs, self.config.vision, bucket_step=self.sched.vision_bucket_step
+            )
+            merge = self.config.vision.spatial_merge_size**2
+            sb, sp = build_scatter_indices(
+                input_ids, self.config.special.imgpad_id,
+                merged.patches.shape[0] // merge,
+            )
+            kwargs = dict(
+                patches=jnp.asarray(merged.patches),
+                rope_cos=jnp.asarray(merged.rope_cos),
+                rope_sin=jnp.asarray(merged.rope_sin),
+                segment_ids=jnp.asarray(merged.segment_ids),
+                scatter_batch=jnp.asarray(sb),
+                scatter_pos=jnp.asarray(sp),
+            )
+
+        first, k_pages, v_pages = prefill_program(
+            self.params,
+            self.config,
+            self.paged.k,
+            self.paged.v,
+            jnp.asarray(input_ids),
+            jnp.asarray(seq_lens),
+            jnp.asarray(slot_mapping.reshape(-1)),
+            self._next_rng(),
+            jnp.asarray(temps),
+            jnp.asarray(tps),
+            attn_impl=self.prefill_impl,
+            nucleus=bool(any(r.top_p < 1.0 for r in reqs)),
+            **kwargs,
+        )
+        self.paged = PagedKV(k_pages, v_pages)
+        first = np.asarray(first)
+
+        for j, req in enumerate(reqs):
+            slot = slots[j]
+            token = int(first[j])
+            req.state = RUNNING
+            req.slot = slot
+            req.output_ids = [token]
+            self._slot_req[slot] = req
+            self._tokens[slot] = token
+            self._lengths[slot] = len(req.prompt_ids)
+            self._temps[slot] = req.temperature
+            self._top_ps[slot] = req.top_p
+            self.metrics["prefills"] += 1
+            self._maybe_finish(slot)
+
+    # -- finishing / preemption -------------------------------------------
+
+    def _maybe_finish(self, slot: int) -> None:
+        req = self._slot_req[slot]
+        if req is None:
+            return
+        last = req.output_ids[-1] if req.output_ids else None
+        if last == self.config.special.eos_token_id:
+            self._finish(slot, "stop")
+        elif len(req.output_ids) >= req.max_new_tokens:
+            self._finish(slot, "length")
+
+    def _finish(self, slot: int, reason: str) -> None:
+        req = self._slot_req[slot]
+        req.state = FINISHED
+        req.finished_reason = reason
+        self.allocator.free(req.req_id)
+        self._finished[req.req_id] = req
+        self._slot_req[slot] = None
+        self._lengths[slot] = 0
+
+    def _preempt_youngest(self) -> None:
+        """Recompute-style preemption: youngest running request goes back to
+        the waiting queue with prompt := prompt + generated-so-far."""
+        candidates = [r for r in self._slot_req if r is not None]
+        if not candidates:
+            raise OutOfPages("no pages free and nothing to preempt")
+        victim = max(candidates, key=lambda r: r.submitted_at)
+        slot = victim.slot
+        self.allocator.free(victim.req_id)
+        self._slot_req[slot] = None
+        self._lengths[slot] = 0
+        victim.prompt_ids = victim.prompt_ids + victim.output_ids
+        victim.max_new_tokens = max(1, victim.max_new_tokens - len(victim.output_ids))
+        victim.output_ids = []
+        victim.state = WAITING
+        victim.slot = -1
+        victim.preempted += 1
+        self.metrics["preemptions"] += 1
+        self._waiting.appendleft(victim)
+
+    # -- the step --------------------------------------------------------
+
+    def step(self) -> List[ScheduledRequest]:
+        """Admit + one multi-step decode chunk. Returns newly finished."""
+        before = set(self._finished)
+        self._try_admit()
+
+        active = [i for i, r in enumerate(self._slot_req) if r is not None]
+        if active:
+            s = self.sched.max_slots
+            chunk = self.sched.steps_per_sync
+            # Pass 1: reserve chunk pages per slot; preemption may clear any
+            # slot (including ones already reserved), so state is re-read in
+            # pass 2.
+            for i in active:
+                req = self._slot_req[i]
+                if req is None:  # preempted by an earlier iteration
+                    continue
+                pos = int(self._lengths[i])  # write position of current token
+                while True:
+                    try:
+                        self.allocator.extend(req.req_id, pos + chunk)
+                        break
+                    except OutOfPages:
+                        self._preempt_youngest()
+                        if self._slot_req[i] is None:
+                            break  # we preempted ourselves
+
+            # Pass 2: build device arrays from surviving slots.
+            positions = np.zeros(s, np.int32)
+            active_mask = np.zeros(s, bool)
+            tables = np.zeros((s, self.sched.max_pages_per_seq), np.int32)
+            active = [i for i in active if self._slot_req[i] is not None]
+            for i in active:
+                positions[i] = int(self._lengths[i])
+                active_mask[i] = True
+                tables[i] = self.allocator.padded_table(self._slot_req[i].req_id)
+            if active:
+                nucleus = bool(np.any(self._top_ps[active] < 1.0))
+                tokens_out, num_decoded, k_pages, v_pages = decode_program(
+                    self.params,
+                    self.config,
+                    self.paged.k,
+                    self.paged.v,
+                    jnp.asarray(self._tokens),
+                    jnp.asarray(positions),
+                    jnp.asarray(tables),
+                    jnp.asarray(active_mask),
+                    jnp.asarray(self._temps),
+                    jnp.asarray(self._top_ps),
+                    self._next_rng(),
+                    page_size=self.sched.page_size,
+                    num_steps=chunk,
+                    attn_impl=self.decode_impl,
+                    nucleus=nucleus,
+                )
+                self.paged = PagedKV(k_pages, v_pages)
+                tokens_out = np.asarray(tokens_out)
+                num_decoded = np.asarray(num_decoded)
+                self.metrics["steps"] += 1
+                for i in active:
+                    req = self._slot_req[i]
+                    n = int(num_decoded[i])
+                    self._lengths[i] += n
+                    for token in tokens_out[i, :n].tolist():
+                        req.output_ids.append(int(token))
+                        self.metrics["generated_tokens"] += 1
+                        if (
+                            token == self.config.special.eos_token_id
+                            or len(req.output_ids) >= req.max_new_tokens
+                        ):
+                            break
+                    if self._slot_req[i] is not None:
+                        self._tokens[i] = req.output_ids[-1]
+                        self._maybe_finish(i)
+
+        return [self._finished[rid] for rid in set(self._finished) - before]
+
+    def run(self, max_steps: int = 10_000_000) -> None:
+        steps = 0
+        while self.has_work() and steps < max_steps:
+            self.step()
+            steps += 1
+
+    # -- convenience (InferenceEngine-compatible surface) -----------------
+
+    @property
+    def last_stats(self):
+        from dots_ocr_tpu.engine.engine import RequestStats
+
+        return RequestStats(
+            prompt_tokens=0,
+            completion_tokens=self.metrics["generated_tokens"],
+        )
+
+    def generate_batch(
+        self,
+        prompts: Sequence[str],
+        images_per_prompt: Sequence[Sequence] = (),
+        temperature: Union[float, Sequence[float]] = 0.1,
+        top_p: Union[float, Sequence[float]] = 1.0,
+        max_new_tokens: Optional[int] = None,
+        system_prompt: Optional[str] = None,
+        min_pixels: Optional[int] = None,
+        max_pixels: Optional[int] = None,
+        seed: Optional[int] = None,
+    ) -> List[str]:
+        if seed is not None:
+            self._rng = jax.random.PRNGKey(seed)
+        n = len(prompts)
+        images_per_prompt = images_per_prompt or [[] for _ in range(n)]
+        temps = np.broadcast_to(np.asarray(temperature, np.float32), (n,))
+        tps = np.broadcast_to(np.asarray(top_p, np.float32), (n,))
+        ids = [
+            self.submit(
+                prompts[i],
+                images=images_per_prompt[i],
+                max_new_tokens=max_new_tokens,
+                temperature=float(temps[i]),
+                top_p=float(tps[i]),
+                system_prompt=system_prompt,
+                min_pixels=min_pixels,
+                max_pixels=max_pixels,
+            )
+            for i in range(n)
+        ]
+        self.run()
+        eos = self.config.special.eos_token_id
+        out = []
+        for rid in ids:
+            toks = self._finished[rid].output_ids
+            if toks and toks[-1] == eos:
+                toks = toks[:-1]
+            out.append(self.tokenizer.decode(toks, skip_special_tokens=True))
+        return out
+
+    def generate_one(self, prompt: str, images: Sequence = (), **kwargs) -> str:
+        return self.generate_batch([prompt], [list(images)], **kwargs)[0]

@@ -204,6 +204,72 @@ def decoder_decode_step(
     return x, KVCache(k_all, v_all)
 
 
+def decoder_decode_step_paged(
+    params: dict,
+    cfg: DecoderConfig,
+    inputs_embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    k_pages: jnp.ndarray,
+    v_pages: jnp.ndarray,
+    page_tables: jnp.ndarray,
+    seq_lens: jnp.ndarray,
+    slots: jnp.ndarray,
+    page_size: int,
+    attn_impl: str = "paged",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decode step over the PAGED cache (continuous batching path).
+
+    inputs_embeds: [S, D] (one token per slot); positions: [S]; k_pages/
+    v_pages: [L, KV, N_slots, D]; page_tables: [S, max_pages]; seq_lens: [S]
+    valid length AFTER this token (0 = inactive slot); slots: [S] physical
+    flat slot of the new token (inactive slots point at the null page).
+
+    Returns (hidden [S, D], k_pages, v_pages).
+    """
+    from dots_ocr_tpu.engine.kv_cache import write_decode_kv
+    from dots_ocr_tpu.ops.paged_attention import (
+        paged_attention,
+        paged_attention_reference,
+    )
+
+    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
+    s = inputs_embeds.shape[0]
+    kv_heads, head_dim = cfg.num_kv_heads, cfg.head_dim
+
+    def scan_body(x, layer_in):
+        block_params, k_layer, v_layer = layer_in
+        attn_p = block_params["attn"]
+        h = rms_norm(x, block_params["input_norm"], cfg.rms_norm_eps)
+        q, k, v = _project_qkv(h, attn_p, cfg)  # q [S,H,hd], k/v [S,KV,hd]
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        k_layer, v_layer = write_decode_kv(k_layer, v_layer, k, v, slots)
+
+        paged_shape = k_layer.reshape(kv_heads, -1, page_size, head_dim)
+        paged_v = v_layer.reshape(kv_heads, -1, page_size, head_dim)
+        if attn_impl == "paged":
+            out = paged_attention(q, paged_shape, paged_v, seq_lens, page_tables)
+        elif attn_impl == "paged_interpret":
+            out = paged_attention(
+                q, paged_shape, paged_v, seq_lens, page_tables, interpret=True
+            )
+        else:  # reference
+            out = paged_attention_reference(
+                q, paged_shape, paged_v, seq_lens, page_tables
+            )
+        x = x + linear(out.reshape(s, cfg.q_dim), attn_p["wo"])
+        h = rms_norm(x, block_params["post_attn_norm"], cfg.rms_norm_eps)
+        m = block_params["mlp"]
+        x = x + swiglu(h, m["gate"], m["up"], m["down"])
+        return x, (k_layer, v_layer)
+
+    x, (k_pages, v_pages) = jax.lax.scan(
+        scan_body, inputs_embeds, (params["blocks"], k_pages, v_pages)
+    )
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return x, k_pages, v_pages
+
+
 def logits_from_hidden(params: dict, cfg: DecoderConfig, hidden: jnp.ndarray) -> jnp.ndarray:
     """Project hidden states to vocab logits (tied or separate head), f32."""
     if cfg.tie_word_embeddings or "lm_head" not in params:

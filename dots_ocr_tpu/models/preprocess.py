@@ -96,6 +96,51 @@ def token_bucket(num_tokens: int, bucket_step: int = 512, min_bucket: int = 512)
     return max(min_bucket, _round_up(num_tokens, bucket_step))
 
 
+def merge_packed(
+    packed_list: Sequence["PackedVisionInput"],
+    cfg: VisionConfig,
+    bucket_step: int = 512,
+) -> "PackedVisionInput":
+    """Merge several per-request packs into one token axis (batched prefill).
+
+    Valid (unpadded) regions are concatenated in request order — which
+    matches the row-major imgpad scatter order of a batched prompt — and
+    segment ids are offset so images never alias across requests.
+    """
+    parts_p, parts_c, parts_s, parts_seg = [], [], [], []
+    grids = []
+    seg_offset = 0
+    for packed in packed_list:
+        n = packed.num_tokens
+        parts_p.append(packed.patches[:n])
+        parts_c.append(packed.rope_cos[:n])
+        parts_s.append(packed.rope_sin[:n])
+        parts_seg.append(packed.segment_ids[:n] + seg_offset)
+        seg_offset += len(packed.grids)
+        grids.extend(packed.grids)
+
+    patches = np.concatenate(parts_p, axis=0) if parts_p else np.zeros((0, cfg.patch_dim), np.float32)
+    total = patches.shape[0]
+    merge = cfg.spatial_merge_size**2
+    padded = token_bucket(total, bucket_step=bucket_step)
+
+    def pad(a, fill, feature_shape):
+        out = np.full((padded,) + feature_shape, fill, a.dtype if len(a) else np.float32)
+        if len(a):
+            out[:total] = a
+        return out
+
+    return PackedVisionInput(
+        patches=pad(patches, 0.0, (cfg.patch_dim,)),
+        rope_cos=pad(np.concatenate(parts_c, axis=0) if parts_c else np.ones((0, cfg.head_dim), np.float32), 1.0, (cfg.head_dim,)),
+        rope_sin=pad(np.concatenate(parts_s, axis=0) if parts_s else np.zeros((0, cfg.head_dim), np.float32), 0.0, (cfg.head_dim,)),
+        segment_ids=pad(np.concatenate(parts_seg, axis=0).astype(np.int32) if parts_seg else np.zeros((0,), np.int32), -1, ()),
+        grids=grids,
+        num_tokens=total,
+        num_merged=total // merge,
+    )
+
+
 def pack_images(
     images: Sequence[Image.Image],
     cfg: VisionConfig,

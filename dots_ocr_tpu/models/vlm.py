@@ -36,13 +36,11 @@ def splice_vision_embeddings(
     """Insert vision tokens at imgpad positions.
 
     token_embeds: [B, T, D]; vision_tokens: [M, D] (padded rows allowed);
-    batch_idx/pos_idx: [M] destination coordinates. Padded scatter entries
-    must point at a sacrificial position (host uses (B-1, T-1) of a pad
-    token) OR carry batch_idx = -1 -> mapped to a no-op via clamping with a
-    zero-delta trick; the host-side builder guarantees valid coordinates.
+    batch_idx/pos_idx: [M] destination coordinates. Bucket-padding rows
+    carry out-of-bounds sentinels (B, T) and are dropped by the scatter.
     """
     return token_embeds.at[batch_idx, pos_idx].set(
-        vision_tokens.astype(token_embeds.dtype)
+        vision_tokens.astype(token_embeds.dtype), mode="drop"
     )
 
 
@@ -52,11 +50,8 @@ def build_scatter_indices(
     """Host helper: destination coords of each merged vision row.
 
     Rows beyond the count of imgpad tokens (bucket padding of the vision
-    axis) are routed to (0, first_pad_slot) only if available; to keep the
-    jitted scatter total and harmless we route extra rows to position
-    [B-1, T-1] ONLY when that slot is not an imgpad destination — otherwise
-    writes would collide. The engine always sizes T with trailing padding,
-    so [B-1, T-1] is a pad token.
+    axis) get out-of-bounds sentinel coords (B, T); the device scatter uses
+    mode="drop" so they are discarded.
     """
     batch_idx, pos_idx = np.nonzero(input_ids == imgpad_id)
     m = len(batch_idx)
@@ -64,8 +59,8 @@ def build_scatter_indices(
         raise ValueError(
             f"{m} imgpad tokens but only {num_merged_padded} vision rows"
         )
-    out_b = np.full(num_merged_padded, input_ids.shape[0] - 1, np.int32)
-    out_p = np.full(num_merged_padded, input_ids.shape[1] - 1, np.int32)
+    out_b = np.full(num_merged_padded, input_ids.shape[0], np.int32)
+    out_p = np.full(num_merged_padded, input_ids.shape[1], np.int32)
     out_b[:m] = batch_idx
     out_p[:m] = pos_idx
     return out_b, out_p

@@ -53,7 +53,11 @@ def _flash_kernel(
     num_k_blocks: int,
     block_q: int,
     block_k: int,
+    num_heads: int,
 ):
+    # Segment-id blocks carry all B rows (TPU tiling forbids (1, T) blocks
+    # of a (B, T) array for B > 1); select this program's row here.
+    b = pl.program_id(0) // num_heads
     qi = pl.program_id(1)
     ki = pl.program_id(2)
 
@@ -87,8 +91,8 @@ def _flash_kernel(
 
         # Segment mask (padding = -1 never matches, and -1 q rows match
         # nothing — their l stays 0 and the output row is zeroed at the end).
-        q_seg = q_seg_ref[0]  # [block_q]
-        kv_seg = kv_seg_ref[0]  # [block_k]
+        q_seg = q_seg_ref[b]  # [block_q]
+        kv_seg = kv_seg_ref[b]  # [block_k]
         mask = (q_seg[:, None] == kv_seg[None, :]) & (q_seg[:, None] >= 0)
 
         if causal:
@@ -194,10 +198,10 @@ def flash_attention(
         return (b * kv_heads + h // group, ki, 0)
 
     def q_seg_index(bh, qi, ki):
-        return (bh // num_heads, qi)
+        return (0, qi)
 
     def kv_seg_index(bh, qi, ki):
-        return (bh // num_heads, ki)
+        return (0, ki)
 
     kernel = functools.partial(
         _flash_kernel,
@@ -206,14 +210,15 @@ def flash_attention(
         num_k_blocks=num_k_blocks,
         block_q=block_q,
         block_k=block_k,
+        num_heads=num_heads,
     )
 
     out = pl.pallas_call(
         kernel,
         grid=(batch * num_heads, num_q_blocks, num_k_blocks),
         in_specs=[
-            pl.BlockSpec((1, block_q), q_seg_index),
-            pl.BlockSpec((1, block_k), kv_seg_index),
+            pl.BlockSpec((batch, block_q), q_seg_index),
+            pl.BlockSpec((batch, block_k), kv_seg_index),
             pl.BlockSpec((1, block_q, head_dim), q_index),
             pl.BlockSpec((1, block_k, head_dim), kv_index),
             pl.BlockSpec((1, block_k, head_dim), kv_index),

@@ -1,0 +1,233 @@
+"""Paged decode attention (Pallas/TPU) + XLA reference.
+
+TPU-native replacement for vLLM's PagedAttention CUDA kernels
+(SURVEY.md §2.2). The KV cache lives in fixed-size pages scattered across
+HBM; each sequence owns a page table. One decode step computes attention of
+each sequence's single new query token against its paged history.
+
+Kernel strategy: instead of hand-rolled double-buffered DMA, the page table
+is a **scalar-prefetch argument used inside the BlockSpec index_map** — the
+grid walks (batch, kv_head, page) and the index_map redirects each K/V
+block fetch to the physical page, so Pallas's automatic pipeline
+double-buffers the discontiguous page loads for free. Online softmax (m, l,
+acc in VMEM scratch) accumulates across the page axis; pages past the
+sequence length are skipped (index_map clamps to the last valid page so the
+pipeline never touches unmapped pages).
+
+Layouts:
+  q:            [B, H, head_dim]           (one token per sequence)
+  k_pages:      [KV, num_pages, page_size, head_dim]
+  page_indices: [B, max_pages_per_seq] int32 (physical page per logical)
+  lengths:      [B] int32, tokens valid in the cache (incl. current token)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NUM_LANES = 128
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+# ---------------------------------------------------------------------------
+# XLA reference (CPU tests / fallback)
+# ---------------------------------------------------------------------------
+
+
+def paged_attention_reference(
+    q: jnp.ndarray,
+    k_pages: jnp.ndarray,
+    v_pages: jnp.ndarray,
+    lengths: jnp.ndarray,
+    page_indices: jnp.ndarray,
+    sm_scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Gather pages into contiguous KV, then masked attention. Materializes
+    [B, S_max, KV, D] — fine for tests, not for production."""
+    kv_heads, _, page_size, head_dim = k_pages.shape
+    batch, num_heads, _ = q.shape
+    max_pages = page_indices.shape[1]
+    s_max = max_pages * page_size
+    sm_scale = sm_scale if sm_scale is not None else head_dim**-0.5
+
+    flat_k = k_pages.reshape(kv_heads, -1, head_dim)
+    flat_v = v_pages.reshape(kv_heads, -1, head_dim)
+    pos = jnp.arange(s_max)
+    slots = page_indices[:, pos // page_size] * page_size + pos % page_size  # [B, S]
+    k = jnp.take(flat_k, slots, axis=1)  # [KV, B, S, D]
+    v = jnp.take(flat_v, slots, axis=1)
+
+    group = num_heads // kv_heads
+    qg = q.reshape(batch, kv_heads, group, head_dim)
+    scores = jnp.einsum(
+        "bkgd,kbsd->bkgs", qg, k, preferred_element_type=jnp.float32
+    ) * sm_scale
+    mask = pos[None, :] < lengths[:, None]  # [B, S]
+    # Finite mask value (not -inf): zero-length rows must yield finite
+    # output, and exact-0 probabilities on masked columns must zero out
+    # whatever garbage lives in unreferenced page slots (0 * NaN = NaN).
+    scores = jnp.where(mask[:, None, None, :], scores, DEFAULT_MASK_VALUE)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bkgs,kbsd->bkgd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(batch, num_heads, head_dim).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _paged_kernel(
+    lengths_ref,      # scalar prefetch [B]
+    page_idx_ref,     # scalar prefetch [B * max_pages]
+    q_ref,            # [1, KV, G, head_dim]
+    k_ref,            # [KV, 1, page_size, head_dim] (physical page via index_map)
+    v_ref,
+    o_ref,            # [1, KV, G, head_dim]
+    m_scratch,        # [KV * G, NUM_LANES]
+    l_scratch,
+    acc_scratch,      # [KV * G, head_dim]
+    *,
+    page_size: int,
+    mask_value: float,
+    sm_scale: float,
+    kv_heads: int,
+    group: int,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        m_scratch[...] = jnp.full(m_scratch.shape, -jnp.inf, jnp.float32)
+        l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
+        acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
+
+    length = lengths_ref[b]
+
+    @pl.when(i * page_size < length)
+    def _run():
+        token_pos = i * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (group, page_size), 1
+        )
+        valid = token_pos < length
+        # All KV heads processed in one grid step (one page fetch serves
+        # every head): fewer grid iterations = less per-step overhead when
+        # KV count is small (GQA).
+        for h in range(kv_heads):
+            rows = slice(h * group, (h + 1) * group)
+            q = q_ref[0, h].astype(jnp.float32)  # [G, head_dim]
+            k = k_ref[h, 0]  # [page_size, head_dim]
+            v = v_ref[h, 0]
+
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale  # [G, page_size]
+            s = jnp.where(valid, s, mask_value)
+
+            m_prev = m_scratch[rows]
+            l_prev = l_scratch[rows]
+            m_curr = jnp.max(s, axis=1)[:, None]
+            m_next = jnp.maximum(m_prev, m_curr)
+            p = jnp.exp(s - m_next[:, :1])
+            p = jnp.where(valid, p, 0.0)
+            alpha = jnp.exp(m_prev - m_next)
+            alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)
+            l_scratch[rows] = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+            m_scratch[rows] = m_next
+            acc_scratch[rows] = acc_scratch[rows] * alpha[:, :1] + jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+
+    # Write the running normalized output every step; the last executed page
+    # leaves the final value (later skipped pages don't touch acc).
+    l = l_scratch[...][:, :1]
+    l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+    o_ref[0] = (
+        (acc_scratch[...] * l_inv)
+        .reshape(kv_heads, group, acc_scratch.shape[-1])
+        .astype(o_ref.dtype)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "interpret")
+)
+def paged_attention(
+    q: jnp.ndarray,
+    k_pages: jnp.ndarray,
+    v_pages: jnp.ndarray,
+    lengths: jnp.ndarray,
+    page_indices: jnp.ndarray,
+    sm_scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Paged decode attention. Shapes as in the module docstring; returns
+    [B, H, head_dim] in q.dtype."""
+    batch, num_heads, head_dim = q.shape
+    kv_heads, _, page_size, _ = k_pages.shape
+    max_pages = page_indices.shape[1]
+    group = num_heads // kv_heads
+    scale = sm_scale if sm_scale is not None else head_dim**-0.5
+
+    qg = q.reshape(batch, kv_heads, group, head_dim)
+
+    def q_index(b, i, lengths_ref, page_idx_ref):
+        return (b, 0, 0, 0)
+
+    def kv_index(b, i, lengths_ref, page_idx_ref):
+        # Clamp to the last valid page so skipped iterations re-fetch a
+        # mapped page instead of touching garbage.
+        length = lengths_ref[b]
+        last_valid_block = jnp.maximum(0, (length - 1) // page_size)
+        block = jnp.minimum(i, last_valid_block)
+        return (0, page_idx_ref[b * max_pages + block], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(batch, max_pages),
+        in_specs=[
+            pl.BlockSpec((1, kv_heads, group, head_dim), q_index),
+            pl.BlockSpec((kv_heads, 1, page_size, head_dim), kv_index),
+            pl.BlockSpec((kv_heads, 1, page_size, head_dim), kv_index),
+        ],
+        out_specs=pl.BlockSpec((1, kv_heads, group, head_dim), q_index),
+        scratch_shapes=[
+            pltpu.VMEM((kv_heads * group, NUM_LANES), jnp.float32),
+            pltpu.VMEM((kv_heads * group, NUM_LANES), jnp.float32),
+            pltpu.VMEM((kv_heads * group, head_dim), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _paged_kernel,
+        page_size=page_size,
+        mask_value=DEFAULT_MASK_VALUE,
+        sm_scale=scale,
+        kv_heads=kv_heads,
+        group=group,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(qg.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        lengths.astype(jnp.int32),
+        page_indices.reshape(-1).astype(jnp.int32),
+        qg,
+        k_pages.reshape(kv_heads, -1, page_size, head_dim),
+        v_pages.reshape(kv_heads, -1, page_size, head_dim),
+    )
+    return out.reshape(batch, num_heads, head_dim)

@@ -264,6 +264,27 @@ def test_vlm_prefill_and_decode(cfg, params):
     assert cache2.k.shape == cache.k.shape
 
 
+def test_scatter_padding_rows_dropped(cfg, params):
+    """Regression: when the prompt exactly fills its bucket, padded vision
+    rows must be dropped, not clobber the last real token."""
+    sp = cfg.special
+    t = 8
+    ids = np.full((1, t), 7, np.int32)
+    ids[0, 1:5] = sp.imgpad_id  # 4 imgpad tokens
+    # vision axis padded to 6 merged rows: 2 sentinel rows
+    sb, spi = build_scatter_indices(ids, sp.imgpad_id, 6)
+    assert list(sb[4:]) == [1, 1] and list(spi[4:]) == [t, t]  # out of bounds
+
+    x = jnp.zeros((1, t, cfg.decoder.hidden_size))
+    vis = jnp.ones((6, cfg.decoder.hidden_size))
+    from dots_ocr_tpu.models.vlm import splice_vision_embeddings
+
+    out = splice_vision_embeddings(x, vis, jnp.asarray(sb), jnp.asarray(spi))
+    assert float(out[0, 5].max()) == 0.0  # position after span untouched
+    assert float(out[0, t - 1].max()) == 0.0  # last token untouched
+    assert float(out[0, 1].min()) == 1.0  # real imgpad positions filled
+
+
 def test_vision_tokens_influence_logits(cfg, params):
     """The image content must actually reach the decoder."""
     sp = cfg.special
