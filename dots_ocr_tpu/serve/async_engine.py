@@ -1,0 +1,113 @@
+"""Bridges the serving front end to the continuous-batching scheduler.
+
+A single engine thread owns all device interaction (the scheduler is
+single-threaded by design — SURVEY.md §5.2 notes the reference's lock-free
+thread soup and deliberately replaces it with one event loop + queues):
+HTTP handlers enqueue (request, future) pairs; the engine thread drains the
+queue, submits into the scheduler, steps it while work remains, and
+resolves futures as requests finish.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Sequence
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class Submission:
+    prompt: str
+    images: Sequence
+    max_new_tokens: Optional[int]
+    temperature: float
+    top_p: float
+    system_prompt: Optional[str]
+    future: Future = field(default_factory=Future)
+    min_pixels: Optional[int] = None
+    max_pixels: Optional[int] = None
+
+
+class EngineWorker:
+    """Engine thread around a ContinuousBatchingEngine."""
+
+    def __init__(self, engine):
+        self.engine = engine
+        self._queue: "queue.Queue[Submission]" = queue.Queue()
+        self._futures: Dict[int, Submission] = {}
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, submission: Submission) -> Future:
+        self._queue.put(submission)
+        return submission.future
+
+    def shutdown(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------
+
+    def _drain_queue(self, block: bool) -> None:
+        try:
+            sub = self._queue.get(timeout=0.05 if block else 0)
+        except queue.Empty:
+            return
+        while True:
+            try:
+                rid = self.engine.submit(
+                    sub.prompt,
+                    images=sub.images,
+                    max_new_tokens=sub.max_new_tokens,
+                    temperature=sub.temperature,
+                    top_p=sub.top_p,
+                    system_prompt=sub.system_prompt,
+                    min_pixels=sub.min_pixels,
+                    max_pixels=sub.max_pixels,
+                )
+                self._futures[rid] = sub
+            except Exception as e:  # noqa: BLE001 - bad request (e.g. aspect)
+                if not sub.future.done():
+                    sub.future.set_exception(e)
+            try:
+                sub = self._queue.get_nowait()
+            except queue.Empty:
+                return
+
+    def _loop(self) -> None:
+        eos = self.engine.config.special.eos_token_id
+        while not self._stop.is_set():
+            self._drain_queue(block=not self.engine.has_work())
+            if not self.engine.has_work():
+                continue
+            try:
+                finished = self.engine.step()
+            except Exception as e:  # noqa: BLE001
+                logger.exception("engine step failed")
+                for sub in self._futures.values():
+                    if not sub.future.done():
+                        sub.future.set_exception(e)
+                self._futures.clear()
+                continue
+            for req in finished:
+                sub = self._futures.pop(req.req_id, None)
+                if sub is None or sub.future.done():
+                    continue
+                toks = req.output_ids
+                if toks and toks[-1] == eos:
+                    toks = toks[:-1]
+                text = self.engine.tokenizer.decode(toks, skip_special_tokens=True)
+                sub.future.set_result(
+                    {
+                        "text": text,
+                        "completion_tokens": len(req.output_ids),
+                        "prompt_tokens": len(req.prompt_ids),
+                        "finish_reason": req.finished_reason or "stop",
+                    }
+                )

@@ -117,6 +117,13 @@ class OpenAIServer:
         self.metrics = ServerMetrics()
         self._queue: asyncio.Queue = asyncio.Queue()
         self._worker_task = None
+        # Continuous-batching engines get a dedicated engine thread; the
+        # sync engine uses the asyncio micro-batcher below.
+        self._cb_worker = None
+        if hasattr(engine, "step") and hasattr(engine, "submit"):
+            from dots_ocr_tpu.serve.async_engine import EngineWorker
+
+            self._cb_worker = EngineWorker(engine)
 
     # -- batching worker ----------------------------------------------------
 
@@ -156,9 +163,6 @@ class OpenAIServer:
                     system_prompt=batch[0].system_prompt,
                 ),
             )
-            stats = self.engine.last_stats
-            self.metrics.prompt_tokens_total += stats.prompt_tokens
-            self.metrics.completion_tokens_total += stats.completion_tokens
             for r, text in zip(batch, texts):
                 if not r.future.done():
                     r.future.set_result(text)
@@ -203,18 +207,44 @@ class OpenAIServer:
                 or body.get("max_tokens")
                 or self.engine.default_max_new_tokens
             )
-            pending = _PendingRequest(
-                prompt=prompt,
-                images=images,
-                temperature=float(body.get("temperature", 0.1)),
-                top_p=float(body.get("top_p", 1.0)),
-                max_new_tokens=max_new,
-                system_prompt=system_prompt,
-                future=asyncio.get_running_loop().create_future(),
-            )
-            await self._queue.put(pending)
-            text = await pending.future
-            stats = self.engine.last_stats
+            temperature = float(body.get("temperature", 0.1))
+            top_p = float(body.get("top_p", 1.0))
+
+            if self._cb_worker is not None:
+                from dots_ocr_tpu.serve.async_engine import Submission
+
+                sub = Submission(
+                    prompt=prompt,
+                    images=images,
+                    max_new_tokens=max_new,
+                    temperature=temperature,
+                    top_p=top_p,
+                    system_prompt=system_prompt,
+                )
+                result = await asyncio.wrap_future(self._cb_worker.submit(sub))
+                text = result["text"]
+                prompt_tokens = result["prompt_tokens"]
+                completion_tokens = result["completion_tokens"]
+                finish_reason = result["finish_reason"]
+            else:
+                pending = _PendingRequest(
+                    prompt=prompt,
+                    images=images,
+                    temperature=temperature,
+                    top_p=top_p,
+                    max_new_tokens=max_new,
+                    system_prompt=system_prompt,
+                    future=asyncio.get_running_loop().create_future(),
+                )
+                await self._queue.put(pending)
+                text = await pending.future
+                stats = self.engine.last_stats
+                prompt_tokens = stats.prompt_tokens
+                completion_tokens = stats.completion_tokens
+                finish_reason = "stop"
+
+            self.metrics.prompt_tokens_total += prompt_tokens
+            self.metrics.completion_tokens_total += completion_tokens
             response = {
                 "id": f"chatcmpl-{uuid.uuid4().hex[:24]}",
                 "object": "chat.completion",
@@ -224,13 +254,13 @@ class OpenAIServer:
                     {
                         "index": 0,
                         "message": {"role": "assistant", "content": text},
-                        "finish_reason": "stop",
+                        "finish_reason": finish_reason,
                     }
                 ],
                 "usage": {
-                    "prompt_tokens": stats.prompt_tokens,
-                    "completion_tokens": stats.completion_tokens,
-                    "total_tokens": stats.prompt_tokens + stats.completion_tokens,
+                    "prompt_tokens": prompt_tokens,
+                    "completion_tokens": completion_tokens,
+                    "total_tokens": prompt_tokens + completion_tokens,
                 },
             }
             return web.json_response(response)
@@ -271,11 +301,14 @@ class OpenAIServer:
         app.router.add_get("/metrics", self.handle_metrics)
 
         async def on_startup(app):
-            self._worker_task = asyncio.create_task(self._worker())
+            if self._cb_worker is None:
+                self._worker_task = asyncio.create_task(self._worker())
 
         async def on_cleanup(app):
             if self._worker_task:
                 self._worker_task.cancel()
+            if self._cb_worker is not None:
+                self._cb_worker.shutdown()
 
         app.on_startup.append(on_startup)
         app.on_cleanup.append(on_cleanup)
@@ -295,19 +328,62 @@ def main(argv=None):
     parser.add_argument("--model-name", type=str, default="model")
     parser.add_argument("--max-batch", type=int, default=8)
     parser.add_argument(
+        "--engine", choices=["continuous", "batch"], default="continuous",
+        help="continuous = paged KV + continuous batching (production); "
+        "batch = simple micro-batched generate loop",
+    )
+    parser.add_argument("--num-pages", type=int, default=2048)
+    parser.add_argument("--page-size", type=int, default=256)
+    parser.add_argument("--max-slots", type=int, default=16)
+    parser.add_argument("--steps-per-sync", type=int, default=16)
+    parser.add_argument(
         "--random-tiny", action="store_true",
         help="serve a tiny random-weight model (smoke tests without weights)",
     )
     args = parser.parse_args(argv)
 
     from dots_ocr_tpu.engine.engine import InferenceEngine
+    from dots_ocr_tpu.engine.tokenizer import load_tokenizer
+    from dots_ocr_tpu.models.config import DotsOCRConfig
 
     if args.random_tiny:
-        engine = InferenceEngine.random_init()
+        config = DotsOCRConfig.tiny()
+        from dots_ocr_tpu.models.init import init_params
+
+        import jax
+
+        params = init_params(jax.random.PRNGKey(0), config)
+        tokenizer = None
     else:
         if not args.weights:
             raise SystemExit("--weights is required (or use --random-tiny)")
-        engine = InferenceEngine.from_pretrained(args.weights)
+        from dots_ocr_tpu.models.loader import load_checkpoint
+
+        config, params = load_checkpoint(args.weights)
+        tokenizer = load_tokenizer(args.weights)
+
+    if args.engine == "continuous":
+        from dots_ocr_tpu.engine.scheduler import (
+            ContinuousBatchingEngine,
+            SchedulerConfig,
+        )
+
+        engine = ContinuousBatchingEngine(
+            params,
+            config,
+            tokenizer=tokenizer,
+            sched=SchedulerConfig(
+                num_pages=args.num_pages,
+                page_size=args.page_size,
+                max_slots=args.max_slots,
+                steps_per_sync=args.steps_per_sync,
+                max_pages_per_seq=max(
+                    1, (args.num_pages // 2) // max(args.max_slots // 4, 1)
+                ),
+            ),
+        )
+    else:
+        engine = InferenceEngine(params, config, tokenizer=tokenizer)
 
     OpenAIServer(
         engine, model_name=args.model_name, max_batch=args.max_batch

@@ -151,6 +151,55 @@ def test_bad_requests_return_400():
     asyncio.run(_with_client(scenario))
 
 
+def test_continuous_engine_path():
+    """Server over the continuous-batching scheduler (tiny real model)."""
+    import jax
+
+    from dots_ocr_tpu.engine.scheduler import ContinuousBatchingEngine, SchedulerConfig
+    from dots_ocr_tpu.models.config import DotsOCRConfig
+    from dots_ocr_tpu.models.init import init_params
+
+    cfg = DotsOCRConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    engine = ContinuousBatchingEngine(
+        params,
+        cfg,
+        sched=SchedulerConfig(
+            num_pages=64, page_size=8, max_slots=4, max_pages_per_seq=16,
+            prompt_bucket_step=32, vision_bucket_step=16, steps_per_sync=4,
+        ),
+        default_max_new_tokens=6,
+    )
+
+    async def run():
+        server = OpenAIServer(engine, model_name="cb-model")
+        client = TestClient(TestServer(server.build_app()))
+        await client.start_server()
+        try:
+            async def one(i):
+                resp = await client.post(
+                    "/v1/chat/completions",
+                    json={
+                        "messages": [{"role": "user", "content": f"req {i}"}],
+                        "max_tokens": 5,
+                        "temperature": 0,
+                    },
+                )
+                assert resp.status == 200
+                data = await resp.json()
+                assert data["choices"][0]["finish_reason"] in ("stop", "length")
+                return data["usage"]["completion_tokens"]
+
+            results = await asyncio.gather(*[one(i) for i in range(5)])
+            assert all(c >= 1 for c in results)
+        finally:
+            await client.close()
+
+    asyncio.run(run())
+    # requests drained fully and pages returned
+    assert engine.allocator.free_pages == 63
+
+
 def test_error_returns_500():
     class BoomEngine(FakeEngine):
         def generate_batch(self, *a, **k):
