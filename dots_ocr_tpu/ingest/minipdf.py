@@ -259,6 +259,13 @@ class Lexer:
 
 
 def _png_unpredict(data: bytes, predictor: int, columns: int, colors: int, bpc: int) -> bytes:
+    # Native fast path (C++, see dots_ocr_tpu/native) — byte-serial filters
+    # are the slowest pure-Python part of decoding Flate page images.
+    from dots_ocr_tpu.native import png_unpredict_native
+
+    native = png_unpredict_native(data, predictor, columns, colors, bpc)
+    if native is not None:
+        return native
     if predictor < 10:
         # TIFF predictor 2: horizontal differencing.
         if predictor == 2 and bpc == 8:
@@ -343,6 +350,11 @@ def _ascii85_decode(data: bytes) -> bytes:
 
 
 def _runlength_decode(data: bytes) -> bytes:
+    from dots_ocr_tpu.native import runlength_decode_native
+
+    native = runlength_decode_native(data)
+    if native is not None:
+        return native
     out = bytearray()
     i = 0
     while i < len(data):

@@ -1,0 +1,115 @@
+"""Native (C++) acceleration, compiled on demand and loaded via ctypes.
+
+``get_lib()`` compiles ``minipdf_accel.cc`` with the host compiler on first
+use (cached next to the source keyed by a source hash) and returns the
+ctypes handle, or None when no compiler is available — callers fall back to
+their pure-Python implementations, so the package works everywhere and is
+merely faster where a toolchain exists.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import logging
+import os
+import subprocess
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_SRC = os.path.join(os.path.dirname(__file__), "minipdf_accel.cc")
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build() -> Optional[str]:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_dir = os.environ.get(
+        "DOTS_OCR_NATIVE_CACHE",
+        os.path.join(tempfile.gettempdir(), "dots_ocr_tpu_native"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, f"minipdf_accel_{digest}.so")
+    if os.path.exists(so_path):
+        return so_path
+    for compiler in ("c++", "g++", "clang++"):
+        try:
+            subprocess.run(
+                [compiler, "-O3", "-shared", "-fPIC", "-o", so_path, _SRC],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            return so_path
+        except (FileNotFoundError, subprocess.CalledProcessError, subprocess.TimeoutExpired) as e:
+            logger.debug("compiler %s failed: %s", compiler, e)
+            continue
+    return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Compiled library handle, or None (fall back to Python)."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("DOTS_OCR_DISABLE_NATIVE"):
+        return None
+    try:
+        so_path = _build()
+        if so_path is None:
+            return None
+        lib = ctypes.CDLL(so_path)
+        lib.png_unpredict.restype = ctypes.c_long
+        lib.png_unpredict.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_long,
+        ]
+        lib.runlength_decode.restype = ctypes.c_long
+        lib.runlength_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+        ]
+        _LIB = lib
+    except Exception:  # noqa: BLE001
+        logger.exception("native library unavailable; using Python fallbacks")
+        _LIB = None
+    return _LIB
+
+
+def png_unpredict_native(
+    data: bytes, predictor: int, columns: int, colors: int, bpc: int
+) -> Optional[bytes]:
+    """Native PNG/TIFF predictor reconstruction; None = use Python path."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    row_len = (columns * colors * bpc + 7) // 8
+    n_rows = len(data) // (row_len + 1) + 2 if predictor >= 10 else 1
+    cap = max(len(data), n_rows * row_len) + row_len
+    out = np.empty(cap, np.uint8)
+    written = lib.png_unpredict(
+        data, len(data), predictor, columns, colors, bpc,
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+    )
+    if written < 0:
+        return None
+    return out[:written].tobytes()
+
+
+def runlength_decode_native(data: bytes) -> Optional[bytes]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = len(data) * 130 + 16  # worst case: every byte expands to 128
+    out = np.empty(cap, np.uint8)
+    written = lib.runlength_decode(
+        data, len(data), out.ctypes.data_as(ctypes.c_void_p), cap
+    )
+    if written < 0:
+        return None
+    return out[:written].tobytes()

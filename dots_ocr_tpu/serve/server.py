@@ -44,7 +44,7 @@ class ServerMetrics:
     batch_size_sum: int = 0
     started_at: float = field(default_factory=time.time)
 
-    def render(self) -> str:
+    def render(self, engine=None) -> str:
         lines = [
             f"dots_ocr_requests_total {self.requests_total}",
             f"dots_ocr_requests_failed {self.requests_failed}",
@@ -54,6 +54,17 @@ class ServerMetrics:
             f"dots_ocr_batch_size_sum {self.batch_size_sum}",
             f"dots_ocr_uptime_seconds {time.time() - self.started_at:.1f}",
         ]
+        # Continuous-batching scheduler gauges (KV occupancy, preemptions...).
+        if engine is not None and hasattr(engine, "allocator"):
+            alloc = engine.allocator
+            used = alloc.num_pages - 1 - alloc.free_pages
+            lines += [
+                f"dots_ocr_kv_pages_used {used}",
+                f"dots_ocr_kv_pages_total {alloc.num_pages - 1}",
+                f"dots_ocr_kv_occupancy {used / max(1, alloc.num_pages - 1):.4f}",
+            ]
+            for key, value in getattr(engine, "metrics", {}).items():
+                lines.append(f"dots_ocr_engine_{key} {value}")
         return "\n".join(lines) + "\n"
 
 
@@ -289,7 +300,9 @@ class OpenAIServer:
         return web.json_response({"status": "ok"})
 
     async def handle_metrics(self, request: web.Request) -> web.Response:
-        return web.Response(text=self.metrics.render(), content_type="text/plain")
+        return web.Response(
+            text=self.metrics.render(self.engine), content_type="text/plain"
+        )
 
     # -- app ----------------------------------------------------------------
 
