@@ -346,11 +346,16 @@ class BatchJobManager:
         if not self.manifest_path:
             return
         try:
+            # Snapshot AND write under the lock: two persists racing must
+            # not let a stale snapshot land last. Write-temp + rename keeps
+            # the manifest atomic against crashes.
             with self._lock:
                 rows = [asdict(r) for r in self._results.values()]
-            with open(self.manifest_path, "w", encoding="utf-8") as f:
-                for row in rows:
-                    f.write(json.dumps(row, ensure_ascii=False) + "\n")
+                tmp = self.manifest_path + ".tmp"
+                with open(tmp, "w", encoding="utf-8") as f:
+                    for row in rows:
+                        f.write(json.dumps(row, ensure_ascii=False) + "\n")
+                os.replace(tmp, self.manifest_path)
         except Exception:  # noqa: BLE001
             logger.exception("manifest persist failed")
 
