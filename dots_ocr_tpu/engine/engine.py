@@ -184,7 +184,10 @@ class InferenceEngine:
         kwargs = {}
         if packed is not None:
             sb, sp_idx = build_scatter_indices(
-                input_ids, cfg.special.imgpad_id, packed.patches.shape[0] // merge
+                input_ids,
+                cfg.special.imgpad_id,
+                packed.patches.shape[0] // merge,
+                valid_rows=packed.merged_valid_rows(merge),
             )
             kwargs = dict(
                 patches=jnp.asarray(packed.patches),
@@ -194,6 +197,8 @@ class InferenceEngine:
                 scatter_batch=jnp.asarray(sb),
                 scatter_pos=jnp.asarray(sp_idx),
             )
+            if packed.window_ids is not None:
+                kwargs["window_ids"] = jnp.asarray(packed.window_ids)
 
         temp = np.broadcast_to(np.asarray(temperature, np.float32), (batch,)).copy()
         tp = np.broadcast_to(np.asarray(top_p, np.float32), (batch,)).copy()

@@ -49,6 +49,7 @@ def generate(
     segment_ids: Optional[jnp.ndarray] = None,
     scatter_batch: Optional[jnp.ndarray] = None,
     scatter_pos: Optional[jnp.ndarray] = None,
+    window_ids: Optional[jnp.ndarray] = None,
     attn_impl: str = "xla",
     nucleus: bool = True,
 ) -> GenerateResult:
@@ -74,6 +75,7 @@ def generate(
         segment_ids=segment_ids,
         scatter_batch=scatter_batch,
         scatter_pos=scatter_pos,
+        window_ids=window_ids,
         attn_impl=attn_impl,
         last_logit_only=True,
     )

@@ -73,6 +73,7 @@ def prefill_program(
     segment_ids=None,
     scatter_batch=None,
     scatter_pos=None,
+    window_ids=None,
     attn_impl: str = "xla",
     nucleus: bool = False,
 ):
@@ -91,6 +92,7 @@ def prefill_program(
         segment_ids=segment_ids,
         scatter_batch=scatter_batch,
         scatter_pos=scatter_pos,
+        window_ids=window_ids,
         attn_impl=attn_impl,
         last_logit_only=True,
     )
@@ -413,6 +415,7 @@ class ContinuousBatchingEngine:
             sb, sp = build_scatter_indices(
                 input_ids, self.config.special.imgpad_id,
                 merged.patches.shape[0] // merge,
+                valid_rows=merged.merged_valid_rows(merge),
             )
             kwargs = dict(
                 patches=jnp.asarray(merged.patches),
@@ -422,6 +425,8 @@ class ContinuousBatchingEngine:
                 scatter_batch=jnp.asarray(sb),
                 scatter_pos=jnp.asarray(sp),
             )
+            if merged.window_ids is not None:
+                kwargs["window_ids"] = jnp.asarray(merged.window_ids)
 
         first, k_pages, v_pages = prefill_program(
             self.params,

@@ -41,10 +41,16 @@ class VisionConfig:
     # Post-norm residual blocks (NaViT convention per SURVEY.md §2.4).
     post_norm: bool = True
     qkv_bias: bool = True
-    # 0 = full per-image attention; >0 = windowed attention over
-    # window_size x window_size patch tiles (config-gated; the checkpoint
-    # decides which layers are windowed via `full_attn_layers`).
+    # 0 = full per-image attention in every layer (NaViT default; matches
+    # the published dots.ocr vision tower). >0 = windowed attention over
+    # window_size x window_size RAW-PATCH tiles (must be a multiple of
+    # spatial_merge_size); layers listed in full_attn_layers still attend
+    # image-wide (Qwen2.5-VL-style policy). Tokens are packed window-major
+    # so the flash kernel's segment-range tile skip makes windowed layers
+    # near-linear in sequence length. [EXTERNAL — set from the checkpoint
+    # config at load time.]
     window_size: int = 0
+    full_attn_layers: tuple = ()
 
     @property
     def patch_dim(self) -> int:

@@ -34,17 +34,23 @@ class PackedVisionInput:
     patches: np.ndarray        # [T_pad, patch_dim] float32
     rope_cos: np.ndarray       # [T_pad, head_dim] float32
     rope_sin: np.ndarray       # [T_pad, head_dim] float32
-    segment_ids: np.ndarray    # [T_pad] int32, -1 = padding
+    segment_ids: np.ndarray    # [T_pad] int32, image index, -1 = padding
     grids: List[Tuple[int, int]]  # per-image (grid_h, grid_w) in raw patches
     num_tokens: int            # valid (unpadded) raw patch count
     num_merged: int            # valid merged tokens = num_tokens / merge^2
+    # Window ids for windowed-attention layers (window-major packing);
+    # None when the config runs full attention everywhere.
+    window_ids: "np.ndarray | None" = None
 
-    def merged_valid_mask(self) -> np.ndarray:
-        """Bool [T_pad / merge^2]: which merged rows are real tokens."""
-        merged_total = self.segment_ids.shape[0] // 4
-        mask = np.zeros(merged_total, dtype=bool)
-        mask[: self.num_merged] = True
-        return mask
+    def merged_valid_mask(self, merge: int = 4) -> np.ndarray:
+        """Bool [T_pad / merge]: which merged rows are real tokens (merge
+        groups are homogeneous: window/bucket padding covers whole groups)."""
+        return self.segment_ids[::merge] >= 0
+
+    def merged_valid_rows(self, merge: int = 4) -> np.ndarray:
+        """Indices of valid merged rows, in emission order — the k-th
+        imgpad token maps to row merged_valid_rows[k]."""
+        return np.nonzero(self.merged_valid_mask(merge))[0]
 
 
 def extract_patches(
@@ -52,11 +58,13 @@ def extract_patches(
     cfg: VisionConfig,
     mean: Sequence[float] = DEFAULT_IMAGE_MEAN,
     std: Sequence[float] = DEFAULT_IMAGE_STD,
-) -> Tuple[np.ndarray, Tuple[int, int]]:
+) -> Tuple[np.ndarray, Tuple[int, int], np.ndarray, np.ndarray]:
     """Image (already smart-resized to the 28-grid) -> patch matrix.
 
-    Returns (patches [grid_h*grid_w, patch_dim] float32 in merge-contiguous
-    order, (grid_h, grid_w)).
+    Returns (patches [T_emit, patch_dim] float32 in emission order,
+    (grid_h, grid_w), per-token window ids, per-token validity). With
+    windowing enabled T_emit > grid_h*grid_w: edge windows are padded to a
+    uniform window^2 tokens (zero patches, valid=False).
     """
     arr = np.asarray(image.convert("RGB"), dtype=np.float32) / 255.0
     arr = (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
@@ -75,16 +83,20 @@ def extract_patches(
         .reshape(grid_h, grid_w, p * p * c)
     )
 
-    # Reorder into merge-contiguous order (2x2 blocks adjacent) to match
+    # Reorder into emission order (merge-contiguous; window-major with
+    # uniform padded windows when the config windows attention) to match
     # vision_grid_positions; the merger is then a pure reshape on device.
-    m = cfg.spatial_merge_size
-    hb, wb = grid_h // m, grid_w // m
-    patches = (
-        patches.reshape(hb, m, wb, m, -1)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(grid_h * grid_w, -1)
+    from dots_ocr_tpu.models.rope import token_order
+
+    perm, window_ids = token_order(
+        grid_h, grid_w, merge=cfg.spatial_merge_size, window=cfg.window_size,
+        pad_windows=cfg.window_size > 0,
     )
-    return patches.astype(np.float32), (grid_h, grid_w)
+    flat = patches.reshape(grid_h * grid_w, -1)
+    valid = perm >= 0
+    out = np.zeros((len(perm), flat.shape[1]), np.float32)
+    out[valid] = flat[perm[valid]]
+    return out, (grid_h, grid_w), window_ids, valid
 
 
 def _round_up(x: int, multiple: int) -> int:
@@ -107,22 +119,32 @@ def merge_packed(
     matches the row-major imgpad scatter order of a batched prompt — and
     segment ids are offset so images never alias across requests.
     """
-    parts_p, parts_c, parts_s, parts_seg = [], [], [], []
+    parts_p, parts_c, parts_s, parts_seg, parts_win = [], [], [], [], []
     grids = []
     seg_offset = 0
+    win_offset = 0
     for packed in packed_list:
         n = packed.num_tokens
         parts_p.append(packed.patches[:n])
         parts_c.append(packed.rope_cos[:n])
         parts_s.append(packed.rope_sin[:n])
-        parts_seg.append(packed.segment_ids[:n] + seg_offset)
+        seg = packed.segment_ids[:n]
+        # preserve -1 (window padding inside the emitted region)
+        parts_seg.append(np.where(seg >= 0, seg + seg_offset, -1).astype(np.int32))
         seg_offset += len(packed.grids)
+        if packed.window_ids is not None:
+            win = packed.window_ids[:n]
+            parts_win.append(win + win_offset)
+            win_offset += int(win.max()) + 1 if n else 0
         grids.extend(packed.grids)
 
     patches = np.concatenate(parts_p, axis=0) if parts_p else np.zeros((0, cfg.patch_dim), np.float32)
     total = patches.shape[0]
     merge = cfg.spatial_merge_size**2
     padded = token_bucket(total, bucket_step=bucket_step)
+    if cfg.window_size > 0:
+        wtok = cfg.window_size**2
+        padded = -(-padded // wtok) * wtok
 
     def pad(a, fill, feature_shape):
         out = np.full((padded,) + feature_shape, fill, a.dtype if len(a) else np.float32)
@@ -130,6 +152,12 @@ def merge_packed(
             out[:total] = a
         return out
 
+    window_ids = None
+    if cfg.window_size > 0 and parts_win:
+        window_ids = pad(
+            np.concatenate(parts_win, axis=0).astype(np.int32), -1, ()
+        )
+    num_valid_merged = sum((gh * gw) // merge for gh, gw in grids)
     return PackedVisionInput(
         patches=pad(patches, 0.0, (cfg.patch_dim,)),
         rope_cos=pad(np.concatenate(parts_c, axis=0) if parts_c else np.ones((0, cfg.head_dim), np.float32), 1.0, (cfg.head_dim,)),
@@ -137,7 +165,8 @@ def merge_packed(
         segment_ids=pad(np.concatenate(parts_seg, axis=0).astype(np.int32) if parts_seg else np.zeros((0,), np.int32), -1, ()),
         grids=grids,
         num_tokens=total,
-        num_merged=total // merge,
+        num_merged=num_valid_merged,
+        window_ids=window_ids,
     )
 
 
@@ -153,16 +182,25 @@ def pack_images(
     all_cos = []
     all_sin = []
     all_seg = []
+    all_win = []
     grids = []
+    num_valid_merged = 0
+    window_offset = 0
     for idx, image in enumerate(images):
-        patches, (gh, gw) = extract_patches(image, cfg, mean, std)
-        pos2d = vision_grid_positions(gh, gw)
+        patches, (gh, gw), window_ids, valid = extract_patches(image, cfg, mean, std)
+        pos2d = vision_grid_positions(
+            gh, gw, merge=cfg.spatial_merge_size, window=cfg.window_size,
+            pad_windows=cfg.window_size > 0,
+        )
         cos, sin = vision_rope_table(pos2d, cfg.head_dim, cfg.rope_theta)
         all_patches.append(patches)
         all_cos.append(cos)
         all_sin.append(sin)
-        all_seg.append(np.full(patches.shape[0], idx, np.int32))
+        all_seg.append(np.where(valid, idx, -1).astype(np.int32))
+        all_win.append(window_ids + window_offset)
+        window_offset += int(window_ids.max()) + 1 if len(window_ids) else 0
         grids.append((gh, gw))
+        num_valid_merged += (gh * gw) // cfg.spatial_merge_size**2
 
     patches = np.concatenate(all_patches, axis=0) if all_patches else np.zeros(
         (0, cfg.patch_dim), np.float32
@@ -171,6 +209,11 @@ def pack_images(
     merge = cfg.spatial_merge_size**2
     assert total % merge == 0
     padded = token_bucket(total, bucket_step=bucket_step)
+    if cfg.window_size > 0:
+        # Keep the bucket a multiple of window^2 so windowed layers reshape
+        # cleanly into [num_windows, window^2].
+        wtok = cfg.window_size**2
+        padded = -(-padded // wtok) * wtok
 
     def pad(a: np.ndarray, fill=0.0) -> np.ndarray:
         out_shape = (padded,) + a.shape[1:]
@@ -178,6 +221,12 @@ def pack_images(
         out[:total] = a
         return out
 
+    window_ids = None
+    if cfg.window_size > 0:
+        window_ids = pad(
+            np.concatenate(all_win, axis=0) if all_win else np.zeros((0,), np.int32),
+            fill=-1,
+        )
     return PackedVisionInput(
         patches=pad(patches),
         rope_cos=pad(np.concatenate(all_cos, axis=0) if all_cos else np.ones((0, cfg.head_dim), np.float32), fill=1.0),
@@ -185,5 +234,6 @@ def pack_images(
         segment_ids=pad(np.concatenate(all_seg, axis=0) if all_seg else np.zeros((0,), np.int32), fill=-1),
         grids=grids,
         num_tokens=total,
-        num_merged=total // merge,
+        num_merged=num_valid_merged,
+        window_ids=window_ids,
     )

@@ -71,27 +71,75 @@ def apply_rope(
 # ---------------------------------------------------------------------------
 
 
-def vision_grid_positions(grid_h: int, grid_w: int) -> np.ndarray:
-    """(row, col) index pairs for a grid's patches in NaViT merge order.
+def token_order(
+    grid_h: int, grid_w: int, merge: int = 2, window: int = 0,
+    pad_windows: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Emission order of a grid's raw patches + per-token window ids.
 
-    Patches are ordered so that each spatial_merge_size x merge_size block is
-    contiguous — the decoder-facing merged token j then owns raw patches
-    [4j, 4j+4). Order within a block is row-major; blocks themselves are
-    row-major over the merged grid. Shape [grid_h * grid_w, 2], int32.
+    Ordering invariant (both modes): each merge x merge block is contiguous
+    (row-major inside), so merged token j owns raw patches
+    [merge^2 * j, merge^2 * (j+1)). Blocks are row-major — over the whole
+    merged grid when window == 0, or within each window (windows row-major)
+    when window > 0 (window = side length in raw patches, multiple of
+    merge).
+
+    pad_windows=True emits EXACTLY window^2 entries per window, padding edge
+    windows with perm = -1 (callers zero-fill those rows and mark them
+    padding); uniform windows let windowed attention run as dense batched
+    attention over a [num_windows, window^2] reshape — the fast path.
+
+    Returns (perm, window_ids): ``perm[t]`` is the row-major patch index
+    emitted at position t (-1 = window padding); ``window_ids[t]`` is the
+    window index (all zeros when window == 0).
     """
-    rows = np.repeat(np.arange(grid_h, dtype=np.int32)[:, None], grid_w, axis=1)
-    cols = np.repeat(np.arange(grid_w, dtype=np.int32)[None, :], grid_h, axis=0)
-    merge = 2
-    hb, wb = grid_h // merge, grid_w // merge
-
-    def to_blocks(a: np.ndarray) -> np.ndarray:
-        return (
-            a.reshape(hb, merge, wb, merge)
-            .transpose(0, 2, 1, 3)
-            .reshape(-1)
+    if window == 0:
+        window = max(
+            ((grid_h + merge - 1) // merge) * merge,
+            ((grid_w + merge - 1) // merge) * merge,
         )
+        pad_windows = False
+    assert window % merge == 0, (window, merge)
 
-    return np.stack([to_blocks(rows), to_blocks(cols)], axis=-1)
+    perm = []
+    window_ids = []
+    wid = 0
+    for wr0 in range(0, grid_h, window):
+        for wc0 in range(0, grid_w, window):
+            wr1 = min(wr0 + window, grid_h)
+            wc1 = min(wc0 + window, grid_w)
+            count = 0
+            for br in range(wr0, wr1, merge):
+                for bc in range(wc0, wc1, merge):
+                    for r in range(br, min(br + merge, grid_h)):
+                        for c in range(bc, min(bc + merge, grid_w)):
+                            perm.append(r * grid_w + c)
+                            window_ids.append(wid)
+                            count += 1
+            if pad_windows:
+                for _ in range(window * window - count):
+                    perm.append(-1)
+                    window_ids.append(wid)
+            wid += 1
+    return np.asarray(perm, np.int64), np.asarray(window_ids, np.int32)
+
+
+def vision_grid_positions(
+    grid_h: int, grid_w: int, merge: int = 2, window: int = 0,
+    pad_windows: bool = False,
+) -> np.ndarray:
+    """(row, col) index pairs for a grid's patches in emission order
+    (see :func:`token_order`; window-padding slots get (0, 0)). Shape
+    [num_emitted, 2], int32."""
+    perm, _ = token_order(
+        grid_h, grid_w, merge=merge, window=window, pad_windows=pad_windows
+    )
+    safe = np.maximum(perm, 0)
+    rows = (safe // grid_w).astype(np.int32)
+    cols = (safe % grid_w).astype(np.int32)
+    rows[perm < 0] = 0
+    cols[perm < 0] = 0
+    return np.stack([rows, cols], axis=-1)
 
 
 def vision_rope_table(

@@ -13,8 +13,13 @@ TPU-first design decisions (vs. the reference's flash-attn varlen CUDA path):
   * **2D RoPE tables precomputed** per (h, w) grid on host and passed in as
     arrays: no integer math inside the kernel, fusable with attention.
   * **Merge as a static gather**: patch order is chosen so each 2x2 merge
-    group is contiguous (``rope.vision_grid_positions``); the merger is a
-    reshape + MLP, no scatter.
+    group is contiguous (``rope.token_order``); the merger is a reshape +
+    MLP, no scatter.
+  * **Windowed attention as a reshape** (config-gated, cfg.window_size > 0):
+    tokens are packed window-major with every window padded to exactly
+    window^2 tokens, so windowed layers attend densely over a
+    ``[num_windows, window^2]`` reshape — linear in sequence length, no
+    masking waste; layers in cfg.full_attn_layers keep image-wide attention.
   * ``lax.scan`` over the 42 stacked blocks: O(1) compile size.
 
 Weight layout matches the published dots.ocr vision tower (42 blocks, width
@@ -41,13 +46,20 @@ def vision_block(
     cfg: VisionConfig,
     cos: jnp.ndarray,
     sin: jnp.ndarray,
-    mask: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
     segment_ids: jnp.ndarray,
     attn_impl: str = "xla",
+    use_full: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """One transformer block over packed tokens x: [T, D]."""
+    """One transformer block over packed tokens x: [T, D].
+
+    When cfg.window_size > 0 and ``use_full`` (a traced bool) is given, the
+    attention branches at runtime between image-wide and per-window dense
+    attention (uniform window^2 tokens per window).
+    """
     attn_p = block_params["attn"]
     num_heads, head_dim = cfg.num_heads, cfg.head_dim
+    window_tokens = cfg.window_size**2 if cfg.window_size > 0 else 0
 
     def attend(h: jnp.ndarray) -> jnp.ndarray:
         t = h.shape[0]
@@ -56,15 +68,42 @@ def vision_block(
         v = linear(h, attn_p["wv"], attn_p.get("bv")).reshape(t, num_heads, head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        out = attention(
-            q[None],
-            k[None],
-            v[None],
-            mask=mask,
-            q_segment_ids=segment_ids[None],
-            kv_segment_ids=segment_ids[None],
-            impl=attn_impl,
-        )[0]
+
+        def full_attn(_):
+            return attention(
+                q[None],
+                k[None],
+                v[None],
+                mask=mask,
+                q_segment_ids=segment_ids[None],
+                kv_segment_ids=segment_ids[None],
+                impl=attn_impl,
+            )[0]
+
+        if window_tokens and use_full is not None and t % window_tokens == 0:
+            def window_attn(_):
+                nw = t // window_tokens
+                qw = q.reshape(nw, window_tokens, num_heads, head_dim)
+                kw = k.reshape(nw, window_tokens, num_heads, head_dim)
+                vw = v.reshape(nw, window_tokens, num_heads, head_dim)
+                segw = segment_ids.reshape(nw, window_tokens)
+                maskw = (
+                    make_segment_mask(segw, segw) if attn_impl == "xla" else None
+                )
+                ow = attention(
+                    qw,
+                    kw,
+                    vw,
+                    mask=maskw,
+                    q_segment_ids=segw,
+                    kv_segment_ids=segw,
+                    impl=attn_impl,
+                )
+                return ow.reshape(t, num_heads, head_dim)
+
+            out = jax.lax.cond(use_full, full_attn, window_attn, None)
+        else:
+            out = full_attn(None)
         return linear(out.reshape(t, num_heads * head_dim), attn_p["wo"])
 
     def mlp(h: jnp.ndarray) -> jnp.ndarray:
@@ -88,41 +127,59 @@ def vision_forward(
     rope_cos: jnp.ndarray,
     rope_sin: jnp.ndarray,
     segment_ids: jnp.ndarray,
+    window_ids: Optional[jnp.ndarray] = None,  # kept for API symmetry
     attn_impl: str = "xla",
 ) -> jnp.ndarray:
     """Run the encoder over packed patches.
 
     Args:
-      patches: [T, patch_dim] float (T bucket-padded; padding segment = -1).
+      patches: [T, patch_dim] float (T bucket-padded; padding segment = -1;
+        with cfg.window_size > 0 the packing is window-major with uniform
+        window^2 tokens per window, including padded edge-window slots).
       rope_cos/rope_sin: [T, head_dim] 2D-RoPE tables (host-precomputed).
-      segment_ids: [T] int32, image index per token, -1 for padding.
+      segment_ids: [T] int32, image index per token, -1 for any padding.
 
     Returns: pre-merge hidden states [T, D].
     """
+    del window_ids  # windowing works off the uniform reshape + segment ids
     dtype = params["patch_embed"]["kernel"].dtype
     x = linear(
         patches.astype(dtype),
         params["patch_embed"]["kernel"],
         params["patch_embed"].get("bias"),
     )
-    # Dense mask only exists on the XLA path; flash masks via segment ids.
-    mask = (
-        make_segment_mask(segment_ids, segment_ids)[None]
-        if attn_impl == "xla"
-        else None
-    )
     cos = rope_cos.astype(jnp.float32)
     sin = rope_sin.astype(jnp.float32)
 
-    def scan_body(carry, block_params):
+    windowed = cfg.window_size > 0
+    if windowed:
+        import numpy as np
+
+        full_layer = jnp.asarray(
+            np.array(
+                [l in cfg.full_attn_layers for l in range(cfg.num_layers)], bool
+            )
+        )
+
+    # Dense image-wide mask exists only on the XLA path (flash masks via
+    # segment ids); windowed layers build their own small per-window masks.
+    mask = make_segment_mask(segment_ids, segment_ids)[None] if attn_impl == "xla" else None
+
+    def scan_body(carry, layer_in):
+        if windowed:
+            block_params, use_full = layer_in
+        else:
+            block_params, use_full = layer_in, None
         return (
             vision_block(
-                carry, block_params, cfg, cos, sin, mask, segment_ids, attn_impl
+                carry, block_params, cfg, cos, sin, mask, segment_ids,
+                attn_impl, use_full=use_full,
             ),
             None,
         )
 
-    x, _ = jax.lax.scan(scan_body, x, params["blocks"])
+    xs = (params["blocks"], full_layer) if windowed else params["blocks"]
+    x, _ = jax.lax.scan(scan_body, x, xs)
     return rms_norm(x, params["post_norm"], cfg.rms_norm_eps)
 
 
@@ -131,9 +188,10 @@ def merge_tokens(
 ) -> jnp.ndarray:
     """2x2 spatial merge + projector into decoder space.
 
-    hidden: [T, D] in merge-contiguous order (see vision_grid_positions), so
+    hidden: [T, D] in merge-contiguous order (see rope.token_order), so
     the merge is a pure reshape: [T/4, 4*D] -> MLP -> [T/4, llm_hidden].
-    Padding tokens merge into padding rows (callers mask them downstream).
+    Padding tokens merge into padding rows (callers route them nowhere via
+    the valid-row scatter indices).
     """
     merge = cfg.spatial_merge_size**2
     t, d = hidden.shape
@@ -152,11 +210,13 @@ def encode_images(
     rope_cos: jnp.ndarray,
     rope_sin: jnp.ndarray,
     segment_ids: jnp.ndarray,
+    window_ids: Optional[jnp.ndarray] = None,
     attn_impl: str = "xla",
 ) -> jnp.ndarray:
     """Full vision path: packed patches -> merged decoder-space tokens
     [T / merge^2, llm_hidden]."""
     hidden = vision_forward(
-        params, cfg, patches, rope_cos, rope_sin, segment_ids, attn_impl
+        params, cfg, patches, rope_cos, rope_sin, segment_ids,
+        window_ids=window_ids, attn_impl=attn_impl,
     )
     return merge_tokens(params, cfg, hidden)

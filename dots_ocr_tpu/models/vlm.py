@@ -45,24 +45,34 @@ def splice_vision_embeddings(
 
 
 def build_scatter_indices(
-    input_ids: np.ndarray, imgpad_id: int, num_merged_padded: int
+    input_ids: np.ndarray,
+    imgpad_id: int,
+    num_merged_padded: int,
+    valid_rows: "np.ndarray | None" = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host helper: destination coords of each merged vision row.
 
-    Rows beyond the count of imgpad tokens (bucket padding of the vision
-    axis) get out-of-bounds sentinel coords (B, T); the device scatter uses
+    The k-th imgpad token is filled by the k-th VALID merged vision row —
+    row ``valid_rows[k]`` when given (window packing interleaves padded
+    rows), else row k. All other rows (window/bucket padding) get
+    out-of-bounds sentinel coords (B, T); the device scatter uses
     mode="drop" so they are discarded.
     """
     batch_idx, pos_idx = np.nonzero(input_ids == imgpad_id)
     m = len(batch_idx)
-    if m > num_merged_padded:
+    rows = (
+        np.asarray(valid_rows)[:m] if valid_rows is not None else np.arange(m)
+    )
+    if m > (len(valid_rows) if valid_rows is not None else num_merged_padded):
         raise ValueError(
-            f"{m} imgpad tokens but only {num_merged_padded} vision rows"
+            f"{m} imgpad tokens but only "
+            f"{len(valid_rows) if valid_rows is not None else num_merged_padded} "
+            "valid vision rows"
         )
     out_b = np.full(num_merged_padded, input_ids.shape[0], np.int32)
     out_p = np.full(num_merged_padded, input_ids.shape[1], np.int32)
-    out_b[:m] = batch_idx
-    out_p[:m] = pos_idx
+    out_b[rows] = batch_idx
+    out_p[rows] = pos_idx
     return out_b, out_p
 
 
@@ -78,6 +88,7 @@ def vlm_prefill(
     segment_ids: Optional[jnp.ndarray] = None,
     scatter_batch: Optional[jnp.ndarray] = None,
     scatter_pos: Optional[jnp.ndarray] = None,
+    window_ids: Optional[jnp.ndarray] = None,
     attn_impl: str = "xla",
     last_logit_only: bool = False,
 ) -> Tuple[jnp.ndarray, KVCache]:
@@ -101,6 +112,7 @@ def vlm_prefill(
             rope_cos,
             rope_sin,
             segment_ids,
+            window_ids=window_ids,
             attn_impl=attn_impl,
         )
         x = splice_vision_embeddings(x, vision_tokens, scatter_batch, scatter_pos)

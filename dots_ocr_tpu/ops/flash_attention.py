@@ -67,12 +67,22 @@ def _flash_kernel(
         l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
         acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
 
-    # Causal tile-level skip: whole KV tile above the diagonal contributes
-    # nothing (q row block ends before kv block starts).
+    # Tile-level skips:
+    #  * causal: whole KV tile above the diagonal contributes nothing,
+    #  * segments: segment ids are nondecreasing in token order (packing
+    #    order), so a tile is dead when the q block's id range and the kv
+    #    block's id range don't overlap. With window-major packed vision
+    #    tokens this turns block-diagonal window attention near-linear.
+    #    Padding id -1 makes the check conservative (tile still runs).
+    q_seg_blk = q_seg_ref[b]  # [block_q]
+    kv_seg_blk = kv_seg_ref[b]  # [block_k]
+    q_lo, q_hi = jnp.min(q_seg_blk), jnp.max(q_seg_blk)
+    k_lo, k_hi = jnp.min(kv_seg_blk), jnp.max(kv_seg_blk)
+    segments_overlap = (q_lo <= k_hi) & (k_lo <= q_hi) & (q_hi >= 0) & (k_hi >= 0)
     if causal:
-        should_run = (qi + 1) * block_q - 1 >= ki * block_k
+        should_run = ((qi + 1) * block_q - 1 >= ki * block_k) & segments_overlap
     else:
-        should_run = True
+        should_run = segments_overlap
 
     @pl.when(should_run)
     def _run():
@@ -91,9 +101,7 @@ def _flash_kernel(
 
         # Segment mask (padding = -1 never matches, and -1 q rows match
         # nothing — their l stays 0 and the output row is zeroed at the end).
-        q_seg = q_seg_ref[b]  # [block_q]
-        kv_seg = kv_seg_ref[b]  # [block_k]
-        mask = (q_seg[:, None] == kv_seg[None, :]) & (q_seg[:, None] >= 0)
+        mask = (q_seg_blk[:, None] == kv_seg_blk[None, :]) & (q_seg_blk[:, None] >= 0)
 
         if causal:
             row_ids = (

@@ -149,7 +149,7 @@ def _rand_image(w, h, seed):
 
 def test_extract_patches_shapes(cfg):
     img = _rand_image(56, 84, 0)  # 4x6 patch grid (via 28-multiple dims)
-    patches, (gh, gw) = preprocess.extract_patches(img, cfg.vision)
+    patches, (gh, gw), _window_ids, _valid = preprocess.extract_patches(img, cfg.vision)
     assert (gh, gw) == (6, 4)
     assert patches.shape == (24, cfg.vision.patch_dim)
 
