@@ -155,20 +155,21 @@ def decode_program(
         return (i < num_steps) & ~jnp.all(done)
 
     def body(state):
-        i, current, k_pages, done, tokens_out, num_decoded, pos, rng = state
+        i, current, caches, done, tokens_out, num_decoded, pos, rng = state
+        k_list, v_list = caches
         live = ~done
         write_pos = jnp.where(live, pos, 0)
         slots = jnp.where(live, slot_of(write_pos), 0)
         seq_lens = jnp.where(live, pos + 1, 0)
 
         x = embed_tokens(params["decoder"], current)
-        hidden, kp, vp = decoder_decode_step_paged(
+        hidden, k_list, v_list = decoder_decode_step_paged(
             params["decoder"],
             config.decoder,
             x,
             write_pos,
-            k_pages[0],
-            k_pages[1],
+            k_list,
+            v_list,
             page_tables,
             seq_lens,
             slots,
@@ -183,17 +184,23 @@ def decode_program(
         num_decoded = num_decoded + live.astype(jnp.int32)
         done = done | (live & (nxt == eos))
         pos = pos + live.astype(jnp.int32)
-        return (i + 1, jnp.where(live, nxt, current), (kp, vp), done,
+        return (i + 1, jnp.where(live, nxt, current), (k_list, v_list), done,
                 tokens_out, num_decoded, pos, rng)
 
+    # Per-layer cache leaves: each layer's scatter updates its own carry
+    # array in place (a stacked [L, ...] carry would rewrite the whole
+    # cache per layer; per-layer scan xs would copy every touched slice).
+    num_layers = config.decoder.num_layers
+    k_list = tuple(k_pages[l] for l in range(num_layers))
+    v_list = tuple(v_pages[l] for l in range(num_layers))
     state = (
-        jnp.int32(0), tokens, (k_pages, v_pages), done0,
+        jnp.int32(0), tokens, (k_list, v_list), done0,
         tokens_out0, num_decoded0, positions, rng,
     )
-    _, _, (k_pages, v_pages), _, tokens_out, num_decoded, _, _ = jax.lax.while_loop(
+    _, _, (k_list, v_list), _, tokens_out, num_decoded, _, _ = jax.lax.while_loop(
         cond, body, state
     )
-    return tokens_out, num_decoded, k_pages, v_pages
+    return tokens_out, num_decoded, jnp.stack(k_list), jnp.stack(v_list)
 
 
 # ---------------------------------------------------------------------------

@@ -224,9 +224,17 @@ def decoder_decode_step_paged(
     valid length AFTER this token (0 = inactive slot); slots: [S] physical
     flat slot of the new token (inactive slots point at the null page).
 
-    Returns (hidden [S, D], k_pages, v_pages).
+    Returns (hidden [S, D], k_pages, v_pages) with caches as TUPLES of
+    per-layer arrays.
+
+    Memory discipline: k_pages/v_pages are tuples of [KV, N_slots, D]
+    arrays — one loop-carry leaf per layer — and the layer loop is unrolled
+    in Python. Each layer's scatter then updates exactly its own leaf, which
+    XLA elides in place through the surrounding while_loop carry. Both
+    alternatives copy gigabytes per iteration: per-layer scan xs force a
+    33 MB slice copy per scatter, and a single stacked [L, ...] carry makes
+    every layer's scatter rewrite the whole 1 GB cache.
     """
-    from dots_ocr_tpu.engine.kv_cache import write_decode_kv
     from dots_ocr_tpu.ops.paged_attention import (
         paged_attention,
         paged_attention_reference,
@@ -236,38 +244,46 @@ def decoder_decode_step_paged(
     s = inputs_embeds.shape[0]
     kv_heads, head_dim = cfg.num_kv_heads, cfg.head_dim
 
-    def scan_body(x, layer_in):
-        block_params, k_layer, v_layer = layer_in
+    x = inputs_embeds
+    k_out = []
+    v_out = []
+    for layer in range(cfg.num_layers):
+        block_params = jax.tree.map(lambda a: a[layer], params["blocks"])
+        k_layer, v_layer = k_pages[layer], v_pages[layer]
         attn_p = block_params["attn"]
         h = rms_norm(x, block_params["input_norm"], cfg.rms_norm_eps)
         q, k, v = _project_qkv(h, attn_p, cfg)  # q [S,H,hd], k/v [S,KV,hd]
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        k_layer, v_layer = write_decode_kv(k_layer, v_layer, k, v, slots)
+        # Single advanced index stays in place: update is [KV, S, hd].
+        k_layer = k_layer.at[:, slots].set(
+            k.transpose(1, 0, 2).astype(k_layer.dtype)
+        )
+        v_layer = v_layer.at[:, slots].set(
+            v.transpose(1, 0, 2).astype(v_layer.dtype)
+        )
 
-        paged_shape = k_layer.reshape(kv_heads, -1, page_size, head_dim)
+        paged_k = k_layer.reshape(kv_heads, -1, page_size, head_dim)
         paged_v = v_layer.reshape(kv_heads, -1, page_size, head_dim)
         if attn_impl == "paged":
-            out = paged_attention(q, paged_shape, paged_v, seq_lens, page_tables)
+            out = paged_attention(q, paged_k, paged_v, seq_lens, page_tables)
         elif attn_impl == "paged_interpret":
             out = paged_attention(
-                q, paged_shape, paged_v, seq_lens, page_tables, interpret=True
+                q, paged_k, paged_v, seq_lens, page_tables, interpret=True
             )
-        else:  # reference
+        else:  # reference (XLA gather; CPU test path)
             out = paged_attention_reference(
-                q, paged_shape, paged_v, seq_lens, page_tables
+                q, paged_k, paged_v, seq_lens, page_tables
             )
         x = x + linear(out.reshape(s, cfg.q_dim), attn_p["wo"])
         h = rms_norm(x, block_params["post_attn_norm"], cfg.rms_norm_eps)
         m = block_params["mlp"]
         x = x + swiglu(h, m["gate"], m["up"], m["down"])
-        return x, (k_layer, v_layer)
+        k_out.append(k_layer)
+        v_out.append(v_layer)
 
-    x, (k_pages, v_pages) = jax.lax.scan(
-        scan_body, inputs_embeds, (params["blocks"], k_pages, v_pages)
-    )
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    return x, k_pages, v_pages
+    return x, tuple(k_out), tuple(v_out)
 
 
 def logits_from_hidden(params: dict, cfg: DecoderConfig, hidden: jnp.ndarray) -> jnp.ndarray:

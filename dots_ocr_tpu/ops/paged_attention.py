@@ -85,10 +85,11 @@ def paged_attention_reference(
 
 
 def _paged_kernel(
+    layer_ref,        # scalar prefetch [1] — layer index into stacked pages
     lengths_ref,      # scalar prefetch [B]
     page_idx_ref,     # scalar prefetch [B * max_pages]
     q_ref,            # [1, KV, G, head_dim]
-    k_ref,            # [KV, 1, page_size, head_dim] (physical page via index_map)
+    k_ref,            # [1, KV, 1, page_size, head_dim] (layer+page via index_map)
     v_ref,
     o_ref,            # [1, KV, G, head_dim]
     m_scratch,        # [KV * G, NUM_LANES]
@@ -124,8 +125,8 @@ def _paged_kernel(
         for h in range(kv_heads):
             rows = slice(h * group, (h + 1) * group)
             q = q_ref[0, h].astype(jnp.float32)  # [G, head_dim]
-            k = k_ref[h, 0]  # [page_size, head_dim]
-            v = v_ref[h, 0]
+            k = k_ref[0, h, 0]  # [page_size, head_dim]
+            v = v_ref[0, h, 0]
 
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
@@ -159,45 +160,52 @@ def _paged_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "interpret")
+    jax.jit, static_argnames=("sm_scale", "interpret", "page_size")
 )
-def paged_attention(
+def paged_attention_stacked(
     q: jnp.ndarray,
-    k_pages: jnp.ndarray,
-    v_pages: jnp.ndarray,
+    k_pages_all: jnp.ndarray,
+    v_pages_all: jnp.ndarray,
+    layer: jnp.ndarray,
     lengths: jnp.ndarray,
     page_indices: jnp.ndarray,
+    page_size: int,
     sm_scale: Optional[float] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Paged decode attention. Shapes as in the module docstring; returns
-    [B, H, head_dim] in q.dtype."""
+    """Paged decode attention reading ONE layer of a layer-stacked cache.
+
+    k_pages_all/v_pages_all: [L, KV, N_slots, head_dim] (the whole cache —
+    passing it unsliced lets the caller keep it as an unsliced loop carry so
+    XLA updates it in place; slicing a layer on the outside would copy it);
+    layer: scalar int32 selecting the layer via the kernel's index_map.
+    """
     batch, num_heads, head_dim = q.shape
-    kv_heads, _, page_size, _ = k_pages.shape
+    num_layers, kv_heads = k_pages_all.shape[0], k_pages_all.shape[1]
     max_pages = page_indices.shape[1]
     group = num_heads // kv_heads
     scale = sm_scale if sm_scale is not None else head_dim**-0.5
 
     qg = q.reshape(batch, kv_heads, group, head_dim)
 
-    def q_index(b, i, lengths_ref, page_idx_ref):
+    def q_index(b, i, layer_ref, lengths_ref, page_idx_ref):
         return (b, 0, 0, 0)
 
-    def kv_index(b, i, lengths_ref, page_idx_ref):
+    def kv_index(b, i, layer_ref, lengths_ref, page_idx_ref):
         # Clamp to the last valid page so skipped iterations re-fetch a
         # mapped page instead of touching garbage.
         length = lengths_ref[b]
         last_valid_block = jnp.maximum(0, (length - 1) // page_size)
         block = jnp.minimum(i, last_valid_block)
-        return (0, page_idx_ref[b * max_pages + block], 0, 0)
+        return (layer_ref[0], 0, page_idx_ref[b * max_pages + block], 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(batch, max_pages),
         in_specs=[
             pl.BlockSpec((1, kv_heads, group, head_dim), q_index),
-            pl.BlockSpec((kv_heads, 1, page_size, head_dim), kv_index),
-            pl.BlockSpec((kv_heads, 1, page_size, head_dim), kv_index),
+            pl.BlockSpec((1, kv_heads, 1, page_size, head_dim), kv_index),
+            pl.BlockSpec((1, kv_heads, 1, page_size, head_dim), kv_index),
         ],
         out_specs=pl.BlockSpec((1, kv_heads, group, head_dim), q_index),
         scratch_shapes=[
@@ -224,10 +232,35 @@ def paged_attention(
         ),
         interpret=interpret,
     )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
         lengths.astype(jnp.int32),
         page_indices.reshape(-1).astype(jnp.int32),
         qg,
-        k_pages.reshape(kv_heads, -1, page_size, head_dim),
-        v_pages.reshape(kv_heads, -1, page_size, head_dim),
+        k_pages_all.reshape(num_layers, kv_heads, -1, page_size, head_dim),
+        v_pages_all.reshape(num_layers, kv_heads, -1, page_size, head_dim),
     )
     return out.reshape(batch, num_heads, head_dim)
+
+
+def paged_attention(
+    q: jnp.ndarray,
+    k_pages: jnp.ndarray,
+    v_pages: jnp.ndarray,
+    lengths: jnp.ndarray,
+    page_indices: jnp.ndarray,
+    sm_scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Single-layer convenience wrapper (adds a unit layer axis)."""
+    kv_heads, _, page_size, head_dim = k_pages.shape
+    return paged_attention_stacked(
+        q,
+        k_pages.reshape(1, kv_heads, -1, head_dim),
+        v_pages.reshape(1, kv_heads, -1, head_dim),
+        jnp.zeros((), jnp.int32),
+        lengths,
+        page_indices,
+        page_size=page_size,
+        sm_scale=sm_scale,
+        interpret=interpret,
+    )

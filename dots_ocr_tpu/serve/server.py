@@ -345,9 +345,9 @@ def main(argv=None):
         help="continuous = paged KV + continuous batching (production); "
         "batch = simple micro-batched generate loop",
     )
-    parser.add_argument("--num-pages", type=int, default=2048)
+    parser.add_argument("--num-pages", type=int, default=1024)
     parser.add_argument("--page-size", type=int, default=256)
-    parser.add_argument("--max-slots", type=int, default=16)
+    parser.add_argument("--max-slots", type=int, default=32)
     parser.add_argument("--steps-per-sync", type=int, default=16)
     parser.add_argument(
         "--random-tiny", action="store_true",
