@@ -227,6 +227,11 @@ class SchedulerConfig:
     # Requests prefilled per dispatch. The batch is always padded to this
     # size (inert rows) so each (t_bucket, v_bucket) compiles once.
     max_prefill_batch: int = 4
+    # Decode-degeneration guard: stop a sequence whose tail is a periodic
+    # token loop (period <= repetition_max_period repeating >=
+    # repetition_min_repeats times). 0 disables.
+    repetition_max_period: int = 64
+    repetition_min_repeats: int = 8
 
 
 @dataclasses.dataclass
@@ -478,6 +483,23 @@ class ContinuousBatchingEngine:
             self._finish(slot, "stop")
         elif len(req.output_ids) >= req.max_new_tokens:
             self._finish(slot, "length")
+        elif self.sched.repetition_min_repeats > 0:
+            from dots_ocr_tpu.engine.repetition import detect_repetition
+
+            period = detect_repetition(
+                req.output_ids,
+                max_period=self.sched.repetition_max_period,
+                min_repeats=self.sched.repetition_min_repeats,
+            )
+            if period is not None:
+                logger.warning(
+                    "request %d stuck in a period-%d token loop after %d "
+                    "tokens; stopping", req.req_id, period, len(req.output_ids),
+                )
+                self.metrics["repetition_stops"] = (
+                    self.metrics.get("repetition_stops", 0) + 1
+                )
+                self._finish(slot, "repetition")
 
     def _finish(self, slot: int, reason: str) -> None:
         req = self._slot_req[slot]

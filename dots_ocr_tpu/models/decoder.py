@@ -144,9 +144,14 @@ def decoder_prefill(
     positions: jnp.ndarray,
     seq_lens: jnp.ndarray,
     attn_impl: str = "xla",
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Full-sequence forward. inputs_embeds: [B, T, D]; positions: [B, T];
     seq_lens: [B] valid lengths (padding masked out of attention).
+
+    remat=True rematerializes each layer in the backward pass
+    (jax.checkpoint) — trades recompute FLOPs for activation memory when
+    training long packed sequences.
 
     Returns (hidden [B, T, D], KVCache with the prefill K/V)."""
     b, t, _ = inputs_embeds.shape
@@ -163,10 +168,16 @@ def decoder_prefill(
     else:
         mask = None
 
-    def scan_body(x, block_params):
-        x, kv = decoder_layer_prefill(
+    def layer_fn(x, block_params, cos, sin, mask, segment_ids):
+        return decoder_layer_prefill(
             x, block_params, cfg, cos, sin, mask, segment_ids, attn_impl
         )
+
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
+
+    def scan_body(x, block_params):
+        x, kv = layer_fn(x, block_params, cos, sin, mask, segment_ids)
         return x, kv
 
     x, (k_all, v_all) = jax.lax.scan(scan_body, inputs_embeds, params["blocks"])

@@ -91,6 +91,7 @@ def vlm_prefill(
     window_ids: Optional[jnp.ndarray] = None,
     attn_impl: str = "xla",
     last_logit_only: bool = False,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Full multimodal prefill.
 
@@ -118,7 +119,8 @@ def vlm_prefill(
         x = splice_vision_embeddings(x, vision_tokens, scatter_batch, scatter_pos)
 
     hidden, cache = decoder_prefill(
-        params["decoder"], config.decoder, x, positions, seq_lens, attn_impl
+        params["decoder"], config.decoder, x, positions, seq_lens, attn_impl,
+        remat=remat,
     )
     if last_logit_only:
         batch_idx = jnp.arange(hidden.shape[0])

@@ -63,9 +63,10 @@ def init_train_state(params, optimizer: optax.GradientTransformation) -> TrainSt
 
 
 def loss_fn(
-    params, config: DotsOCRConfig, batch: TrainBatch
+    params, config: DotsOCRConfig, batch: TrainBatch, remat: bool = False
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Masked next-token cross entropy (f32 logits)."""
+    """Masked next-token cross entropy (f32 logits). remat rematerializes
+    decoder layers in the backward pass (activation-memory for FLOPs)."""
     logits, _ = vlm_prefill(
         params,
         config,
@@ -78,6 +79,7 @@ def loss_fn(
         segment_ids=batch.segment_ids,
         scatter_batch=batch.scatter_batch,
         scatter_pos=batch.scatter_pos,
+        remat=remat,
     )
     logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     target_logprobs = jnp.take_along_axis(
@@ -92,17 +94,18 @@ def loss_fn(
     return loss, {"loss": loss, "accuracy": accuracy, "tokens": denom}
 
 
-@partial(jax.jit, static_argnames=("config", "optimizer"), donate_argnames=("state",))
+@partial(jax.jit, static_argnames=("config", "optimizer", "remat"), donate_argnames=("state",))
 def train_step(
     state: TrainState,
     batch: TrainBatch,
     config: DotsOCRConfig,
     optimizer: optax.GradientTransformation,
+    remat: bool = False,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimizer step. jit-compatible with sharded params/batch: under a
     mesh, GSPMD derives gradient collectives from the in/out shardings."""
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-    (_, metrics), grads = grad_fn(state.params, config, batch)
+    (_, metrics), grads = grad_fn(state.params, config, batch, remat)
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     metrics["grad_norm"] = optax.global_norm(grads)
