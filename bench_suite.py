@@ -1,0 +1,200 @@
+"""Scenario benchmark suite: the five BASELINE.json configs, timed on TPU.
+
+Complements bench.py (the driver's single-line decode-throughput metric)
+with end-to-end timings of the BASELINE scenarios, run with random weights
+(speed/plumbing only — quality needs the real checkpoint):
+
+  1. single-image layout+text parse (in-process engine, greedy)
+  2. OCR-only + grounding prompts with bbox rescale verification
+  3. multi-page PDF parse
+  4. concurrent batch eval through continuous batching
+  5. SVG-style long decode (temperature 0.9) with repetition guard
+
+Usage: python bench_suite.py [--size tiny|small|flagship] [--json out.json]
+"""
+
+import argparse
+import io
+import json
+import sys
+import time
+
+import numpy as np
+from PIL import Image
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_page_image(width=1400, height=1980, seed=0):
+    """Synthetic 'document page': white with dark text-ish speckle rows."""
+    rng = np.random.RandomState(seed)
+    arr = np.full((height, width, 3), 245, np.uint8)
+    for y in range(60, height - 60, 28):
+        n_words = rng.randint(4, 12)
+        x = 80
+        for _ in range(n_words):
+            w = rng.randint(30, 120)
+            arr[y : y + 14, x : x + w] = rng.randint(20, 80)
+            x += w + rng.randint(8, 24)
+            if x > width - 150:
+                break
+    return Image.fromarray(arr)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", choices=["tiny", "small", "flagship"], default="flagship")
+    ap.add_argument("--max-new", type=int, default=256)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    from dots_ocr_tpu.engine.engine import InferenceEngine
+    from dots_ocr_tpu.engine.scheduler import ContinuousBatchingEngine, SchedulerConfig
+    from dots_ocr_tpu.models.config import DotsOCRConfig
+    from dots_ocr_tpu.models.init import zeros_params
+    from dots_ocr_tpu.parser import DotsOCRParser
+    from dots_ocr_tpu.utils.prompts import dict_promptmode_to_prompt
+
+    log(f"devices: {jax.devices()}")
+    config = {
+        "tiny": DotsOCRConfig.tiny,
+        "small": DotsOCRConfig.small,
+        "flagship": DotsOCRConfig.flagship,
+    }[args.size]()
+    params = zeros_params(config)
+    results = {}
+
+    engine = InferenceEngine(
+        params, config, default_max_new_tokens=args.max_new,
+        vision_bucket_step=2048 if args.size == "flagship" else 64,
+        prompt_bucket_step=512 if args.size == "flagship" else 32,
+    )
+    page = make_page_image()
+
+    # -- 1: single-image layout parse (in-process) --------------------------
+    log("config 1: single-image layout parse")
+    prompt = dict_promptmode_to_prompt["prompt_layout_all_en"]
+    t0 = time.perf_counter()
+    engine.generate_one(prompt, images=[page], temperature=0.1,
+                        max_new_tokens=args.max_new)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    engine.generate_one(prompt, images=[make_page_image(seed=1)],
+                        temperature=0.1, max_new_tokens=args.max_new)
+    warm = time.perf_counter() - t0
+    results["single_image_layout"] = {
+        "compile_s": round(compile_s, 2),
+        "warm_page_s": round(warm, 3),
+        "tokens": args.max_new,
+    }
+    log(f"  warm: {warm:.2f}s ({compile_s:.0f}s with compile)")
+
+    # -- 2: OCR + grounding with bbox rescale verification -------------------
+    log("config 2: OCR + grounding")
+    import tempfile
+
+    from dots_ocr_tpu.utils.resize import smart_resize
+
+    tmp = tempfile.mkdtemp(prefix="bench_suite_")
+    img_path = f"{tmp}/page.png"
+    page.save(img_path)
+    parser = DotsOCRParser(engine=engine, output_dir=f"{tmp}/out")
+    t0 = time.perf_counter()
+    parser.parse_file(img_path, prompt_mode="prompt_ocr")
+    ocr_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rec = parser.parse_file(
+        img_path, prompt_mode="prompt_grounding_ocr", bbox=[100, 100, 600, 400]
+    )[0]
+    ground_s = time.perf_counter() - t0
+    ih, iw = smart_resize(page.height, page.width)
+    assert rec["input_height"] == ih and rec["input_width"] == iw
+    results["ocr_and_grounding"] = {
+        "ocr_page_s": round(ocr_s, 3),
+        "grounding_page_s": round(ground_s, 3),
+        "bbox_rescale_verified": True,
+    }
+    log(f"  ocr {ocr_s:.2f}s grounding {ground_s:.2f}s")
+
+    # -- 3: multi-page PDF ----------------------------------------------------
+    log("config 3: multi-page PDF")
+    pdf_path = f"{tmp}/doc.pdf"
+    pages = [make_page_image(seed=i) for i in range(4)]
+    buf = io.BytesIO()
+    pages[0].save(buf, format="PDF", save_all=True, append_images=pages[1:])
+    open(pdf_path, "wb").write(buf.getvalue())
+    t0 = time.perf_counter()
+    recs = parser.parse_file(pdf_path, prompt_mode="prompt_ocr")
+    pdf_s = time.perf_counter() - t0
+    results["multi_page_pdf"] = {
+        "pages": len(recs),
+        "total_s": round(pdf_s, 3),
+        "s_per_page": round(pdf_s / max(1, len(recs)), 3),
+    }
+    log(f"  {len(recs)} pages in {pdf_s:.2f}s")
+
+    # -- 4: concurrent batch via continuous batching --------------------------
+    log("config 4: continuous-batching batch eval")
+    cb = ContinuousBatchingEngine(
+        params, config,
+        sched=SchedulerConfig(
+            num_pages=512,
+            page_size=256 if args.size == "flagship" else 16,
+            max_slots=16 if args.size == "flagship" else 4,
+            max_pages_per_seq=16 if args.size == "flagship" else 256,
+            prompt_bucket_step=512 if args.size == "flagship" else 32,
+            vision_bucket_step=2048 if args.size == "flagship" else 16,
+            steps_per_sync=16,
+        ),
+        default_max_new_tokens=args.max_new,
+    )
+    n_req = 8
+    imgs = [make_page_image(seed=10 + i, width=700, height=980) for i in range(n_req)]
+    # warm compile wave
+    cb.generate_batch([prompt] * 2, [[imgs[0]], [imgs[1]]],
+                      temperature=0.1, max_new_tokens=args.max_new)
+    g0 = cb.metrics["generated_tokens"]
+    t0 = time.perf_counter()
+    cb.generate_batch([prompt] * n_req, [[im] for im in imgs],
+                      temperature=0.1, max_new_tokens=args.max_new)
+    batch_s = time.perf_counter() - t0
+    gen = cb.metrics["generated_tokens"] - g0
+    results["continuous_batch"] = {
+        "requests": n_req,
+        "total_s": round(batch_s, 3),
+        "pages_per_s": round(n_req / batch_s, 3),
+        "decode_tok_per_s": round(gen / batch_s, 1),
+    }
+    log(f"  {n_req} pages in {batch_s:.2f}s = {n_req/batch_s:.2f} pages/s")
+
+    # -- 5: SVG-style long decode (temp 0.9, repetition guard active) --------
+    log("config 5: SVG long decode")
+    svg_prompt = dict_promptmode_to_prompt["prompt_image_to_svg"].format(
+        width=700, height=980
+    )
+    long_new = args.max_new * 4
+    t0 = time.perf_counter()
+    out = cb.generate_one(
+        svg_prompt, images=[imgs[0]], temperature=0.9, top_p=0.9,
+        max_new_tokens=long_new,
+    )
+    svg_s = time.perf_counter() - t0
+    results["svg_long_decode"] = {
+        "max_new_tokens": long_new,
+        "total_s": round(svg_s, 3),
+        "repetition_stops": cb.metrics.get("repetition_stops", 0),
+    }
+    log(f"  long decode in {svg_s:.2f}s")
+
+    print(json.dumps(results, indent=2))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -350,6 +350,19 @@ class ContinuousBatchingEngine:
             top_p=top_p,
         )
         self._next_id += 1
+        # A prompt that can NEVER fit (per-sequence page table or the whole
+        # pool) must fail fast, not deadlock the admission queue.
+        need = self.allocator.pages_needed(len(req.prompt_ids) + 1)
+        if need > self.sched.max_pages_per_seq or need > self.sched.num_pages - 1:
+            req.state = FINISHED
+            req.finished_reason = "prompt_too_long"
+            logger.error(
+                "request %d rejected: prompt needs %d pages (max_pages_per_seq"
+                " %d, pool %d)", req.req_id, need, self.sched.max_pages_per_seq,
+                self.sched.num_pages - 1,
+            )
+            self._finished[req.req_id] = req
+            return req.req_id
         self._waiting.append(req)
         return req.req_id
 

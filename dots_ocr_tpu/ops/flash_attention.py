@@ -180,17 +180,35 @@ def flash_attention(
     group = num_heads // kv_heads
     sm_scale = sm_scale if sm_scale is not None else head_dim**-0.5
 
-    block_q = min(block_q, q_len)
-    block_k = min(block_k, kv_len)
-    assert q_len % block_q == 0, (q_len, block_q)
-    assert kv_len % block_k == 0, (kv_len, block_k)
-    num_q_blocks = q_len // block_q
-    num_k_blocks = kv_len // block_k
-
     if q_segment_ids is None:
         q_segment_ids = jnp.zeros((batch, q_len), jnp.int32)
     if kv_segment_ids is None:
         kv_segment_ids = jnp.zeros((batch, kv_len), jnp.int32)
+
+    # Pad sequence axes up to the block grid (padding segment -1 attends to
+    # and from nothing; padded q rows are sliced off below). Keeps callers
+    # free to use any bucket size.
+    orig_q_len = q_len
+    q_pad = (-q_len) % min(block_q, max(q_len, 1))
+    kv_pad = (-kv_len) % min(block_k, max(kv_len, 1))
+    if q_pad:
+        q = jnp.pad(q, ((0, 0), (0, q_pad), (0, 0), (0, 0)))
+        q_segment_ids = jnp.pad(
+            q_segment_ids, ((0, 0), (0, q_pad)), constant_values=-1
+        )
+        q_len += q_pad
+    if kv_pad:
+        k = jnp.pad(k, ((0, 0), (0, kv_pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, kv_pad), (0, 0), (0, 0)))
+        kv_segment_ids = jnp.pad(
+            kv_segment_ids, ((0, 0), (0, kv_pad)), constant_values=-1
+        )
+        kv_len += kv_pad
+
+    block_q = min(block_q, q_len)
+    block_k = min(block_k, kv_len)
+    num_q_blocks = q_len // block_q
+    num_k_blocks = kv_len // block_k
 
     # [B*H, T, D] query-head-major layout.
     qr = q.transpose(0, 2, 1, 3).reshape(batch * num_heads, q_len, head_dim)
@@ -244,4 +262,5 @@ def flash_attention(
         interpret=interpret,
     )(q_segment_ids, kv_segment_ids, qr, kr, vr)
 
-    return out.reshape(batch, num_heads, q_len, head_dim).transpose(0, 2, 1, 3)
+    out = out.reshape(batch, num_heads, q_len, head_dim).transpose(0, 2, 1, 3)
+    return out[:, :orig_q_len]

@@ -90,6 +90,17 @@ def test_causal_with_length_padding():
         )
 
 
+def test_non_block_divisible_lengths():
+    """Regression: lengths not divisible by the block size are padded
+    internally (found by bench_suite: prompt bucket 32 with block 128)."""
+    q, k, v = _qkv(jax.random.PRNGKey(9), 1, 96, 96, 4, 2, 32)
+    out = flash(q, k, v, causal=True, block_q=64, block_k=64)
+    positions = jnp.broadcast_to(jnp.arange(96), (1, 96))
+    ref = mha_reference(q, k, v, mask=make_causal_mask(positions, 96))
+    assert out.shape == q.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_bf16_inputs():
     q, k, v = _qkv(jax.random.PRNGKey(5), 1, 128, 128, 2, 2, 32, jnp.bfloat16)
     out = flash(q, k, v, block_q=64, block_k=64)
