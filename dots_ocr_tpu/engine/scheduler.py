@@ -245,6 +245,9 @@ class ScheduledRequest:
     state: str = WAITING
     slot: int = -1
     output_ids: List[int] = dataclasses.field(default_factory=list)
+    # Tokens generated before a preemption: they become part of the replayed
+    # prompt for cache purposes but remain part of the USER-VISIBLE output.
+    prior_output: List[int] = dataclasses.field(default_factory=list)
     preempted: int = 0
     submitted_at: float = dataclasses.field(default_factory=time.monotonic)
     finished_reason: Optional[str] = None
@@ -536,6 +539,7 @@ class ContinuousBatchingEngine:
         self._lengths[slot] = 0
         victim.prompt_ids = victim.prompt_ids + victim.output_ids
         victim.max_new_tokens = max(1, victim.max_new_tokens - len(victim.output_ids))
+        victim.prior_output = victim.prior_output + victim.output_ids
         victim.output_ids = []
         victim.state = WAITING
         victim.slot = -1
@@ -673,7 +677,8 @@ class ContinuousBatchingEngine:
         eos = self.config.special.eos_token_id
         out = []
         for rid in ids:
-            toks = self._finished[rid].output_ids
+            req = self._finished[rid]
+            toks = req.prior_output + req.output_ids
             if toks and toks[-1] == eos:
                 toks = toks[:-1]
             out.append(self.tokenizer.decode(toks, skip_special_tokens=True))

@@ -99,14 +99,14 @@ class EngineWorker:
                 sub = self._futures.pop(req.req_id, None)
                 if sub is None or sub.future.done():
                     continue
-                toks = req.output_ids
+                toks = req.prior_output + req.output_ids
                 if toks and toks[-1] == eos:
                     toks = toks[:-1]
                 text = self.engine.tokenizer.decode(toks, skip_special_tokens=True)
                 sub.future.set_result(
                     {
                         "text": text,
-                        "completion_tokens": len(req.output_ids),
+                        "completion_tokens": len(req.prior_output) + len(req.output_ids),
                         "prompt_tokens": len(req.prompt_ids),
                         "finish_reason": req.finished_reason or "stop",
                     }

@@ -242,11 +242,28 @@ def test_scheduler_preemption_under_page_pressure():
         ),
         default_max_new_tokens=16,
     )
+    prompts = ["aaaaaaaaaaaaaaaa", "bbbbbbbbbbbbbbbb", "cccccccccccccccc"]
     outs = engine.generate_batch(
-        ["aaaaaaaaaaaaaaaa", "bbbbbbbbbbbbbbbb", "cccccccccccccccc"],
-        [[], [], []],
-        temperature=0.0,
-        max_new_tokens=16,
+        prompts, [[], [], []], temperature=0.0, max_new_tokens=16
     )
     assert len(outs) == 3
     assert engine.allocator.free_pages == 19  # everything freed
+    assert engine.metrics["preemptions"] > 0  # pressure actually happened
+
+    # Preemption must be output-transparent: under greedy decoding a
+    # preempted+replayed request yields exactly what an unpressured engine
+    # yields (pre-preemption tokens are kept, the replay continues them).
+    roomy = ContinuousBatchingEngine(
+        params,
+        cfg,
+        sched=SchedulerConfig(
+            num_pages=256, page_size=4, max_slots=4, max_pages_per_seq=64,
+            prompt_bucket_step=32, vision_bucket_step=16,
+            admit_free_page_fraction=0.0,
+        ),
+        default_max_new_tokens=16,
+    )
+    expected = roomy.generate_batch(
+        prompts, [[], [], []], temperature=0.0, max_new_tokens=16
+    )
+    assert outs == expected
