@@ -33,7 +33,24 @@ from dots_ocr_tpu.utils.prompts import (
 )
 
 DEFAULT_SERVER = {"ip": "localhost", "port": 8000}
+
+# Multi-server registry + per-prompt model routing (reference
+# demo_gradio.py:42-53 and :80-82 — the SVG task runs a dedicated
+# fine-tune, e.g. dots.mocr-svg, often on a separate server).
+MODEL_SERVERS = {
+    "default": {"ip": "localhost", "port": 8000, "model_name": "model"},
+    "svg": {"ip": "localhost", "port": 8001, "model_name": "model-svg"},
+}
+PROMPT_TO_MODEL = {
+    "prompt_image_to_svg": "svg",
+}
+
 _parser_cache = {}
+
+
+def server_for_prompt(prompt_mode: str) -> dict:
+    key = PROMPT_TO_MODEL.get(prompt_mode, "default")
+    return MODEL_SERVERS.get(key, MODEL_SERVERS["default"])
 
 
 def get_parser(ip: str, port: int, min_pixels, max_pixels) -> DotsOCRParser:

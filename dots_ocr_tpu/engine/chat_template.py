@@ -19,9 +19,58 @@ from dots_ocr_tpu.engine.tokenizer import TokenizerLike
 
 IMAGE_PLACEHOLDER = "<|img|><|imgpad|><|endofimg|>"
 
+# Set by load_checkpoint_template(); None = builtin Qwen-style rendering.
+_CHECKPOINT_TEMPLATE = None
+
+
+def load_checkpoint_template(model_path: str) -> Optional[str]:
+    """Load and activate the checkpoint's own Jinja chat template when
+    present (chat_template.json / chat_template.jinja /
+    tokenizer_config.json:chat_template) — full fidelity with whatever the
+    model was trained on, rendered via jinja2."""
+    global _CHECKPOINT_TEMPLATE
+    import json
+    import os
+
+    template = None
+    for name in ("chat_template.json", "tokenizer_config.json"):
+        path = os.path.join(model_path, name)
+        if os.path.exists(path):
+            try:
+                with open(path, encoding="utf-8") as f:
+                    data = json.load(f)
+                template = data.get("chat_template")
+                if template:
+                    break
+            except Exception:  # noqa: BLE001
+                continue
+    jinja_path = os.path.join(model_path, "chat_template.jinja")
+    if template is None and os.path.exists(jinja_path):
+        with open(jinja_path, encoding="utf-8") as f:
+            template = f.read()
+    if template:
+        _CHECKPOINT_TEMPLATE = template
+    return template
+
 
 def render_chat(user_content: str, system_prompt: Optional[str] = None) -> str:
-    """Qwen2.5-style chat rendering with generation prompt."""
+    """Chat rendering with generation prompt: the checkpoint's own Jinja
+    template when loaded, else the builtin Qwen2.5-style format."""
+    if _CHECKPOINT_TEMPLATE is not None:
+        import jinja2
+
+        messages = []
+        if system_prompt:
+            messages.append({"role": "system", "content": system_prompt})
+        messages.append({"role": "user", "content": user_content})
+        env = jinja2.Environment(trim_blocks=True, lstrip_blocks=True)
+        env.globals["raise_exception"] = lambda msg: (_ for _ in ()).throw(
+            ValueError(msg)
+        )
+        return env.from_string(_CHECKPOINT_TEMPLATE).render(
+            messages=messages, add_generation_prompt=True
+        )
+
     parts = []
     if system_prompt:
         parts.append(f"<|im_start|>system\n{system_prompt}<|im_end|>\n")

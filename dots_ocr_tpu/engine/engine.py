@@ -87,10 +87,13 @@ class InferenceEngine:
     def from_pretrained(
         cls, model_path: str, config: Optional[DotsOCRConfig] = None, **kwargs
     ) -> "InferenceEngine":
+        from dots_ocr_tpu.engine.chat_template import load_checkpoint_template
         from dots_ocr_tpu.models.loader import load_checkpoint
 
         config, params = load_checkpoint(model_path, config=config)
         tokenizer = load_tokenizer(model_path)
+        if load_checkpoint_template(model_path):
+            logger.info("using the checkpoint's own chat template")
         return cls(params, config, tokenizer=tokenizer, **kwargs)
 
     @classmethod

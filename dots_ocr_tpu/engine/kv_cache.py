@@ -158,19 +158,5 @@ def write_prefill_kv(
     return PagedKV(k, v)
 
 
-def write_decode_kv(
-    k_layer_pages: jnp.ndarray,
-    v_layer_pages: jnp.ndarray,
-    k_new: jnp.ndarray,
-    v_new: jnp.ndarray,
-    slots: jnp.ndarray,
-) -> tuple:
-    """Write one token per sequence for ONE layer (used inside the layer
-    scan). k_layer_pages: [KV, N_slots, D]; k_new: [B, KV, D]; slots: [B]."""
-    k = k_layer_pages.at[:, slots].set(
-        k_new.transpose(1, 0, 2).astype(k_layer_pages.dtype)
-    )
-    v = v_layer_pages.at[:, slots].set(
-        v_new.transpose(1, 0, 2).astype(v_layer_pages.dtype)
-    )
-    return k, v
+# (Per-token decode writes happen inline in decoder_decode_step_paged so the
+# scatters stay on that function's per-layer carry leaves.)
