@@ -51,6 +51,11 @@ class VisionConfig:
     # config at load time.]
     window_size: int = 0
     full_attn_layers: tuple = ()
+    # Input normalization (OpenAI-CLIP family) applied ON DEVICE — patches
+    # travel host->device as uint8 (4x less transfer than f32).
+    # [EXTERNAL — overridden from the checkpoint's preprocessor_config.json.]
+    image_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
+    image_std: tuple = (0.26862954, 0.26130258, 0.27577711)
 
     @property
     def patch_dim(self) -> int:

@@ -21,17 +21,15 @@ from PIL import Image
 from dots_ocr_tpu.models.config import VisionConfig
 from dots_ocr_tpu.models.rope import vision_grid_positions, vision_rope_table
 
-# OpenAI-CLIP-family normalization [EXTERNAL — the checkpoint's
-# preprocessor_config.json overrides these at load time].
-DEFAULT_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
-DEFAULT_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+# Normalization constants live on VisionConfig (image_mean/image_std) and
+# are applied ON DEVICE (vision_forward); the host ships raw uint8 patches.
 
 
 @dataclass
 class PackedVisionInput:
     """Device-ready packed vision batch."""
 
-    patches: np.ndarray        # [T_pad, patch_dim] float32
+    patches: np.ndarray        # [T_pad, patch_dim] uint8 (normalized on device)
     rope_cos: np.ndarray       # [T_pad, head_dim] float32
     rope_sin: np.ndarray       # [T_pad, head_dim] float32
     segment_ids: np.ndarray    # [T_pad] int32, image index, -1 = padding
@@ -56,8 +54,6 @@ class PackedVisionInput:
 def extract_patches(
     image: Image.Image,
     cfg: VisionConfig,
-    mean: Sequence[float] = DEFAULT_IMAGE_MEAN,
-    std: Sequence[float] = DEFAULT_IMAGE_STD,
 ) -> Tuple[np.ndarray, Tuple[int, int], np.ndarray, np.ndarray]:
     """Image (already smart-resized to the 28-grid) -> patch matrix.
 
@@ -66,8 +62,7 @@ def extract_patches(
     windowing enabled T_emit > grid_h*grid_w: edge windows are padded to a
     uniform window^2 tokens (zero patches, valid=False).
     """
-    arr = np.asarray(image.convert("RGB"), dtype=np.float32) / 255.0
-    arr = (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+    arr = np.asarray(image.convert("RGB"), dtype=np.uint8)
     h, w, c = arr.shape
     p = cfg.patch_size
     assert h % (p * cfg.spatial_merge_size) == 0, f"height {h} not on the grid"
@@ -94,7 +89,7 @@ def extract_patches(
     )
     flat = patches.reshape(grid_h * grid_w, -1)
     valid = perm >= 0
-    out = np.zeros((len(perm), flat.shape[1]), np.float32)
+    out = np.zeros((len(perm), flat.shape[1]), np.uint8)
     out[valid] = flat[perm[valid]]
     return out, (grid_h, grid_w), window_ids, valid
 
@@ -138,7 +133,7 @@ def merge_packed(
             win_offset += int(win.max()) + 1 if n else 0
         grids.extend(packed.grids)
 
-    patches = np.concatenate(parts_p, axis=0) if parts_p else np.zeros((0, cfg.patch_dim), np.float32)
+    patches = np.concatenate(parts_p, axis=0) if parts_p else np.zeros((0, cfg.patch_dim), np.uint8)
     total = patches.shape[0]
     merge = cfg.spatial_merge_size**2
     padded = token_bucket(total, bucket_step=bucket_step)
@@ -174,8 +169,6 @@ def pack_images(
     images: Sequence[Image.Image],
     cfg: VisionConfig,
     bucket_step: int = 512,
-    mean: Sequence[float] = DEFAULT_IMAGE_MEAN,
-    std: Sequence[float] = DEFAULT_IMAGE_STD,
 ) -> PackedVisionInput:
     """Pack N smart-resized images into one padded token axis."""
     all_patches = []
@@ -187,7 +180,7 @@ def pack_images(
     num_valid_merged = 0
     window_offset = 0
     for idx, image in enumerate(images):
-        patches, (gh, gw), window_ids, valid = extract_patches(image, cfg, mean, std)
+        patches, (gh, gw), window_ids, valid = extract_patches(image, cfg)
         pos2d = vision_grid_positions(
             gh, gw, merge=cfg.spatial_merge_size, window=cfg.window_size,
             pad_windows=cfg.window_size > 0,
@@ -203,7 +196,7 @@ def pack_images(
         num_valid_merged += (gh * gw) // cfg.spatial_merge_size**2
 
     patches = np.concatenate(all_patches, axis=0) if all_patches else np.zeros(
-        (0, cfg.patch_dim), np.float32
+        (0, cfg.patch_dim), np.uint8
     )
     total = patches.shape[0]
     merge = cfg.spatial_merge_size**2

@@ -101,27 +101,37 @@ def token_order(
         pad_windows = False
     assert window % merge == 0, (window, merge)
 
-    perm = []
-    window_ids = []
-    wid = 0
-    for wr0 in range(0, grid_h, window):
-        for wc0 in range(0, grid_w, window):
-            wr1 = min(wr0 + window, grid_h)
-            wc1 = min(wc0 + window, grid_w)
-            count = 0
-            for br in range(wr0, wr1, merge):
-                for bc in range(wc0, wc1, merge):
-                    for r in range(br, min(br + merge, grid_h)):
-                        for c in range(bc, min(bc + merge, grid_w)):
-                            perm.append(r * grid_w + c)
-                            window_ids.append(wid)
-                            count += 1
-            if pad_windows:
-                for _ in range(window * window - count):
-                    perm.append(-1)
-                    window_ids.append(wid)
-            wid += 1
-    return np.asarray(perm, np.int64), np.asarray(window_ids, np.int32)
+    # Vectorized construction (a Python loop here costs seconds at the 28k+
+    # tokens of a large page): pad the row-major id grid to window multiples
+    # with -1, carve into windows (row-major), then into merge blocks
+    # (row-major within each window).
+    hp = -(-grid_h // window) * window
+    wp = -(-grid_w // window) * window
+    ids = np.full((hp, wp), -1, np.int64)
+    ids[:grid_h, :grid_w] = np.arange(grid_h * grid_w, dtype=np.int64).reshape(
+        grid_h, grid_w
+    )
+    nwr, nwc = hp // window, wp // window
+    wb = window // merge
+    # [nwr, nwc, wb, merge, wb, merge] -> windows row-major, merge blocks
+    # row-major inside, block cells row-major.
+    blocks = (
+        ids.reshape(nwr, window, nwc, window)
+        .transpose(0, 2, 1, 3)
+        .reshape(nwr * nwc, wb, merge, wb, merge)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(nwr * nwc, window * window)
+    )
+    window_ids = np.broadcast_to(
+        np.arange(nwr * nwc, dtype=np.int32)[:, None], blocks.shape
+    )
+    perm = blocks.reshape(-1)
+    window_ids = window_ids.reshape(-1)
+    if not pad_windows:
+        keep = perm >= 0
+        perm = perm[keep]
+        window_ids = np.ascontiguousarray(window_ids[keep])
+    return perm, window_ids
 
 
 def vision_grid_positions(

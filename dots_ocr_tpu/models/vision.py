@@ -143,6 +143,15 @@ def vision_forward(
     """
     del window_ids  # windowing works off the uniform reshape + segment ids
     dtype = params["patch_embed"]["kernel"].dtype
+    if patches.dtype == jnp.uint8:
+        # Patches travel host->device as uint8 (4x less transfer than f32);
+        # CLIP-style normalization happens here, fused by XLA into the
+        # patch-embed matmul. Pixel layout inside a patch is (p*p, channel),
+        # channel fastest — tile the per-channel stats across the patch dim.
+        pixels = cfg.patch_dim // cfg.in_channels
+        mean = jnp.tile(jnp.asarray(cfg.image_mean, jnp.float32), pixels)
+        std = jnp.tile(jnp.asarray(cfg.image_std, jnp.float32), pixels)
+        patches = ((patches.astype(jnp.float32) / 255.0 - mean) / std)
     x = linear(
         patches.astype(dtype),
         params["patch_embed"]["kernel"],

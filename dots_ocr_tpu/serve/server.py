@@ -353,7 +353,21 @@ def main(argv=None):
         "--random-tiny", action="store_true",
         help="serve a tiny random-weight model (smoke tests without weights)",
     )
+    parser.add_argument(
+        "--warmup", action="store_true",
+        help="precompile the common prompt/vision buckets before binding",
+    )
+    parser.add_argument(
+        "--compile-cache", type=str, default=None,
+        help="persistent XLA compilation cache dir (fast restarts)",
+    )
     args = parser.parse_args(argv)
+
+    if args.compile_cache:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from dots_ocr_tpu.engine.engine import InferenceEngine
     from dots_ocr_tpu.engine.tokenizer import load_tokenizer
@@ -397,6 +411,20 @@ def main(argv=None):
         )
     else:
         engine = InferenceEngine(params, config, tokenizer=tokenizer)
+
+    if args.warmup:
+        import numpy as _np
+        from PIL import Image as _Image
+
+        logging.getLogger(__name__).info("warmup: compiling common buckets...")
+        dummy = _Image.fromarray(
+            _np.zeros((560, 420, 3), _np.uint8)
+        )
+        engine.generate_batch(
+            ["warmup", "warmup"], [[dummy], []],
+            temperature=0.0, max_new_tokens=8,
+        )
+        logging.getLogger(__name__).info("warmup complete")
 
     OpenAIServer(
         engine, model_name=args.model_name, max_batch=args.max_batch
