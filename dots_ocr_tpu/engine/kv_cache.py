@@ -18,7 +18,7 @@ Host side:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, NamedTuple, Optional
+from typing import Dict, List, NamedTuple
 
 import jax
 import jax.numpy as jnp

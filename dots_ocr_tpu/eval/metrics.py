@@ -10,7 +10,7 @@ available.
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Sequence
+from typing import Dict
 
 import numpy as np
 

@@ -20,7 +20,7 @@ RMSNorm + SwiGLU, RoPE theta 1e6, qkv bias, tied embeddings (SURVEY.md §2.4,
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

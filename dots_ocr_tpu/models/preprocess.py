@@ -11,7 +11,6 @@ Replaces the qwen_vl_utils processor the reference depends on
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import List, Sequence, Tuple
 

@@ -15,7 +15,7 @@ import queue
 import threading
 from concurrent.futures import Future
 from dataclasses import dataclass, field
-from typing import Any, Dict, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 logger = logging.getLogger(__name__)
 
