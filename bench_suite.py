@@ -102,7 +102,13 @@ def main():
     tmp = tempfile.mkdtemp(prefix="bench_suite_")
     img_path = f"{tmp}/page.png"
     page.save(img_path)
-    parser = DotsOCRParser(engine=engine, output_dir=f"{tmp}/out")
+    # max_completion_tokens must match the engine bench budget: the simple
+    # engine allocates a prompt+max_new contiguous cache (16384 default
+    # would be ~7 GB at flagship size and OOM the chip alongside params).
+    parser = DotsOCRParser(
+        engine=engine, output_dir=f"{tmp}/out",
+        max_completion_tokens=args.max_new,
+    )
     t0 = time.perf_counter()
     parser.parse_file(img_path, prompt_mode="prompt_ocr")
     ocr_s = time.perf_counter() - t0

@@ -57,6 +57,12 @@ def generate(
 
     input_ids: [B, T_bucket] (right-padded); seq_lens: [B] true prompt
     lengths; temperature/top_p: [B] per-request sampling params.
+
+    Memory note: this path allocates a contiguous
+    [L, B, T_bucket + max_new_tokens] cache — at flagship size that is
+    ~430 MB per 1k tokens per sequence. Large max_new_tokens (the parser's
+    16384 default) belongs on the paged continuous-batching engine; here it
+    can exceed HBM next to the 5.6 GB of parameters.
     """
     batch, t_bucket = input_ids.shape
     eos = config.special.eos_token_id

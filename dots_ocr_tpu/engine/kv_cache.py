@@ -28,14 +28,31 @@ from dots_ocr_tpu.models.config import DecoderConfig
 
 
 class PagedKV(NamedTuple):
-    """Device-side paged cache arrays."""
+    """Device-side paged cache arrays.
 
-    k: jnp.ndarray  # [L, KV, num_pages * page_size, D]
+    Optionally int8-quantized (k/v int8 + per-(layer, head, slot) f32
+    scales): halves cache HBM + page-fetch bandwidth — REQUIRED to fit the
+    reference's full workload envelope (14.4k vision + 24k decode tokens per
+    sequence at 16 slots would need ~19 GB in bf16). Scales are None in
+    bf16 mode.
+    """
+
+    k: jnp.ndarray  # [L, KV, num_pages * page_size, D] (bf16 or int8)
     v: jnp.ndarray
+    k_scale: "jnp.ndarray | None" = None  # [L, KV, num_pages * page_size]
+    v_scale: "jnp.ndarray | None" = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @staticmethod
     def create(
-        cfg: DecoderConfig, num_pages: int, page_size: int, dtype=jnp.bfloat16
+        cfg: DecoderConfig,
+        num_pages: int,
+        page_size: int,
+        dtype=jnp.bfloat16,
+        quantized: bool = False,
     ) -> "PagedKV":
         shape = (
             cfg.num_layers,
@@ -43,7 +60,27 @@ class PagedKV(NamedTuple):
             num_pages * page_size,
             cfg.head_dim,
         )
+        if quantized:
+            return PagedKV(
+                jnp.zeros(shape, jnp.int8),
+                jnp.zeros(shape, jnp.int8),
+                jnp.zeros(shape[:-1], jnp.float32),
+                jnp.zeros(shape[:-1], jnp.float32),
+            )
         return PagedKV(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def quantize_kv(x: jnp.ndarray) -> tuple:
+    """Per-vector symmetric int8 quantization over the last (head_dim) axis.
+
+    x: [..., D] -> (int8 [..., D], scale f32 [...]) with x ~= int8 * scale.
+    """
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
 
 
 class OutOfPages(RuntimeError):
@@ -139,7 +176,7 @@ class PageAllocator:
 def write_prefill_kv(
     paged: PagedKV, k_new: jnp.ndarray, v_new: jnp.ndarray, slot_mapping: jnp.ndarray
 ) -> PagedKV:
-    """Scatter prefill K/V into pages.
+    """Scatter prefill K/V into pages (quantizing when the cache is int8).
 
     k_new/v_new: [L, B, T, KV, D] (from decoder_prefill); slot_mapping:
     [B*T] int32 physical slots (-1 entries write to the reserved null page's
@@ -153,6 +190,15 @@ def write_prefill_kv(
         num_layers, kv_heads, batch * t, head_dim
     )
     slots = jnp.maximum(slot_mapping, 0)
+    if paged.quantized:
+        qk, sk = quantize_kv(flat_k)
+        qv, sv = quantize_kv(flat_v)
+        return PagedKV(
+            paged.k.at[:, :, slots].set(qk),
+            paged.v.at[:, :, slots].set(qv),
+            paged.k_scale.at[:, :, slots].set(sk),
+            paged.v_scale.at[:, :, slots].set(sv),
+        )
     k = paged.k.at[:, :, slots].set(flat_k.astype(paged.k.dtype))
     v = paged.v.at[:, :, slots].set(flat_v.astype(paged.v.dtype))
     return PagedKV(k, v)

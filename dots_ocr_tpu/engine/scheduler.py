@@ -54,13 +54,12 @@ logger = logging.getLogger(__name__)
 @partial(
     jax.jit,
     static_argnames=("config", "attn_impl", "nucleus"),
-    donate_argnames=("k_pages", "v_pages"),
+    donate_argnames=("paged",),
 )
 def prefill_program(
     params,
     config: DotsOCRConfig,
-    k_pages,
-    v_pages,
+    paged: PagedKV,
     input_ids,
     seq_lens,
     slot_mapping,
@@ -96,21 +95,20 @@ def prefill_program(
         attn_impl=attn_impl,
         last_logit_only=True,
     )
-    paged = write_prefill_kv(PagedKV(k_pages, v_pages), cache.k, cache.v, slot_mapping)
+    paged = write_prefill_kv(paged, cache.k, cache.v, slot_mapping)
     first = sample_logits(rng, logits, temperature, top_p, nucleus=nucleus)
-    return first, paged.k, paged.v
+    return first, paged
 
 
 @partial(
     jax.jit,
     static_argnames=("config", "page_size", "num_steps", "attn_impl", "nucleus"),
-    donate_argnames=("k_pages", "v_pages"),
+    donate_argnames=("paged",),
 )
 def decode_program(
     params,
     config: DotsOCRConfig,
-    k_pages,
-    v_pages,
+    paged: PagedKV,
     tokens,
     positions,
     page_tables,
@@ -156,14 +154,14 @@ def decode_program(
 
     def body(state):
         i, current, caches, done, tokens_out, num_decoded, pos, rng = state
-        k_list, v_list = caches
+        k_list, v_list, ks_list, vs_list = caches
         live = ~done
         write_pos = jnp.where(live, pos, 0)
         slots = jnp.where(live, slot_of(write_pos), 0)
         seq_lens = jnp.where(live, pos + 1, 0)
 
         x = embed_tokens(params["decoder"], current)
-        hidden, k_list, v_list = decoder_decode_step_paged(
+        hidden, k_list, v_list, ks_list, vs_list = decoder_decode_step_paged(
             params["decoder"],
             config.decoder,
             x,
@@ -175,6 +173,8 @@ def decode_program(
             slots,
             page_size,
             attn_impl=attn_impl,
+            k_scales=ks_list,
+            v_scales=vs_list,
         )
         logits = logits_from_hidden(params["decoder"], config.decoder, hidden)
         rng, step_rng = jax.random.split(rng)
@@ -184,23 +184,37 @@ def decode_program(
         num_decoded = num_decoded + live.astype(jnp.int32)
         done = done | (live & (nxt == eos))
         pos = pos + live.astype(jnp.int32)
-        return (i + 1, jnp.where(live, nxt, current), (k_list, v_list), done,
+        return (i + 1, jnp.where(live, nxt, current),
+                (k_list, v_list, ks_list, vs_list), done,
                 tokens_out, num_decoded, pos, rng)
 
     # Per-layer cache leaves: each layer's scatter updates its own carry
     # array in place (a stacked [L, ...] carry would rewrite the whole
     # cache per layer; per-layer scan xs would copy every touched slice).
     num_layers = config.decoder.num_layers
-    k_list = tuple(k_pages[l] for l in range(num_layers))
-    v_list = tuple(v_pages[l] for l in range(num_layers))
+    k_list = tuple(paged.k[l] for l in range(num_layers))
+    v_list = tuple(paged.v[l] for l in range(num_layers))
+    ks_list = (
+        tuple(paged.k_scale[l] for l in range(num_layers))
+        if paged.quantized else None
+    )
+    vs_list = (
+        tuple(paged.v_scale[l] for l in range(num_layers))
+        if paged.quantized else None
+    )
     state = (
-        jnp.int32(0), tokens, (k_list, v_list), done0,
+        jnp.int32(0), tokens, (k_list, v_list, ks_list, vs_list), done0,
         tokens_out0, num_decoded0, positions, rng,
     )
-    _, _, (k_list, v_list), _, tokens_out, num_decoded, _, _ = jax.lax.while_loop(
-        cond, body, state
+    (_, _, (k_list, v_list, ks_list, vs_list), _,
+     tokens_out, num_decoded, _, _) = jax.lax.while_loop(cond, body, state)
+    out_paged = PagedKV(
+        jnp.stack(k_list),
+        jnp.stack(v_list),
+        jnp.stack(ks_list) if ks_list is not None else None,
+        jnp.stack(vs_list) if vs_list is not None else None,
     )
-    return tokens_out, num_decoded, jnp.stack(k_list), jnp.stack(v_list)
+    return tokens_out, num_decoded, out_paged
 
 
 # ---------------------------------------------------------------------------
@@ -232,6 +246,9 @@ class SchedulerConfig:
     # repetition_min_repeats times). 0 disables.
     repetition_max_period: int = 64
     repetition_min_repeats: int = 8
+    # "bf16" or "int8": int8 halves cache HBM + page-read bandwidth (needed
+    # to fit 14.4k-vision + 24k-decode sequences at high slot counts).
+    kv_cache_dtype: str = "bf16"
 
 
 @dataclasses.dataclass
@@ -295,7 +312,11 @@ class ContinuousBatchingEngine:
 
         kv_dtype = kv_dtype or config.jax_dtype
         self.paged = PagedKV.create(
-            config.decoder, self.sched.num_pages, self.sched.page_size, dtype=kv_dtype
+            config.decoder,
+            self.sched.num_pages,
+            self.sched.page_size,
+            dtype=kv_dtype,
+            quantized=self.sched.kv_cache_dtype == "int8",
         )
         self.allocator = PageAllocator(
             num_pages=self.sched.num_pages,
@@ -456,11 +477,10 @@ class ContinuousBatchingEngine:
             if merged.window_ids is not None:
                 kwargs["window_ids"] = jnp.asarray(merged.window_ids)
 
-        first, k_pages, v_pages = prefill_program(
+        first, self.paged = prefill_program(
             self.params,
             self.config,
-            self.paged.k,
-            self.paged.v,
+            self.paged,
             jnp.asarray(input_ids),
             jnp.asarray(seq_lens),
             jnp.asarray(slot_mapping.reshape(-1)),
@@ -471,7 +491,6 @@ class ContinuousBatchingEngine:
             nucleus=bool(any(r.top_p < 1.0 for r in reqs)),
             **kwargs,
         )
-        self.paged = PagedKV(k_pages, v_pages)
         first = np.asarray(first)
 
         for j, req in enumerate(reqs):
@@ -586,11 +605,10 @@ class ContinuousBatchingEngine:
                 tables[i] = self.allocator.padded_table(self._slot_req[i].req_id)
             if active:
                 nucleus = bool(np.any(self._top_ps[active] < 1.0))
-                tokens_out, num_decoded, k_pages, v_pages = decode_program(
+                tokens_out, num_decoded, self.paged = decode_program(
                     self.params,
                     self.config,
-                    self.paged.k,
-                    self.paged.v,
+                    self.paged,
                     jnp.asarray(self._tokens),
                     jnp.asarray(positions),
                     jnp.asarray(tables),
@@ -603,7 +621,6 @@ class ContinuousBatchingEngine:
                     attn_impl=self.decode_impl,
                     nucleus=nucleus,
                 )
-                self.paged = PagedKV(k_pages, v_pages)
                 tokens_out = np.asarray(tokens_out)
                 num_decoded = np.asarray(num_decoded)
                 self.metrics["steps"] += 1

@@ -220,14 +220,16 @@ def decoder_decode_step_paged(
     cfg: DecoderConfig,
     inputs_embeds: jnp.ndarray,
     positions: jnp.ndarray,
-    k_pages: jnp.ndarray,
-    v_pages: jnp.ndarray,
+    k_pages,
+    v_pages,
     page_tables: jnp.ndarray,
     seq_lens: jnp.ndarray,
     slots: jnp.ndarray,
     page_size: int,
     attn_impl: str = "paged",
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    k_scales=None,
+    v_scales=None,
+):
     """One decode step over the PAGED cache (continuous batching path).
 
     inputs_embeds: [S, D] (one token per slot); positions: [S]; k_pages/
@@ -246,6 +248,7 @@ def decoder_decode_step_paged(
     33 MB slice copy per scatter, and a single stacked [L, ...] carry makes
     every layer's scatter rewrite the whole 1 GB cache.
     """
+    from dots_ocr_tpu.engine.kv_cache import quantize_kv
     from dots_ocr_tpu.ops.paged_attention import (
         paged_attention,
         paged_attention_reference,
@@ -254,10 +257,10 @@ def decoder_decode_step_paged(
     cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
     s = inputs_embeds.shape[0]
     kv_heads, head_dim = cfg.num_kv_heads, cfg.head_dim
+    quantized = k_scales is not None
 
     x = inputs_embeds
-    k_out = []
-    v_out = []
+    k_out, v_out, ks_out, vs_out = [], [], [], []
     for layer in range(cfg.num_layers):
         block_params = jax.tree.map(lambda a: a[layer], params["blocks"])
         k_layer, v_layer = k_pages[layer], v_pages[layer]
@@ -267,24 +270,42 @@ def decoder_decode_step_paged(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         # Single advanced index stays in place: update is [KV, S, hd].
-        k_layer = k_layer.at[:, slots].set(
-            k.transpose(1, 0, 2).astype(k_layer.dtype)
-        )
-        v_layer = v_layer.at[:, slots].set(
-            v.transpose(1, 0, 2).astype(v_layer.dtype)
-        )
+        if quantized:
+            qk, sk = quantize_kv(k)  # [S, KV, hd], [S, KV]
+            qv, sv = quantize_kv(v)
+            k_layer = k_layer.at[:, slots].set(qk.transpose(1, 0, 2))
+            v_layer = v_layer.at[:, slots].set(qv.transpose(1, 0, 2))
+            ks_layer = k_scales[layer].at[:, slots].set(sk.T)
+            vs_layer = v_scales[layer].at[:, slots].set(sv.T)
+            scale_kwargs = dict(
+                k_scales=ks_layer.reshape(kv_heads, -1, page_size),
+                v_scales=vs_layer.reshape(kv_heads, -1, page_size),
+            )
+            ks_out.append(ks_layer)
+            vs_out.append(vs_layer)
+        else:
+            k_layer = k_layer.at[:, slots].set(
+                k.transpose(1, 0, 2).astype(k_layer.dtype)
+            )
+            v_layer = v_layer.at[:, slots].set(
+                v.transpose(1, 0, 2).astype(v_layer.dtype)
+            )
+            scale_kwargs = {}
 
         paged_k = k_layer.reshape(kv_heads, -1, page_size, head_dim)
         paged_v = v_layer.reshape(kv_heads, -1, page_size, head_dim)
         if attn_impl == "paged":
-            out = paged_attention(q, paged_k, paged_v, seq_lens, page_tables)
+            out = paged_attention(
+                q, paged_k, paged_v, seq_lens, page_tables, **scale_kwargs
+            )
         elif attn_impl == "paged_interpret":
             out = paged_attention(
-                q, paged_k, paged_v, seq_lens, page_tables, interpret=True
+                q, paged_k, paged_v, seq_lens, page_tables, interpret=True,
+                **scale_kwargs,
             )
         else:  # reference (XLA gather; CPU test path)
             out = paged_attention_reference(
-                q, paged_k, paged_v, seq_lens, page_tables
+                q, paged_k, paged_v, seq_lens, page_tables, **scale_kwargs
             )
         x = x + linear(out.reshape(s, cfg.q_dim), attn_p["wo"])
         h = rms_norm(x, block_params["post_attn_norm"], cfg.rms_norm_eps)
@@ -294,7 +315,9 @@ def decoder_decode_step_paged(
         v_out.append(v_layer)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    return x, tuple(k_out), tuple(v_out)
+    if quantized:
+        return x, tuple(k_out), tuple(v_out), tuple(ks_out), tuple(vs_out)
+    return x, tuple(k_out), tuple(v_out), None, None
 
 
 def logits_from_hidden(params: dict, cfg: DecoderConfig, hidden: jnp.ndarray) -> jnp.ndarray:

@@ -47,9 +47,13 @@ def paged_attention_reference(
     lengths: jnp.ndarray,
     page_indices: jnp.ndarray,
     sm_scale: Optional[float] = None,
+    k_scales: Optional[jnp.ndarray] = None,
+    v_scales: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Gather pages into contiguous KV, then masked attention. Materializes
-    [B, S_max, KV, D] — fine for tests, not for production."""
+    [B, S_max, KV, D] — fine for tests, not for production. Optional int8
+    payloads with [KV, pages, page_size] scales are dequantized after the
+    gather."""
     kv_heads, _, page_size, head_dim = k_pages.shape
     batch, num_heads, _ = q.shape
     max_pages = page_indices.shape[1]
@@ -62,6 +66,11 @@ def paged_attention_reference(
     slots = page_indices[:, pos // page_size] * page_size + pos % page_size  # [B, S]
     k = jnp.take(flat_k, slots, axis=1)  # [KV, B, S, D]
     v = jnp.take(flat_v, slots, axis=1)
+    if k_scales is not None:
+        ks = jnp.take(k_scales.reshape(kv_heads, -1), slots, axis=1)
+        vs = jnp.take(v_scales.reshape(kv_heads, -1), slots, axis=1)
+        k = (k.astype(jnp.float32) * ks[..., None]).astype(jnp.bfloat16)
+        v = (v.astype(jnp.float32) * vs[..., None]).astype(jnp.bfloat16)
 
     group = num_heads // kv_heads
     qg = q.reshape(batch, kv_heads, group, head_dim)
@@ -88,20 +97,19 @@ def _paged_kernel(
     layer_ref,        # scalar prefetch [1] — layer index into stacked pages
     lengths_ref,      # scalar prefetch [B]
     page_idx_ref,     # scalar prefetch [B * max_pages]
-    q_ref,            # [1, KV, G, head_dim]
-    k_ref,            # [1, KV, 1, page_size, head_dim] (layer+page via index_map)
-    v_ref,
-    o_ref,            # [1, KV, G, head_dim]
-    m_scratch,        # [KV * G, NUM_LANES]
-    l_scratch,
-    acc_scratch,      # [KV * G, head_dim]
-    *,
+    *refs,            # q, k, v, [k_scale, v_scale], o, m, l, acc
     page_size: int,
     mask_value: float,
     sm_scale: float,
     kv_heads: int,
     group: int,
+    quantized: bool,
 ):
+    if quantized:
+        (q_ref, k_ref, v_ref, ks_ref, vs_ref,
+         o_ref, m_scratch, l_scratch, acc_scratch) = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch = refs
     b = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -127,6 +135,13 @@ def _paged_kernel(
             q = q_ref[0, h].astype(jnp.float32)  # [G, head_dim]
             k = k_ref[0, h, 0]  # [page_size, head_dim]
             v = v_ref[0, h, 0]
+            if quantized:
+                # int8 payload * per-slot f32 scale (scales block is
+                # [1, KV, 1, page_size, 1])
+                k = k.astype(jnp.float32) * ks_ref[0, h, 0, :, 0][:, None]
+                v = (v.astype(jnp.float32) * vs_ref[0, h, 0, :, 0][:, None]).astype(
+                    jnp.bfloat16
+                )
 
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
@@ -170,6 +185,8 @@ def paged_attention_stacked(
     lengths: jnp.ndarray,
     page_indices: jnp.ndarray,
     page_size: int,
+    k_scales_all: Optional[jnp.ndarray] = None,
+    v_scales_all: Optional[jnp.ndarray] = None,
     sm_scale: Optional[float] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -199,14 +216,34 @@ def paged_attention_stacked(
         block = jnp.minimum(i, last_valid_block)
         return (layer_ref[0], 0, page_idx_ref[b * max_pages + block], 0, 0)
 
+    quantized = k_scales_all is not None
+    in_specs = [
+        pl.BlockSpec((1, kv_heads, group, head_dim), q_index),
+        pl.BlockSpec((1, kv_heads, 1, page_size, head_dim), kv_index),
+        pl.BlockSpec((1, kv_heads, 1, page_size, head_dim), kv_index),
+    ]
+    inputs = [
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        lengths.astype(jnp.int32),
+        page_indices.reshape(-1).astype(jnp.int32),
+        qg,
+        k_pages_all.reshape(num_layers, kv_heads, -1, page_size, head_dim),
+        v_pages_all.reshape(num_layers, kv_heads, -1, page_size, head_dim),
+    ]
+    if quantized:
+        # Scales blocked as [..., page_size, 1]: a trailing unit axis keeps
+        # the (sublane, lane) tiling rules satisfied.
+        scale_spec = pl.BlockSpec((1, kv_heads, 1, page_size, 1), kv_index)
+        in_specs += [scale_spec, scale_spec]
+        inputs += [
+            k_scales_all.reshape(num_layers, kv_heads, -1, page_size, 1),
+            v_scales_all.reshape(num_layers, kv_heads, -1, page_size, 1),
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(batch, max_pages),
-        in_specs=[
-            pl.BlockSpec((1, kv_heads, group, head_dim), q_index),
-            pl.BlockSpec((1, kv_heads, 1, page_size, head_dim), kv_index),
-            pl.BlockSpec((1, kv_heads, 1, page_size, head_dim), kv_index),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, kv_heads, group, head_dim), q_index),
         scratch_shapes=[
             pltpu.VMEM((kv_heads * group, NUM_LANES), jnp.float32),
@@ -222,6 +259,7 @@ def paged_attention_stacked(
         sm_scale=scale,
         kv_heads=kv_heads,
         group=group,
+        quantized=quantized,
     )
     out = pl.pallas_call(
         kernel,
@@ -231,14 +269,7 @@ def paged_attention_stacked(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(
-        jnp.asarray(layer, jnp.int32).reshape(1),
-        lengths.astype(jnp.int32),
-        page_indices.reshape(-1).astype(jnp.int32),
-        qg,
-        k_pages_all.reshape(num_layers, kv_heads, -1, page_size, head_dim),
-        v_pages_all.reshape(num_layers, kv_heads, -1, page_size, head_dim),
-    )
+    )(*inputs)
     return out.reshape(batch, num_heads, head_dim)
 
 
@@ -250,6 +281,8 @@ def paged_attention(
     page_indices: jnp.ndarray,
     sm_scale: Optional[float] = None,
     interpret: bool = False,
+    k_scales: Optional[jnp.ndarray] = None,
+    v_scales: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Single-layer convenience wrapper (adds a unit layer axis)."""
     kv_heads, _, page_size, head_dim = k_pages.shape
@@ -261,6 +294,12 @@ def paged_attention(
         lengths,
         page_indices,
         page_size=page_size,
+        k_scales_all=(
+            k_scales.reshape(1, kv_heads, -1) if k_scales is not None else None
+        ),
+        v_scales_all=(
+            v_scales.reshape(1, kv_heads, -1) if v_scales is not None else None
+        ),
         sm_scale=sm_scale,
         interpret=interpret,
     )

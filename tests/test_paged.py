@@ -133,6 +133,93 @@ def test_paged_kernel_zero_length_slot():
 
 
 # ---------------------------------------------------------------------------
+# int8-quantized KV cache
+# ---------------------------------------------------------------------------
+
+
+class TestQuantizedKV:
+    def test_quantize_roundtrip(self):
+        from dots_ocr_tpu.engine.kv_cache import quantize_kv
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(8, 2, 32).astype(np.float32))
+        q, scale = quantize_kv(x)
+        assert q.dtype == jnp.int8 and scale.shape == (8, 2)
+        recon = np.asarray(q, np.float32) * np.asarray(scale)[..., None]
+        err = np.abs(recon - np.asarray(x)).max() / np.abs(np.asarray(x)).max()
+        assert err < 0.01  # int8 symmetric: <1% of range
+
+    def test_quantize_zero_vector(self):
+        from dots_ocr_tpu.engine.kv_cache import quantize_kv
+
+        q, scale = quantize_kv(jnp.zeros((4, 2, 8)))
+        assert np.all(np.asarray(q) == 0)
+        assert np.all(np.asarray(scale) == 1.0)
+
+    def test_quantized_attention_close_to_fp(self):
+        lengths = [10, 5, 16, 1]
+        q, kp, vp, lens, pidx, kc, vc = _setup_paged(5, 4, 2, 8, 32, 4, 4, lengths)
+        from dots_ocr_tpu.engine.kv_cache import quantize_kv
+
+        qk, sk = quantize_kv(kp)  # [KV, P, ps, d] -> scales [KV, P, ps]
+        qv, sv = quantize_kv(vp)
+        ref = paged_attention_reference(q, kp, vp, lens, pidx)
+        out = paged_attention_reference(
+            q, qk, qv, lens, pidx, k_scales=sk, v_scales=sv
+        )
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=0.05, atol=0.05,
+        )
+
+    def test_quantized_kernel_matches_quantized_reference(self):
+        lengths = [10, 5, 16, 1]
+        q, kp, vp, lens, pidx, kc, vc = _setup_paged(6, 4, 2, 8, 32, 4, 4, lengths)
+        from dots_ocr_tpu.engine.kv_cache import quantize_kv
+
+        qk, sk = quantize_kv(kp)
+        qv, sv = quantize_kv(vp)
+        ref = paged_attention_reference(
+            q, qk, qv, lens, pidx, k_scales=sk, v_scales=sv
+        )
+        out = paged_attention(
+            q, qk, qv, lens, pidx, k_scales=sk, v_scales=sv, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+
+    def test_scheduler_int8_end_to_end(self):
+        from dots_ocr_tpu.engine.scheduler import (
+            ContinuousBatchingEngine,
+            SchedulerConfig,
+        )
+        from dots_ocr_tpu.models.init import init_params
+
+        cfg = DotsOCRConfig.tiny()
+        params = init_params(jax.random.PRNGKey(0), cfg)
+
+        def build(dtype):
+            return ContinuousBatchingEngine(
+                params, cfg,
+                sched=SchedulerConfig(
+                    num_pages=64, page_size=8, max_slots=2, max_pages_per_seq=16,
+                    prompt_bucket_step=32, vision_bucket_step=16,
+                    steps_per_sync=4, kv_cache_dtype=dtype,
+                ),
+                default_max_new_tokens=6,
+            )
+
+        a = build("bf16").generate_one("hello int8", temperature=0.0, max_new_tokens=6)
+        b = build("int8").generate_one("hello int8", temperature=0.0, max_new_tokens=6)
+        # Greedy decode through a quantized cache stays on the same path for
+        # a tiny random model (logit gaps >> int8 error).
+        assert isinstance(b, str)
+        assert a == b
+
+
+# ---------------------------------------------------------------------------
 # Scheduler end-to-end (tiny model, CPU)
 # ---------------------------------------------------------------------------
 
