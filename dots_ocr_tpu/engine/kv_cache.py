@@ -39,7 +39,10 @@ class PagedKV(NamedTuple):
 
     k: jnp.ndarray  # [L, KV, num_pages * page_size, D] (bf16 or int8)
     v: jnp.ndarray
-    k_scale: "jnp.ndarray | None" = None  # [L, KV, num_pages * page_size]
+    # Scales are FLAT per layer ([L, KV * N_slots]): a [KV, N] layout lets
+    # XLA pick a transposed tiling whose (2 -> 128)-lane padding blows the
+    # arrays up 64x in HBM.
+    k_scale: "jnp.ndarray | None" = None
     v_scale: "jnp.ndarray | None" = None
 
     @property
@@ -61,11 +64,12 @@ class PagedKV(NamedTuple):
             cfg.head_dim,
         )
         if quantized:
+            scale_shape = (cfg.num_layers, cfg.num_kv_heads * num_pages * page_size)
             return PagedKV(
                 jnp.zeros(shape, jnp.int8),
                 jnp.zeros(shape, jnp.int8),
-                jnp.zeros(shape[:-1], jnp.float32),
-                jnp.zeros(shape[:-1], jnp.float32),
+                jnp.zeros(scale_shape, jnp.float32),
+                jnp.zeros(scale_shape, jnp.float32),
             )
         return PagedKV(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
@@ -191,13 +195,18 @@ def write_prefill_kv(
     )
     slots = jnp.maximum(slot_mapping, 0)
     if paged.quantized:
-        qk, sk = quantize_kv(flat_k)
+        qk, sk = quantize_kv(flat_k)  # sk: [L, KV, B*T]
         qv, sv = quantize_kv(flat_v)
+        n_slots = paged.k.shape[2]
+        # Flat scale indices: head * N + slot, identical per layer.
+        flat_idx = (
+            jnp.arange(paged.k.shape[1])[:, None] * n_slots + slots[None, :]
+        ).reshape(-1)
         return PagedKV(
             paged.k.at[:, :, slots].set(qk),
             paged.v.at[:, :, slots].set(qv),
-            paged.k_scale.at[:, :, slots].set(sk),
-            paged.v_scale.at[:, :, slots].set(sv),
+            paged.k_scale.at[:, flat_idx].set(sk.reshape(sk.shape[0], -1)),
+            paged.v_scale.at[:, flat_idx].set(sv.reshape(sv.shape[0], -1)),
         )
     k = paged.k.at[:, :, slots].set(flat_k.astype(paged.k.dtype))
     v = paged.v.at[:, :, slots].set(flat_v.astype(paged.v.dtype))

@@ -246,8 +246,11 @@ class SchedulerConfig:
     # repetition_min_repeats times). 0 disables.
     repetition_max_period: int = 64
     repetition_min_repeats: int = 8
-    # "bf16" or "int8": int8 halves cache HBM + page-read bandwidth (needed
-    # to fit 14.4k-vision + 24k-decode sequences at high slot counts).
+    # "bf16" or "int8". int8 halves cache HBM — the capacity lever for the
+    # full workload envelope (14.4k-vision + 24k-decode sequences at high
+    # slot counts exceed HBM in bf16). At SHORT contexts the per-page
+    # dequantize costs more than the bandwidth it saves (~1.5x slower
+    # decode chunks measured at ctx 2k), so bf16 stays the default.
     kv_cache_dtype: str = "bf16"
 
 

@@ -275,8 +275,13 @@ def decoder_decode_step_paged(
             qv, sv = quantize_kv(v)
             k_layer = k_layer.at[:, slots].set(qk.transpose(1, 0, 2))
             v_layer = v_layer.at[:, slots].set(qv.transpose(1, 0, 2))
-            ks_layer = k_scales[layer].at[:, slots].set(sk.T)
-            vs_layer = v_scales[layer].at[:, slots].set(sv.T)
+            # Scale leaves are flat [KV * N]: head * N + slot indexing.
+            n_slots = k_layer.shape[1]
+            flat_idx = (
+                jnp.arange(kv_heads)[:, None] * n_slots + slots[None, :]
+            ).reshape(-1)
+            ks_layer = k_scales[layer].at[flat_idx].set(sk.T.reshape(-1))
+            vs_layer = v_scales[layer].at[flat_idx].set(sv.T.reshape(-1))
             scale_kwargs = dict(
                 k_scales=ks_layer.reshape(kv_heads, -1, page_size),
                 v_scales=vs_layer.reshape(kv_heads, -1, page_size),
