@@ -72,6 +72,11 @@ class EngineWorker:
                     max_pixels=sub.max_pixels,
                 )
                 self._futures[rid] = sub
+                # Requests rejected at submit time (e.g. prompt_too_long)
+                # never pass through step(); resolve them immediately.
+                rejected = self.engine._finished.get(rid)
+                if rejected is not None:
+                    self._resolve(rejected)
             except Exception as e:  # noqa: BLE001 - bad request (e.g. aspect)
                 if not sub.future.done():
                     sub.future.set_exception(e)
@@ -81,7 +86,6 @@ class EngineWorker:
                 return
 
     def _loop(self) -> None:
-        eos = self.engine.config.special.eos_token_id
         while not self._stop.is_set():
             self._drain_queue(block=not self.engine.has_work())
             if not self.engine.has_work():
@@ -96,18 +100,22 @@ class EngineWorker:
                 self._futures.clear()
                 continue
             for req in finished:
-                sub = self._futures.pop(req.req_id, None)
-                if sub is None or sub.future.done():
-                    continue
-                toks = req.prior_output + req.output_ids
-                if toks and toks[-1] == eos:
-                    toks = toks[:-1]
-                text = self.engine.tokenizer.decode(toks, skip_special_tokens=True)
-                sub.future.set_result(
-                    {
-                        "text": text,
-                        "completion_tokens": len(req.prior_output) + len(req.output_ids),
-                        "prompt_tokens": len(req.prompt_ids),
-                        "finish_reason": req.finished_reason or "stop",
-                    }
-                )
+                self._resolve(req)
+
+    def _resolve(self, req) -> None:
+        sub = self._futures.pop(req.req_id, None)
+        if sub is None or sub.future.done():
+            return
+        eos = self.engine.config.special.eos_token_id
+        toks = req.prior_output + req.output_ids
+        if toks and toks[-1] == eos:
+            toks = toks[:-1]
+        text = self.engine.tokenizer.decode(toks, skip_special_tokens=True)
+        sub.future.set_result(
+            {
+                "text": text,
+                "completion_tokens": len(req.prior_output) + len(req.output_ids),
+                "prompt_tokens": len(req.prompt_ids),
+                "finish_reason": req.finished_reason or "stop",
+            }
+        )

@@ -200,6 +200,47 @@ def test_continuous_engine_path():
     assert engine.allocator.free_pages == 63
 
 
+def test_rejected_request_resolves_fast():
+    """Regression (found live): submit-time rejections (prompt_too_long)
+    never passed through step(), so their HTTP futures hung forever."""
+    import jax
+
+    from dots_ocr_tpu.engine.scheduler import ContinuousBatchingEngine, SchedulerConfig
+    from dots_ocr_tpu.models.config import DotsOCRConfig
+    from dots_ocr_tpu.models.init import init_params
+
+    cfg = DotsOCRConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    engine = ContinuousBatchingEngine(
+        params, cfg,
+        sched=SchedulerConfig(
+            num_pages=16, page_size=8, max_slots=2, max_pages_per_seq=4,
+            prompt_bucket_step=32, vision_bucket_step=16, steps_per_sync=4,
+        ),
+        default_max_new_tokens=4,
+    )
+
+    async def run():
+        server = OpenAIServer(engine)
+        client = TestClient(TestServer(server.build_app()))
+        await client.start_server()
+        try:
+            resp = await asyncio.wait_for(
+                client.post(
+                    "/v1/chat/completions",
+                    json={"messages": [{"role": "user", "content": "y" * 2000}],
+                          "max_tokens": 4},
+                ),
+                timeout=10,
+            )
+            data = await resp.json()
+            assert data["choices"][0]["finish_reason"] == "prompt_too_long"
+        finally:
+            await client.close()
+
+    asyncio.run(run())
+
+
 def test_error_returns_500():
     class BoomEngine(FakeEngine):
         def generate_batch(self, *a, **k):
