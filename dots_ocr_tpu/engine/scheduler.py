@@ -597,15 +597,30 @@ class ContinuousBatchingEngine:
                         if self._slot_req[i] is None:
                             break  # we preempted ourselves
 
-            # Pass 2: build device arrays from surviving slots.
+            # Pass 2: build device arrays from surviving slots. The page
+            # table width is bucketed to the CURRENT longest sequence
+            # (power-of-two pages, capped at max_pages_per_seq): the paged
+            # kernel's grid is S x table_width per layer, so short contexts
+            # skip most of it (one compile per width bucket).
+            active = [i for i in active if self._slot_req[i] is not None]
             positions = np.zeros(s, np.int32)
             active_mask = np.zeros(s, bool)
-            tables = np.zeros((s, self.sched.max_pages_per_seq), np.int32)
-            active = [i for i in active if self._slot_req[i] is not None]
+            max_pages_now = 1
             for i in active:
                 positions[i] = int(self._lengths[i])
                 active_mask[i] = True
-                tables[i] = self.allocator.padded_table(self._slot_req[i].req_id)
+                max_pages_now = max(
+                    max_pages_now,
+                    self.allocator.pages_needed(int(self._lengths[i]) + chunk),
+                )
+            mp_bucket = 1
+            while mp_bucket < max_pages_now:
+                mp_bucket *= 2
+            mp_bucket = min(mp_bucket, self.sched.max_pages_per_seq)
+            tables = np.zeros((s, mp_bucket), np.int32)
+            for i in active:
+                full = self.allocator.padded_table(self._slot_req[i].req_id)
+                tables[i] = full[:mp_bucket]
             if active:
                 nucleus = bool(np.any(self._top_ps[active] < 1.0))
                 tokens_out, num_decoded, self.paged = decode_program(
