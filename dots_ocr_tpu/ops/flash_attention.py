@@ -84,25 +84,63 @@ def _flash_kernel(
     else:
         should_run = segments_overlap
 
-    @pl.when(should_run)
-    def _run():
-        q = q_ref[0]  # [block_q, head_dim]
-        k = k_ref[0]  # [block_k, head_dim]
-        v = v_ref[0]  # [block_k, head_dim]
+    # Fast path: a tile fully inside ONE segment (and, for causal, strictly
+    # below the diagonal) needs no mask at all — skips the iota/compare/
+    # select VPU passes over the scores tile. Most tiles of window-major
+    # packed vision and of long causal prefills qualify.
+    uniform_segment = (q_lo == q_hi) & (k_lo == k_hi) & (q_lo == k_lo) & (q_lo >= 0)
+    if causal:
+        no_mask_needed = uniform_segment & (qi * block_q >= (ki + 1) * block_k)
+    else:
+        no_mask_needed = uniform_segment
 
+    def _update(s, mask):
+        m_prev = m_scratch[...]  # [block_q, NUM_LANES]
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=1)[:, None]  # [block_q, 1]
+        m_next = jnp.maximum(m_prev, m_curr)  # lane-broadcasted
+
+        p = jnp.exp(s - m_next[:, :1])  # [block_q, block_k]
+        if mask is not None:
+            # Zero masked entries explicitly: a fully-masked row (all at
+            # DEFAULT_MASK_VALUE) would otherwise get uniform weights. With
+            # p=0 its l stays 0 and the final store zeroes the output row.
+            p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp(m_prev - m_next)  # [block_q, NUM_LANES]
+        alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)  # -inf - -inf case
+
+        l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+        m_scratch[...] = m_next
+        l_scratch[...] = l_next
+
+        v = v_ref[0]  # [block_k, head_dim]
+        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+
+    def _scores():
         s = jax.lax.dot_general(
-            q,
-            k,
+            q_ref[0],
+            k_ref[0],
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [block_q, block_k]
         if sm_scale != 1.0:
             s = s * sm_scale
+        return s
 
+    @pl.when(should_run & no_mask_needed)
+    def _run_unmasked():
+        _update(_scores(), None)
+
+    @pl.when(should_run & ~no_mask_needed)
+    def _run_masked():
+        s = _scores()
         # Segment mask (padding = -1 never matches, and -1 q rows match
         # nothing — their l stays 0 and the output row is zeroed at the end).
-        mask = (q_seg_blk[:, None] == kv_seg_blk[None, :]) & (q_seg_blk[:, None] >= 0)
-
+        mask = (q_seg_blk[:, None] == kv_seg_blk[None, :]) & (
+            q_seg_blk[:, None] >= 0
+        )
         if causal:
             row_ids = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
@@ -113,29 +151,7 @@ def _flash_kernel(
                 + ki * block_k
             )
             mask = mask & (col_ids <= row_ids)
-
-        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-
-        m_prev = m_scratch[...]  # [block_q, NUM_LANES]
-        l_prev = l_scratch[...]
-        m_curr = jnp.max(s, axis=1)[:, None]  # [block_q, 1]
-        m_next = jnp.maximum(m_prev, m_curr)  # lane-broadcasted
-
-        p = jnp.exp(s - m_next[:, :1])  # [block_q, block_k]
-        # Zero masked entries explicitly: a fully-masked row (all entries at
-        # DEFAULT_MASK_VALUE) would otherwise get uniform weights. With p=0
-        # its l stays 0 and the final store zeroes the output row.
-        p = jnp.where(mask, p, 0.0)
-        alpha = jnp.exp(m_prev - m_next)  # [block_q, NUM_LANES]
-        alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)  # -inf - -inf case
-
-        l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
-        m_scratch[...] = m_next
-        l_scratch[...] = l_next
-
-        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
+        _update(jnp.where(mask, s, DEFAULT_MASK_VALUE), mask)
 
     @pl.when(ki == num_k_blocks - 1)
     def _store():
