@@ -141,3 +141,40 @@ def test_windowed_flash_matches_xla():
     a = _encode(win_cfg, params, img, impl="xla")
     b = _encode(win_cfg, params, img, impl="flash_interpret")
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_windowed_engine_end_to_end():
+    """Windowed config through the full engine: pack -> scatter(valid rows)
+    -> encode -> prefill -> decode."""
+    from dots_ocr_tpu.engine.engine import InferenceEngine
+
+    cfg = _windowed_cfg(full_layers=(0,))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    engine = InferenceEngine(
+        params, cfg, prompt_bucket_step=32, vision_bucket_step=32,
+        default_max_new_tokens=4,
+    )
+    img = _rand_image(112, 84, 7)  # edge windows -> interleaved padding
+    out = engine.generate_one("parse", images=[img], temperature=0.0,
+                              max_new_tokens=4)
+    assert isinstance(out, str)
+    assert engine.last_stats.vision_tokens == (112 // 28) * (84 // 28)
+
+
+def test_windowed_scheduler_end_to_end():
+    from dots_ocr_tpu.engine.scheduler import ContinuousBatchingEngine, SchedulerConfig
+
+    cfg = _windowed_cfg(full_layers=(1,))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    engine = ContinuousBatchingEngine(
+        params, cfg,
+        sched=SchedulerConfig(
+            num_pages=128, page_size=8, max_slots=2, max_pages_per_seq=32,
+            prompt_bucket_step=32, vision_bucket_step=32, steps_per_sync=4,
+        ),
+        default_max_new_tokens=4,
+    )
+    img = _rand_image(112, 84, 8)
+    out = engine.generate_one("parse", images=[img], temperature=0.0,
+                              max_new_tokens=4)
+    assert isinstance(out, str)
