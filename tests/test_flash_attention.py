@@ -101,6 +101,23 @@ def test_non_block_divisible_lengths():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_default_blocks_with_padding():
+    """The tuned 1024x1024 default tiles: a 1300-token causal+segmented
+    input clamps block_q to 1024, pads to 2048 with -1 segments, and must
+    still match the reference exactly (the shape class served on TPU)."""
+    q, k, v = _qkv(jax.random.PRNGKey(11), 1, 1300, 1300, 2, 1, 64)
+    seg = jnp.where(jnp.arange(1300) < 900, 0, -1)[None]
+    out = flash(q, k, v, seg, seg, causal=True)  # default blocks
+    positions = jnp.broadcast_to(jnp.arange(1300), (1, 1300))
+    mask = make_causal_mask(positions, 1300) & make_segment_mask(seg, seg)
+    ref = mha_reference(q, k, v, mask=mask)
+    valid = np.asarray(out)[:, :900]
+    np.testing.assert_allclose(
+        valid, np.asarray(ref)[:, :900], rtol=2e-5, atol=2e-5
+    )
+    assert (np.asarray(out)[:, 900:] == 0).all()  # masked q rows zeroed
+
+
 def test_bf16_inputs():
     q, k, v = _qkv(jax.random.PRNGKey(5), 1, 128, 128, 2, 2, 32, jnp.bfloat16)
     out = flash(q, k, v, block_q=64, block_k=64)
