@@ -160,9 +160,14 @@ def main():
     )
     n_req = 8
     imgs = [make_page_image(seed=10 + i, width=700, height=980) for i in range(n_req)]
-    # warm compile wave
+    # warm compile wave: prefill buckets via two real requests, then every
+    # page-table width bucket so no config pays a mid-decode compile
     cb.generate_batch([prompt] * 2, [[imgs[0]], [imgs[1]]],
                       temperature=0.1, max_new_tokens=args.max_new)
+    t0 = time.perf_counter()
+    n_warm = cb.warmup_decode()
+    log(f"  warmed {n_warm} decode width buckets in "
+        f"{time.perf_counter() - t0:.1f}s")
     g0 = cb.metrics["generated_tokens"]
     t0 = time.perf_counter()
     cb.generate_batch([prompt] * n_req, [[im] for im in imgs],

@@ -409,6 +409,69 @@ class ContinuousBatchingEngine:
         step = self.sched.prompt_bucket_step
         return max(step, -(-n // step) * step)
 
+    def warmup_decode(
+        self,
+        max_len: Optional[int] = None,
+        nucleus_variants: Sequence[bool] = (False, True),
+    ) -> int:
+        """Precompile the decode program at every page-table width bucket.
+
+        ``step()`` buckets the page-table width to the live maximum (one
+        compiled program per power-of-two width), so a long decode that
+        crosses a bucket boundary mid-flight would otherwise pay an XLA
+        compile inside the hot path. Run this once on an idle engine (server
+        startup / before timing) to move those compiles out of serving
+        latency. ``max_len`` bounds the longest sequence (prompt + new
+        tokens) to warm for; default covers max_pages_per_seq. Returns the
+        number of programs compiled/executed.
+        """
+        assert not any(r is not None for r in self._slot_req), (
+            "warmup_decode must run on an idle engine"
+        )
+        cap = self.sched.max_pages_per_seq
+        if max_len is None:
+            top = cap
+        else:
+            top = min(self.allocator.pages_needed(max_len), cap)
+        widths = []
+        w = 1
+        while True:
+            widths.append(min(w, cap))
+            if w >= top:
+                break
+            w *= 2
+        s = self.sched.max_slots
+        # All-inactive mask: identical compiled program, zero-iteration
+        # execution, and no KV pages are touched.
+        idle = jnp.zeros(s, bool)
+        tokens = jnp.zeros(s, jnp.int32)
+        positions = jnp.zeros(s, jnp.int32)
+        temps = jnp.asarray(self._temps)
+        top_ps = jnp.asarray(self._top_ps)
+        compiled = 0
+        for w in widths:
+            tables = jnp.zeros((s, w), jnp.int32)
+            for nucleus in nucleus_variants:
+                _, num_decoded, self.paged = decode_program(
+                    self.params,
+                    self.config,
+                    self.paged,
+                    tokens,
+                    positions,
+                    tables,
+                    idle,
+                    temps,
+                    top_ps,
+                    self._next_rng(),
+                    page_size=self.sched.page_size,
+                    num_steps=self.sched.steps_per_sync,
+                    attn_impl=self.decode_impl,
+                    nucleus=bool(nucleus),
+                )
+                np.asarray(num_decoded)  # force compile + execute now
+                compiled += 1
+        return compiled
+
     # -- admission -------------------------------------------------------
 
     def _try_admit(self) -> None:

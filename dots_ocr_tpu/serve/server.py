@@ -334,6 +334,12 @@ class OpenAIServer:
 def main(argv=None):
     import argparse
 
+    if not logging.getLogger().handlers:
+        logging.basicConfig(
+            level=logging.INFO,
+            format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+        )
+
     parser = argparse.ArgumentParser(description="dots_ocr_tpu OpenAI-compatible server")
     parser.add_argument("--weights", type=str, default=None, help="checkpoint dir")
     parser.add_argument("--host", type=str, default="0.0.0.0")
@@ -360,6 +366,11 @@ def main(argv=None):
     parser.add_argument(
         "--compile-cache", type=str, default=None,
         help="persistent XLA compilation cache dir (fast restarts)",
+    )
+    parser.add_argument(
+        "--quantize", choices=["none", "int8"], default="none",
+        help="weight-only quantization of the decoder (int8 per-channel "
+        "scales; halves decode-time parameter HBM reads)",
     )
     args = parser.parse_args(argv)
 
@@ -388,6 +399,19 @@ def main(argv=None):
 
         config, params = load_checkpoint(args.weights)
         tokenizer = load_tokenizer(args.weights)
+
+    if args.quantize == "int8":
+        from dots_ocr_tpu.models.quantize import (
+            quantize_decoder_params,
+            quantized_bytes,
+        )
+
+        before = quantized_bytes(params)
+        params = quantize_decoder_params(params)
+        logging.getLogger(__name__).info(
+            "int8 weight quantization: %.2f GB -> %.2f GB",
+            before / 1e9, quantized_bytes(params) / 1e9,
+        )
 
     if args.engine == "continuous":
         from dots_ocr_tpu.engine.scheduler import (
@@ -424,6 +448,13 @@ def main(argv=None):
             ["warmup", "warmup"], [[dummy], []],
             temperature=0.0, max_new_tokens=8,
         )
+        if hasattr(engine, "warmup_decode"):
+            # precompile every page-table width bucket so no request ever
+            # hits an XLA compile mid-decode (see scheduler.warmup_decode)
+            n = engine.warmup_decode()
+            logging.getLogger(__name__).info(
+                "warmup: %d decode width buckets compiled", n
+            )
         logging.getLogger(__name__).info("warmup complete")
 
     OpenAIServer(

@@ -270,6 +270,23 @@ def test_scheduler_matches_sync_engine_greedy(cb_engine):
     assert a == b
 
 
+def test_warmup_decode_precompiles_and_is_inert(cb_engine):
+    """warmup_decode on an idle engine compiles every width bucket without
+    changing subsequent greedy output or leaking pages/slots."""
+    before = cb_engine.generate_one("warmup probe", temperature=0.0, max_new_tokens=6)
+    n = cb_engine.warmup_decode(nucleus_variants=(False,))
+    assert n == 5  # widths 1,2,4,8,16 for max_pages_per_seq=16
+    assert cb_engine.allocator.free_pages == 63
+    assert all(r is None for r in cb_engine._slot_req)
+    after = cb_engine.generate_one("warmup probe", temperature=0.0, max_new_tokens=6)
+    assert before == after
+
+
+def test_warmup_decode_max_len_bounds_widths(cb_engine):
+    # 3 tokens + page_size 8 -> 1 page -> single width
+    assert cb_engine.warmup_decode(max_len=3, nucleus_variants=(False,)) == 1
+
+
 def test_scheduler_concurrent_requests(cb_engine):
     outs = cb_engine.generate_batch(
         ["first prompt", "second one", "third prompt here", "fourth", "fifth", "sixth"],
