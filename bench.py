@@ -51,6 +51,14 @@ def main() -> None:
     n_params = count_params(params)
     log(f"params: {n_params/1e9:.2f}B ({config.dtype})")
 
+    if os.environ.get("BENCH_QUANT") == "int8":
+        # weight-only int8 decoder (models/quantize.py) — halves the
+        # per-step parameter HBM read; opt-in, timing-comparison knob
+        from dots_ocr_tpu.models.quantize import quantize_decoder_params
+
+        params = quantize_decoder_params(params)
+        log("decoder quantized to int8 (BENCH_QUANT=int8)")
+
     rng = np.random.RandomState(0)
     vocab_safe = config.decoder.vocab_size - 1000
     seq_lens = jnp.full((batch,), context, jnp.int32)

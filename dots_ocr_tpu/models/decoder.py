@@ -329,8 +329,14 @@ def logits_from_hidden(params: dict, cfg: DecoderConfig, hidden: jnp.ndarray) ->
     """Project hidden states to vocab logits (tied or separate head), f32."""
     if cfg.tie_word_embeddings or "lm_head" not in params:
         return unembed(hidden, params["embed"])
+    head = params["lm_head"]
+    if isinstance(head, dict):  # weight-only int8 (models/quantize.py)
+        return jnp.einsum(
+            "...d,dv->...v", hidden, head["qint8"].astype(hidden.dtype),
+            preferred_element_type=jnp.float32,
+        ) * head["scale"]
     return jnp.einsum(
-        "...d,dv->...v", hidden, params["lm_head"], preferred_element_type=jnp.float32
+        "...d,dv->...v", hidden, head, preferred_element_type=jnp.float32
     )
 
 

@@ -23,11 +23,26 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def linear(
-    x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray] = None
+    x: jnp.ndarray, kernel, bias: Optional[jnp.ndarray] = None
 ) -> jnp.ndarray:
     """x @ kernel (+ bias). kernel: [in, out] — row-major for MXU-friendly
-    [tokens, in] x [in, out] matmuls."""
-    out = jnp.einsum("...i,io->...o", x, kernel, preferred_element_type=jnp.float32)
+    [tokens, in] x [in, out] matmuls.
+
+    Accepts a weight-only int8 kernel ({"qint8", "scale"} from
+    models/quantize.py): the dot consumes the int8 array through a fused
+    unary convert (half the HBM read) and the per-output-channel dequant
+    scale is applied to the output, where it commutes exactly.
+    """
+    if isinstance(kernel, dict):
+        q, s = kernel["qint8"], kernel["scale"]
+        out = jnp.einsum(
+            "...i,io->...o", x, q.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ) * s
+    else:
+        out = jnp.einsum(
+            "...i,io->...o", x, kernel, preferred_element_type=jnp.float32
+        )
     if bias is not None:
         out = out + bias
     return out.astype(x.dtype)
@@ -47,13 +62,24 @@ def swiglu(
     return linear(hidden, down_kernel)
 
 
-def embed(input_ids: jnp.ndarray, embedding: jnp.ndarray) -> jnp.ndarray:
-    """Token embedding lookup."""
+def embed(input_ids: jnp.ndarray, embedding) -> jnp.ndarray:
+    """Token embedding lookup. Accepts an int8 per-row-quantized table
+    ({"qint8", "scale"} from models/quantize.quantize_embedding)."""
+    if isinstance(embedding, dict):
+        rows = jnp.take(embedding["qint8"], input_ids, axis=0)
+        scale = jnp.take(embedding["scale"], input_ids, axis=0)
+        return rows.astype(jnp.bfloat16) * scale[..., None].astype(jnp.bfloat16)
     return jnp.take(embedding, input_ids, axis=0)
 
 
-def unembed(x: jnp.ndarray, embedding: jnp.ndarray) -> jnp.ndarray:
-    """Tied-embedding logits: x @ embedding.T in f32."""
+def unembed(x: jnp.ndarray, embedding) -> jnp.ndarray:
+    """Tied-embedding logits: x @ embedding.T in f32. For an int8 table the
+    per-vocab-row scale is applied across the logits' vocab axis."""
+    if isinstance(embedding, dict):
+        return jnp.einsum(
+            "...d,vd->...v", x, embedding["qint8"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ) * embedding["scale"]
     return jnp.einsum(
         "...d,vd->...v", x, embedding, preferred_element_type=jnp.float32
     )
