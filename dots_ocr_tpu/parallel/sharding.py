@@ -116,9 +116,34 @@ def param_partition_specs(config: DotsOCRConfig, mesh: Mesh) -> Dict[str, Any]:
     return {"vision": vision, "decoder": decoder}
 
 
+def _expand_quant_specs(params, specs):
+    """Mirror weight-only int8 kernels ({"qint8", "scale"} sub-dicts,
+    models/quantize.py) in the spec tree: qint8 keeps the kernel's spec,
+    the 1-D-per-layer scale keeps only the output-channel axis (the
+    kernel's last spec entry)."""
+    from dots_ocr_tpu.models.quantize import is_quantized_kernel
+
+    def walk(p, s):
+        if is_quantized_kernel(p):
+            q, scale = p["qint8"], p["scale"]
+            if scale.ndim == 2:  # stacked [L, out] <- kernel [L, in, out]
+                scale_spec = P(s[0], s[-1])
+            elif scale.shape[0] == q.shape[0]:  # per-row (embedding table)
+                scale_spec = P(s[0])
+            else:  # per-output-column (lm_head)
+                scale_spec = P(s[-1])
+            return {"qint8": s, "scale": scale_spec}
+        if isinstance(p, dict):
+            return {k: walk(p[k], s[k]) for k in p}
+        return s
+
+    return walk(params, specs)
+
+
 def shard_params(params, config: DotsOCRConfig, mesh: Mesh):
-    """Place a param pytree onto the mesh per param_partition_specs."""
-    specs = param_partition_specs(config, mesh)
+    """Place a param pytree onto the mesh per param_partition_specs.
+    Handles weight-only int8 trees (quantized kernel sub-dicts)."""
+    specs = _expand_quant_specs(params, param_partition_specs(config, mesh))
     return jax.tree.map(
         lambda arr, spec: jax.device_put(arr, NamedSharding(mesh, spec)),
         params,

@@ -100,6 +100,40 @@ def test_sharded_forward_matches_single_device(cfg, params):
     )
 
 
+def test_sharded_forward_quantized_params(cfg, params):
+    """int8 weight-only trees shard (quantized sub-dicts get mirrored
+    specs) and the TP forward matches the single-device quantized one."""
+    from dots_ocr_tpu.models.quantize import quantize_decoder_params
+
+    qp = quantize_decoder_params(params)
+    mesh = make_mesh(data=2, model=2)
+    ids = jnp.arange(1, 33, dtype=jnp.int32).reshape(4, 8)
+    positions = jnp.broadcast_to(jnp.arange(8), (4, 8))
+    seq_lens = jnp.full((4,), 8, jnp.int32)
+
+    x = embed_tokens(qp["decoder"], ids)
+    hidden_ref, _ = decoder_prefill(qp["decoder"], cfg.decoder, x, positions, seq_lens)
+
+    sharded = shard_params(qp, cfg, mesh)
+    wq = sharded["decoder"]["blocks"]["attn"]["wq"]
+    assert wq["qint8"].dtype == jnp.int8
+    assert wq["qint8"].sharding.spec == P(None, None, "model")
+    assert wq["scale"].sharding.spec == P(None, "model")
+
+    tok_spec, seq_spec = batch_specs(mesh)
+    ids_s = jax.device_put(ids, NamedSharding(mesh, tok_spec))
+    pos_s = jax.device_put(positions, NamedSharding(mesh, tok_spec))
+    lens_s = jax.device_put(seq_lens, NamedSharding(mesh, seq_spec))
+    with jax.set_mesh(mesh):
+        x_s = embed_tokens(sharded["decoder"], ids_s)
+        hidden_s, _ = decoder_prefill(
+            sharded["decoder"], cfg.decoder, x_s, pos_s, lens_s
+        )
+    np.testing.assert_allclose(
+        np.asarray(hidden_ref), np.asarray(hidden_s), rtol=5e-4, atol=5e-4
+    )
+
+
 def test_sharded_train_step_runs(cfg, params):
     mesh = make_mesh(data=2, model=2)
     optimizer = make_optimizer(learning_rate=1e-3)
