@@ -131,8 +131,10 @@ def decode_program(
     every row is done).
 
     tokens/positions: [S] current token + its cache write position;
-    active: [S] bool. Returns (tokens_out [S, num_steps] — sampled tokens,
-    pad after EOS; num_decoded [S] — cache writes performed; k, v).
+    active: [S] bool. Returns (packed [S, num_steps+1] — sampled tokens
+    (pad after EOS) with the per-slot cache-write count as the last column,
+    fetched by the host in ONE transfer; (next_tokens, next_positions,
+    next_rng) — the device-resident carry for the next chunk; paged cache).
     """
     eos = config.special.eos_token_id
     pad = config.special.pad_token_id
@@ -206,15 +208,20 @@ def decode_program(
         jnp.int32(0), tokens, (k_list, v_list, ks_list, vs_list), done0,
         tokens_out0, num_decoded0, positions, rng,
     )
-    (_, _, (k_list, v_list, ks_list, vs_list), _,
-     tokens_out, num_decoded, _, _) = jax.lax.while_loop(cond, body, state)
+    (_, current, (k_list, v_list, ks_list, vs_list), _,
+     tokens_out, num_decoded, pos, rng) = jax.lax.while_loop(cond, body, state)
     out_paged = PagedKV(
         jnp.stack(k_list),
         jnp.stack(v_list),
         jnp.stack(ks_list) if ks_list is not None else None,
         jnp.stack(vs_list) if vs_list is not None else None,
     )
-    return tokens_out, num_decoded, out_paged
+    # ONE fetched array per chunk (tokens_out || num_decoded column): every
+    # extra device->host read costs a full RTT on a tunneled host. The
+    # (current, pos, rng) carry is returned ON DEVICE so event-free chunks
+    # can chain with zero host->device uploads (see step()).
+    packed = jnp.concatenate([tokens_out, num_decoded[:, None]], axis=1)
+    return packed, (current, pos, rng), out_paged
 
 
 # ---------------------------------------------------------------------------
@@ -338,11 +345,19 @@ class ContinuousBatchingEngine:
         self._finished: Dict[int, ScheduledRequest] = {}
         self._next_id = 0
         self._rng = jax.random.PRNGKey(0)
+        # Device-resident decode-chunk inputs. Valid while no admission /
+        # finish / preemption / page-table growth occurred since the last
+        # chunk: then the next chunk needs ZERO host->device uploads (the
+        # token/position/rng carry comes back from decode_program on
+        # device). Any event sets this to None and the next chunk rebuilds
+        # from host state.
+        self._dev: Optional[dict] = None
         self.metrics = {
             "steps": 0,
             "prefills": 0,
             "generated_tokens": 0,
             "preemptions": 0,
+            "chunk_input_rebuilds": 0,  # host->device upload chunks
         }
 
     # -- submission ----------------------------------------------------
@@ -452,7 +467,7 @@ class ContinuousBatchingEngine:
         for w in widths:
             tables = jnp.zeros((s, w), jnp.int32)
             for nucleus in nucleus_variants:
-                _, num_decoded, self.paged = decode_program(
+                packed, _, self.paged = decode_program(
                     self.params,
                     self.config,
                     self.paged,
@@ -468,7 +483,7 @@ class ContinuousBatchingEngine:
                     attn_impl=self.decode_impl,
                     nucleus=bool(nucleus),
                 )
-                np.asarray(num_decoded)  # force compile + execute now
+                np.asarray(packed)  # force compile + execute now
                 compiled += 1
         return compiled
 
@@ -499,6 +514,8 @@ class ContinuousBatchingEngine:
         batch dim is padded to a fixed size with inert rows so every
         (t_bucket, v_bucket) pair compiles exactly once."""
         from dots_ocr_tpu.models.preprocess import merge_packed
+
+        self._dev = None  # new active slots; re-upload next decode chunk
 
         b_fixed = self.sched.max_prefill_batch
         pad_id = self.config.special.pad_token_id
@@ -610,6 +627,7 @@ class ContinuousBatchingEngine:
         self._finished[req.req_id] = req
         self._slot_req[slot] = None
         self._lengths[slot] = 0
+        self._dev = None  # active set changed; re-upload next chunk
 
     def _preempt_youngest(self) -> None:
         """Recompute-style preemption: youngest running request goes back to
@@ -631,6 +649,7 @@ class ContinuousBatchingEngine:
         victim.preempted += 1
         self.metrics["preemptions"] += 1
         self._waiting.appendleft(victim)
+        self._dev = None  # active set + tables changed; re-upload
 
     # -- the step --------------------------------------------------------
 
@@ -645,7 +664,9 @@ class ContinuousBatchingEngine:
             chunk = self.sched.steps_per_sync
             # Pass 1: reserve chunk pages per slot; preemption may clear any
             # slot (including ones already reserved), so state is re-read in
-            # pass 2.
+            # pass 2. Any page allocation changes a table row, so the cached
+            # device inputs are invalidated via the free-page delta.
+            free_before = self.allocator.free_pages
             for i in active:
                 req = self._slot_req[i]
                 if req is None:  # preempted by an earlier iteration
@@ -659,51 +680,72 @@ class ContinuousBatchingEngine:
                         self._preempt_youngest()
                         if self._slot_req[i] is None:
                             break  # we preempted ourselves
+            if self.allocator.free_pages != free_before:
+                self._dev = None
 
-            # Pass 2: build device arrays from surviving slots. The page
-            # table width is bucketed to the CURRENT longest sequence
-            # (power-of-two pages, capped at max_pages_per_seq): the paged
-            # kernel's grid is S x table_width per layer, so short contexts
-            # skip most of it (one compile per width bucket).
+            # Pass 2: device inputs. On an event-free chunk the previous
+            # chunk's device-side carry (tokens/positions/rng) is still
+            # valid and NOTHING is uploaded — on a tunneled host every
+            # upload costs a full RTT, and steady-state long decodes are
+            # mostly event-free. Otherwise rebuild from host state: the
+            # page-table width is bucketed to the CURRENT longest sequence
+            # (power-of-two pages, capped at max_pages_per_seq) so the
+            # paged kernel's S x table_width grid shrinks at short
+            # contexts (one compile per width bucket, see warmup_decode).
             active = [i for i in active if self._slot_req[i] is not None]
-            positions = np.zeros(s, np.int32)
-            active_mask = np.zeros(s, bool)
-            max_pages_now = 1
-            for i in active:
-                positions[i] = int(self._lengths[i])
-                active_mask[i] = True
-                max_pages_now = max(
-                    max_pages_now,
-                    self.allocator.pages_needed(int(self._lengths[i]) + chunk),
-                )
-            mp_bucket = 1
-            while mp_bucket < max_pages_now:
-                mp_bucket *= 2
-            mp_bucket = min(mp_bucket, self.sched.max_pages_per_seq)
-            tables = np.zeros((s, mp_bucket), np.int32)
-            for i in active:
-                full = self.allocator.padded_table(self._slot_req[i].req_id)
-                tables[i] = full[:mp_bucket]
+            if active and self._dev is None:
+                positions = np.zeros(s, np.int32)
+                active_mask = np.zeros(s, bool)
+                max_pages_now = 1
+                for i in active:
+                    positions[i] = int(self._lengths[i])
+                    active_mask[i] = True
+                    max_pages_now = max(
+                        max_pages_now,
+                        self.allocator.pages_needed(int(self._lengths[i]) + chunk),
+                    )
+                mp_bucket = 1
+                while mp_bucket < max_pages_now:
+                    mp_bucket *= 2
+                mp_bucket = min(mp_bucket, self.sched.max_pages_per_seq)
+                tables = np.zeros((s, mp_bucket), np.int32)
+                for i in active:
+                    full = self.allocator.padded_table(self._slot_req[i].req_id)
+                    tables[i] = full[:mp_bucket]
+                self._dev = {
+                    "tokens": jnp.asarray(self._tokens),
+                    "positions": jnp.asarray(positions),
+                    "tables": jnp.asarray(tables),
+                    "active": jnp.asarray(active_mask),
+                    "temps": jnp.asarray(self._temps),
+                    "top_ps": jnp.asarray(self._top_ps),
+                    "rng": self._next_rng(),
+                    "nucleus": bool(np.any(self._top_ps[active] < 1.0)),
+                }
+                self.metrics["chunk_input_rebuilds"] += 1
             if active:
-                nucleus = bool(np.any(self._top_ps[active] < 1.0))
-                tokens_out, num_decoded, self.paged = decode_program(
+                dev = self._dev
+                packed, carry, self.paged = decode_program(
                     self.params,
                     self.config,
                     self.paged,
-                    jnp.asarray(self._tokens),
-                    jnp.asarray(positions),
-                    jnp.asarray(tables),
-                    jnp.asarray(active_mask),
-                    jnp.asarray(self._temps),
-                    jnp.asarray(self._top_ps),
-                    self._next_rng(),
+                    dev["tokens"],
+                    dev["positions"],
+                    dev["tables"],
+                    dev["active"],
+                    dev["temps"],
+                    dev["top_ps"],
+                    dev["rng"],
                     page_size=self.sched.page_size,
                     num_steps=chunk,
                     attn_impl=self.decode_impl,
-                    nucleus=nucleus,
+                    nucleus=dev["nucleus"],
                 )
-                tokens_out = np.asarray(tokens_out)
-                num_decoded = np.asarray(num_decoded)
+                # Chain the device-side carry BEFORE host accounting: a
+                # finish/preempt below just resets self._dev to None.
+                dev["tokens"], dev["positions"], dev["rng"] = carry
+                packed = np.asarray(packed)  # the chunk's single fetch
+                tokens_out, num_decoded = packed[:, :-1], packed[:, -1]
                 self.metrics["steps"] += 1
                 for i in active:
                     req = self._slot_req[i]

@@ -282,6 +282,37 @@ def test_warmup_decode_precompiles_and_is_inert(cb_engine):
     assert before == after
 
 
+def test_event_free_chunks_reuse_device_inputs():
+    """A long single-request decode should upload chunk inputs only on
+    event chunks (admission / finish / page growth), not every chunk —
+    and the zero-upload device-carry chaining must not change greedy
+    output vs a fresh engine."""
+    from dots_ocr_tpu.engine.scheduler import ContinuousBatchingEngine, SchedulerConfig
+    from dots_ocr_tpu.models.init import init_params
+
+    cfg = DotsOCRConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    def make():
+        return ContinuousBatchingEngine(
+            params, cfg,
+            sched=SchedulerConfig(
+                num_pages=16, page_size=64, max_slots=2, max_pages_per_seq=4,
+                prompt_bucket_step=32, vision_bucket_step=16, steps_per_sync=4,
+            ),
+            default_max_new_tokens=40,
+        )
+
+    eng = make()
+    a = eng.generate_one("steady state", temperature=0.0, max_new_tokens=40)
+    steps = eng.metrics["steps"]
+    rebuilds = eng.metrics["chunk_input_rebuilds"]
+    # 40 tokens at chunk=4 -> ~10 chunks; page growth every 64 tokens, so
+    # only the post-admission chunk (+ maybe one boundary) rebuilds
+    assert steps >= 8 and 0 < rebuilds <= 2
+    assert a == make().generate_one("steady state", temperature=0.0, max_new_tokens=40)
+
+
 def test_warmup_decode_max_len_bounds_widths(cb_engine):
     # 3 tokens + page_size 8 -> 1 page -> single width
     assert cb_engine.warmup_decode(max_len=3, nucleus_variants=(False,)) == 1

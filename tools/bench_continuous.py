@@ -1,0 +1,102 @@
+"""Steady-state continuous-batching decode throughput (flagship, 1 chip).
+
+Text-only prompts (prefill negligible) keep all S slots decoding; reports
+end-to-end generated tok/s plus the chunk-input rebuild ratio (the
+zero-upload device-carry path — scheduler.step() — should make rebuilds
+rare). Usage:
+
+    python tools/bench_continuous.py [--slots 64] [--max-new 256] [--quant]
+
+Memoization-safe: every request has a distinct prompt; the engine's rng
+advances per chunk.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=64)
+    ap.add_argument("--max-new", type=int, default=256)
+    ap.add_argument("--requests", type=int, default=None,
+                    help="default = slots (one full wave)")
+    ap.add_argument("--quant", action="store_true", help="int8 weights")
+    ap.add_argument("--steps-per-sync", type=int, default=16)
+    args = ap.parse_args()
+
+    import jax
+
+    from dots_ocr_tpu.engine.scheduler import (
+        ContinuousBatchingEngine,
+        SchedulerConfig,
+    )
+    from dots_ocr_tpu.models.config import DotsOCRConfig
+    from dots_ocr_tpu.models.init import zeros_params
+
+    log(f"devices: {jax.devices()}")
+    config = DotsOCRConfig.flagship()
+    params = zeros_params(config)
+    if args.quant:
+        from dots_ocr_tpu.models.quantize import quantize_decoder_params
+
+        params = quantize_decoder_params(params)
+        log("int8 weight-only decoder")
+
+    n_req = args.requests or args.slots
+    seq_cap = 64 * ((16 + args.max_new + 63) // 64) + 64
+    sched = SchedulerConfig(
+        num_pages=args.slots * (seq_cap // 64) + 64,
+        page_size=64,
+        max_slots=args.slots,
+        max_pages_per_seq=max(2, seq_cap // 64),
+        prompt_bucket_step=128,
+        vision_bucket_step=512,
+        steps_per_sync=args.steps_per_sync,
+    )
+    eng = ContinuousBatchingEngine(
+        params, config, sched=sched, default_max_new_tokens=args.max_new
+    )
+
+    log("warmup (prefill bucket + decode widths)...")
+    t0 = time.perf_counter()
+    eng.generate_batch(["warm a", "warm b"], [[], []],
+                       temperature=0.0, max_new_tokens=8)
+    eng.warmup_decode(nucleus_variants=(False,))
+    log(f"  warm in {time.perf_counter() - t0:.1f}s")
+
+    prompts = [f"document page {i} content analysis request" for i in range(n_req)]
+    g0 = eng.metrics["generated_tokens"]
+    s0 = eng.metrics["steps"]
+    r0 = eng.metrics["chunk_input_rebuilds"]
+    t0 = time.perf_counter()
+    eng.generate_batch(prompts, [[] for _ in prompts],
+                       temperature=0.0, max_new_tokens=args.max_new)
+    dt = time.perf_counter() - t0
+    gen = eng.metrics["generated_tokens"] - g0
+    steps = eng.metrics["steps"] - s0
+    rebuilds = eng.metrics["chunk_input_rebuilds"] - r0
+    log(
+        f"S={args.slots} n={n_req} max_new={args.max_new} chunk={args.steps_per_sync}: "
+        f"{gen} tokens in {dt:.2f}s = {gen/dt:.0f} tok/s | "
+        f"{steps} chunks, {rebuilds} rebuilt "
+        f"({100*rebuilds/max(1,steps):.0f}% upload chunks)"
+    )
+    print(
+        '{"metric": "continuous_decode_tok_s", "value": %.1f, '
+        '"slots": %d, "rebuild_frac": %.3f%s}'
+        % (gen / dt, args.slots, rebuilds / max(1, steps),
+           ', "quant": "int8"' if args.quant else "")
+    )
+
+
+if __name__ == "__main__":
+    main()
