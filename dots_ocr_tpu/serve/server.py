@@ -368,6 +368,11 @@ def main(argv=None):
         help="persistent XLA compilation cache dir (fast restarts)",
     )
     parser.add_argument(
+        "--kv-cache-dtype", choices=["bf16", "int8"], default="bf16",
+        help="paged KV cache storage dtype (int8 = ~2x context capacity, "
+        "continuous engine only)",
+    )
+    parser.add_argument(
         "--quantize", choices=["none", "int8"], default="none",
         help="weight-only quantization of the decoder (int8 per-channel "
         "scales; halves decode-time parameter HBM reads)",
@@ -431,6 +436,7 @@ def main(argv=None):
                 max_pages_per_seq=max(
                     1, (args.num_pages // 2) // max(args.max_slots // 4, 1)
                 ),
+                kv_cache_dtype=args.kv_cache_dtype,
             ),
         )
     else:
