@@ -31,6 +31,10 @@ def main():
                     help="default = slots (one full wave)")
     ap.add_argument("--quant", action="store_true", help="int8 weights")
     ap.add_argument("--steps-per-sync", type=int, default=16)
+    ap.add_argument("--page-size", type=int, default=64,
+                    help="KV page size: bigger pages -> fewer, larger "
+                    "paged-attention tiles (less per-tile overhead), "
+                    "coarser allocation")
     args = ap.parse_args()
 
     import jax
@@ -52,12 +56,13 @@ def main():
         log("int8 weight-only decoder")
 
     n_req = args.requests or args.slots
-    seq_cap = 64 * ((16 + args.max_new + 63) // 64) + 64
+    ps = args.page_size
+    seq_cap = ps * ((16 + args.max_new + ps - 1) // ps) + ps
     sched = SchedulerConfig(
-        num_pages=args.slots * (seq_cap // 64) + 64,
-        page_size=64,
+        num_pages=args.slots * (seq_cap // ps) + max(64 // (ps // 64), 8),
+        page_size=ps,
         max_slots=args.slots,
-        max_pages_per_seq=max(2, seq_cap // 64),
+        max_pages_per_seq=max(2, seq_cap // ps),
         prompt_bucket_step=128,
         vision_bucket_step=512,
         steps_per_sync=args.steps_per_sync,
