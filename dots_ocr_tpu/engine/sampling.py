@@ -11,6 +11,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Top-p candidate pool. A full-vocab sort at V≈152k costs tens of ms per
+# decode step on TPU; instead the nucleus is built over the top-K logits
+# (lax.top_k — no sort, no vocab-wide scatter), with probabilities
+# normalized by the TRUE full-vocab logsumexp so the cumulative masses are
+# exact. Only distributions whose top-p mass needs >K tokens differ (the
+# tail beyond K is unreachable); at serving temperatures (<=1) the 0.9
+# nucleus is covered by a few dozen tokens. Rows with top_p >= 1 bypass
+# the pool entirely (full-vocab Gumbel-max).
+NUCLEUS_TOP_K = 256
+
 
 def sample_logits(
     rng: jax.Array,
@@ -22,15 +32,17 @@ def sample_logits(
     """Sample next tokens. logits: [B, V] float32; temperature/top_p: [B]
     (scalars broadcast). temperature <= 0 means greedy. Returns [B] int32.
 
-    ``nucleus`` is a STATIC flag: the full-vocab sort behind top-p costs
-    real decode throughput at V=152k, so callers whose whole batch runs
-    top_p >= 1 (the layout/OCR default, ``parser.py:28``) compile the
-    sort-free variant. With nucleus=False the top_p argument is ignored.
+    ``nucleus`` is a STATIC flag: even the top-K path costs a lax.top_k
+    over the vocab, so callers whose whole batch runs top_p >= 1 (the
+    layout/OCR default, ``parser.py:28``) compile the filter-free variant.
+    With nucleus=False the top_p argument is ignored.
 
     Implementation notes (all per-row, vectorized):
       * greedy rows are selected with where(), not control flow,
-      * top-p masks the tail of the sorted distribution; the most-probable
-        token always survives (nucleus definition),
+      * top-p keeps the smallest prefix of the top-K (by true probability)
+        whose mass reaches top_p; the most-probable token always survives
+        (nucleus definition); see NUCLEUS_TOP_K on exactness,
+      * rows with top_p >= 1 sample the full vocab (no truncation),
       * categorical (Gumbel-max) sampling avoids building a CDF.
     """
     logits = logits.astype(jnp.float32)
@@ -48,18 +60,22 @@ def sample_logits(
     scaled = logits / safe_t[:, None]
 
     if nucleus:
-        # Top-p filtering in sorted space, scattered back via argsort inverse.
-        sort_idx = jnp.argsort(-scaled, axis=-1)
-        sorted_logits = jnp.take_along_axis(scaled, sort_idx, axis=-1)
-        sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
-        cumprobs = jnp.cumsum(sorted_probs, axis=-1)
+        k = min(NUCLEUS_TOP_K, logits.shape[-1])
+        top_vals, top_idx = jax.lax.top_k(scaled, k)  # [B, k], descending
+        # True (full-vocab) probabilities of the top-k candidates.
+        lse = jax.nn.logsumexp(scaled, axis=-1, keepdims=True)
+        top_probs = jnp.exp(top_vals - lse)
+        cumprobs = jnp.cumsum(top_probs, axis=-1)
         # Keep tokens while the cumulative mass *before* them is < top_p;
         # the first token is always kept.
-        keep_sorted = (cumprobs - sorted_probs) < top_p[:, None]
-        keep = jnp.zeros_like(keep_sorted).at[
-            jnp.arange(logits.shape[0])[:, None], sort_idx
-        ].set(keep_sorted)
-        scaled = jnp.where(keep, scaled, -jnp.inf)
-
-    sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
+        keep = (cumprobs - top_probs) < top_p[:, None]
+        rng_k, rng_full = jax.random.split(rng)
+        pick_k = jax.random.categorical(
+            rng_k, jnp.where(keep, top_vals, -jnp.inf), axis=-1
+        )
+        token_k = jnp.take_along_axis(top_idx, pick_k[:, None], axis=-1)[:, 0]
+        token_full = jax.random.categorical(rng_full, scaled, axis=-1)
+        sampled = jnp.where(top_p < 1.0, token_k, token_full).astype(jnp.int32)
+    else:
+        sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
     return jnp.where(temperature > 0, sampled, greedy_tokens)

@@ -45,6 +45,35 @@ def test_top_p_one_samples_broadly():
     assert len(picks) >= 3
 
 
+def test_top_p_exact_support_large_vocab():
+    """The top-k nucleus path must keep exactly the tokens whose preceding
+    cumulative (true, full-vocab) mass is < top_p."""
+    v = 1000
+    probs = np.full(v, 0.05 / (v - 4))
+    probs[:4] = [0.5, 0.3, 0.1, 0.05]
+    logits = jnp.log(jnp.asarray(probs, jnp.float32))[None, :]
+    # cum-before: 0, .5, .8, .9 -> top_p=0.85 keeps {0, 1, 2}
+    picks = {
+        int(sample_logits(jax.random.PRNGKey(i), logits,
+                          jnp.array(1.0), jnp.array(0.85))[0])
+        for i in range(300)
+    }
+    assert picks == {0, 1, 2}
+
+
+def test_top_p_one_row_not_truncated_to_top_k():
+    """Rows with top_p >= 1 inside a nucleus batch sample the FULL vocab,
+    not just the top-K pool."""
+    v = 1024  # uniform: any single draw lands past index 255 w.p. 0.75
+    logits = jnp.zeros((1, v))
+    picks = [
+        int(sample_logits(jax.random.PRNGKey(i), logits,
+                          jnp.array(1.0), jnp.array(1.0), nucleus=True)[0])
+        for i in range(60)
+    ]
+    assert max(picks) >= 256
+
+
 def test_per_row_temperature():
     logits = jnp.array([[0.0, 5.0, 1.0], [0.0, 5.0, 1.0]])
     toks = sample_logits(
