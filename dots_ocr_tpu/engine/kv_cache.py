@@ -7,8 +7,14 @@ page-table update, never a reallocation — so every jitted step function
 compiles once.
 
 Device layout (per cache):
-  k_pages / v_pages: [num_layers, KV_heads, num_pages * page_size, head_dim]
-  (flat slot axis; the paged-attention kernel reshapes to pages for free).
+  k / v: num_layers-TUPLE of [KV_heads, num_pages * page_size, head_dim]
+  arrays (flat slot axis; the paged-attention kernel reshapes to pages for
+  free). Per-layer leaves — not a stacked [L, ...] array — are the load-
+  bearing choice: the decode chunk threads the cache through a while_loop
+  and donates it through jit, and XLA's in-place buffer elision works
+  per-leaf. A stacked cache forced a full-cache unstack/restack HBM round
+  trip on every chunk (measured: the dominant continuous-decode cost at
+  large pools, PERF.md round 1).
 
 Host side:
   PageAllocator — free list + per-sequence page tables,
@@ -28,26 +34,30 @@ from dots_ocr_tpu.models.config import DecoderConfig
 
 
 class PagedKV(NamedTuple):
-    """Device-side paged cache arrays.
+    """Device-side paged cache: per-layer tuples of arrays.
 
-    Optionally int8-quantized (k/v int8 + per-(layer, head, slot) f32
-    scales): halves cache HBM + page-fetch bandwidth — REQUIRED to fit the
+    Optionally int8-quantized (k/v int8 + per-(head, slot) f32 scales):
+    halves cache HBM + page-fetch bandwidth — REQUIRED to fit the
     reference's full workload envelope (14.4k vision + 24k decode tokens per
     sequence at 16 slots would need ~19 GB in bf16). Scales are None in
     bf16 mode.
     """
 
-    k: jnp.ndarray  # [L, KV, num_pages * page_size, D] (bf16 or int8)
-    v: jnp.ndarray
-    # Scales are FLAT per layer ([L, KV * N_slots]): a [KV, N] layout lets
+    k: tuple  # L-tuple of [KV, num_pages * page_size, D] (bf16 or int8)
+    v: tuple
+    # Scales are FLAT per layer ([KV * N_slots]): a [KV, N] layout lets
     # XLA pick a transposed tiling whose (2 -> 128)-lane padding blows the
     # arrays up 64x in HBM.
-    k_scale: "jnp.ndarray | None" = None
-    v_scale: "jnp.ndarray | None" = None
+    k_scale: "tuple | None" = None
+    v_scale: "tuple | None" = None
 
     @property
     def quantized(self) -> bool:
         return self.k_scale is not None
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.k)
 
     @staticmethod
     def create(
@@ -57,21 +67,20 @@ class PagedKV(NamedTuple):
         dtype=jnp.bfloat16,
         quantized: bool = False,
     ) -> "PagedKV":
-        shape = (
-            cfg.num_layers,
-            cfg.num_kv_heads,
-            num_pages * page_size,
-            cfg.head_dim,
-        )
+        shape = (cfg.num_kv_heads, num_pages * page_size, cfg.head_dim)
+        layers = range(cfg.num_layers)
         if quantized:
-            scale_shape = (cfg.num_layers, cfg.num_kv_heads * num_pages * page_size)
+            scale_shape = (cfg.num_kv_heads * num_pages * page_size,)
             return PagedKV(
-                jnp.zeros(shape, jnp.int8),
-                jnp.zeros(shape, jnp.int8),
-                jnp.zeros(scale_shape, jnp.float32),
-                jnp.zeros(scale_shape, jnp.float32),
+                tuple(jnp.zeros(shape, jnp.int8) for _ in layers),
+                tuple(jnp.zeros(shape, jnp.int8) for _ in layers),
+                tuple(jnp.zeros(scale_shape, jnp.float32) for _ in layers),
+                tuple(jnp.zeros(scale_shape, jnp.float32) for _ in layers),
             )
-        return PagedKV(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        return PagedKV(
+            tuple(jnp.zeros(shape, dtype) for _ in layers),
+            tuple(jnp.zeros(shape, dtype) for _ in layers),
+        )
 
 
 def quantize_kv(x: jnp.ndarray) -> tuple:
@@ -197,20 +206,38 @@ def write_prefill_kv(
     if paged.quantized:
         qk, sk = quantize_kv(flat_k)  # sk: [L, KV, B*T]
         qv, sv = quantize_kv(flat_v)
-        n_slots = paged.k.shape[2]
+        n_slots = paged.k[0].shape[1]
         # Flat scale indices: head * N + slot, identical per layer.
         flat_idx = (
-            jnp.arange(paged.k.shape[1])[:, None] * n_slots + slots[None, :]
+            jnp.arange(kv_heads)[:, None] * n_slots + slots[None, :]
         ).reshape(-1)
         return PagedKV(
-            paged.k.at[:, :, slots].set(qk),
-            paged.v.at[:, :, slots].set(qv),
-            paged.k_scale.at[:, flat_idx].set(sk.reshape(sk.shape[0], -1)),
-            paged.v_scale.at[:, flat_idx].set(sv.reshape(sv.shape[0], -1)),
+            tuple(
+                paged.k[l].at[:, slots].set(qk[l]) for l in range(num_layers)
+            ),
+            tuple(
+                paged.v[l].at[:, slots].set(qv[l]) for l in range(num_layers)
+            ),
+            tuple(
+                paged.k_scale[l].at[flat_idx].set(sk[l].reshape(-1))
+                for l in range(num_layers)
+            ),
+            tuple(
+                paged.v_scale[l].at[flat_idx].set(sv[l].reshape(-1))
+                for l in range(num_layers)
+            ),
         )
-    k = paged.k.at[:, :, slots].set(flat_k.astype(paged.k.dtype))
-    v = paged.v.at[:, :, slots].set(flat_v.astype(paged.v.dtype))
-    return PagedKV(k, v)
+    dtype = paged.k[0].dtype
+    return PagedKV(
+        tuple(
+            paged.k[l].at[:, slots].set(flat_k[l].astype(dtype))
+            for l in range(num_layers)
+        ),
+        tuple(
+            paged.v[l].at[:, slots].set(flat_v[l].astype(dtype))
+            for l in range(num_layers)
+        ),
+    )
 
 
 # (Per-token decode writes happen inline in decoder_decode_step_paged so the

@@ -190,32 +190,20 @@ def decode_program(
                 (k_list, v_list, ks_list, vs_list), done,
                 tokens_out, num_decoded, pos, rng)
 
-    # Per-layer cache leaves: each layer's scatter updates its own carry
-    # array in place (a stacked [L, ...] carry would rewrite the whole
-    # cache per layer; per-layer scan xs would copy every touched slice).
-    num_layers = config.decoder.num_layers
-    k_list = tuple(paged.k[l] for l in range(num_layers))
-    v_list = tuple(paged.v[l] for l in range(num_layers))
-    ks_list = (
-        tuple(paged.k_scale[l] for l in range(num_layers))
-        if paged.quantized else None
-    )
-    vs_list = (
-        tuple(paged.v_scale[l] for l in range(num_layers))
-        if paged.quantized else None
-    )
+    # The cache is ALREADY per-layer tuples (PagedKV): each layer's scatter
+    # updates its own while_loop carry leaf in place, and the donated input
+    # leaves alias the outputs — no whole-cache copy anywhere in the chunk.
+    # (A stacked [L, ...] carry would rewrite the whole cache per layer;
+    # per-layer scan xs would copy every touched slice; and stacking on
+    # entry/exit — round 1's layout — cost a full-cache HBM round trip per
+    # chunk.)
     state = (
-        jnp.int32(0), tokens, (k_list, v_list, ks_list, vs_list), done0,
-        tokens_out0, num_decoded0, positions, rng,
+        jnp.int32(0), tokens, (paged.k, paged.v, paged.k_scale, paged.v_scale),
+        done0, tokens_out0, num_decoded0, positions, rng,
     )
     (_, current, (k_list, v_list, ks_list, vs_list), _,
      tokens_out, num_decoded, pos, rng) = jax.lax.while_loop(cond, body, state)
-    out_paged = PagedKV(
-        jnp.stack(k_list),
-        jnp.stack(v_list),
-        jnp.stack(ks_list) if ks_list is not None else None,
-        jnp.stack(vs_list) if vs_list is not None else None,
-    )
+    out_paged = PagedKV(k_list, v_list, ks_list, vs_list)
     # ONE fetched array per chunk (tokens_out || num_decoded column): every
     # extra device->host read costs a full RTT on a tunneled host. The
     # (current, pos, rng) carry is returned ON DEVICE so event-free chunks
@@ -278,6 +266,21 @@ class ScheduledRequest:
     preempted: int = 0
     submitted_at: float = dataclasses.field(default_factory=time.monotonic)
     finished_reason: Optional[str] = None
+    # vLLM-parity stop conditions + SSE streaming (the reference's serving
+    # contract: /root/reference/dots_ocr/model/inference.py:38-43 via
+    # vLLM's OpenAI surface).
+    stop: List[str] = dataclasses.field(default_factory=list)
+    stop_token_ids: frozenset = frozenset()
+    # Called from the engine thread with (text_delta, finish_reason|None);
+    # finish_reason is non-None exactly once, on the final call.
+    stream_cb: Optional[Any] = None
+    # Incremental detokenizer state (only requests with stop strings or a
+    # stream_cb pay host-side detokenization in the hot loop).
+    detok: Any = None
+    text: str = ""
+    emitted_len: int = 0
+    detok_count: int = 0  # generated tokens consumed by detok
+    final_text: Optional[str] = None  # set when stop-string truncation applies
 
     @property
     def cache_len(self) -> int:
@@ -372,7 +375,12 @@ class ContinuousBatchingEngine:
         system_prompt: Optional[str] = None,
         min_pixels: Optional[int] = None,
         max_pixels: Optional[int] = None,
+        stop: Optional[Sequence[str]] = None,
+        stop_token_ids: Optional[Sequence[int]] = None,
+        stream_cb=None,
     ) -> int:
+        from dots_ocr_tpu.engine.tokenizer import IncrementalDetokenizer
+
         prepared = prepare_request(
             self.tokenizer,
             self.config,
@@ -383,6 +391,7 @@ class ContinuousBatchingEngine:
             max_pixels=max_pixels,
             vision_bucket_step=self.sched.vision_bucket_step,
         )
+        stop = [s for s in (stop or []) if s]
         req = ScheduledRequest(
             req_id=self._next_id,
             prompt_ids=prepared.prompt_ids,
@@ -390,6 +399,14 @@ class ContinuousBatchingEngine:
             max_new_tokens=max_new_tokens or self.default_max_new_tokens,
             temperature=temperature,
             top_p=top_p,
+            stop=stop,
+            stop_token_ids=frozenset(int(t) for t in (stop_token_ids or [])),
+            stream_cb=stream_cb,
+            detok=(
+                IncrementalDetokenizer(self.tokenizer)
+                if (stop or stream_cb is not None)
+                else None
+            ),
         )
         self._next_id += 1
         # A prompt that can NEVER fit (per-sequence page table or the whole
@@ -404,9 +421,63 @@ class ContinuousBatchingEngine:
                 self.sched.num_pages - 1,
             )
             self._finished[req.req_id] = req
+            if req.stream_cb is not None:
+                req.stream_cb("", "prompt_too_long")
             return req.req_id
         self._waiting.append(req)
         return req.req_id
+
+    # -- stop strings / streaming ------------------------------------------
+
+    def _update_text(self, slot: int) -> None:
+        """Feed new tokens to the request's detokenizer, check stop strings
+        (truncating + finishing on a match), and emit stream deltas.
+
+        Only requests with stop strings or a stream_cb have a detok — all
+        others skip host-side detokenization in the hot loop.
+        """
+        req = self._slot_req[slot]
+        if req is None or req.detok is None:
+            return
+        total = req.prior_output + req.output_ids
+        new = req.detok.push(total[req.detok_count :])
+        req.detok_count = len(total)
+        if new:
+            req.text += new
+            if req.stop:
+                # Search only the window a new match could appear in.
+                longest = max(len(s) for s in req.stop)
+                start = max(0, len(req.text) - len(new) - longest + 1)
+                best = -1
+                for s in req.stop:
+                    i = req.text.find(s, start)
+                    if i >= 0 and (best < 0 or i < best):
+                        best = i
+                if best >= 0:
+                    # OpenAI semantics: the stop string is NOT included.
+                    req.text = req.text[:best]
+                    req.final_text = req.text
+                    self._finish(slot, "stop")  # emits the final delta
+                    return
+        self._emit_stream(req)
+
+    def _emit_stream(self, req: ScheduledRequest, final: bool = False) -> None:
+        if req.stream_cb is None:
+            return
+        if final:
+            delta = req.text[req.emitted_len :]
+            req.emitted_len = len(req.text)
+            req.stream_cb(delta, req.finished_reason or "stop")
+            return
+        # Hold back any tail that could still become a stop-string match.
+        from dots_ocr_tpu.engine.tokenizer import longest_stop_prefix_at_tail
+
+        hold = longest_stop_prefix_at_tail(req.text, req.stop) if req.stop else 0
+        upto = len(req.text) - hold
+        if upto > req.emitted_len:
+            delta = req.text[req.emitted_len : upto]
+            req.emitted_len = upto
+            req.stream_cb(delta, None)
 
     # -- helpers ---------------------------------------------------------
 
@@ -588,6 +659,7 @@ class ContinuousBatchingEngine:
             self._temps[slot] = req.temperature
             self._top_ps[slot] = req.top_p
             self.metrics["prefills"] += 1
+            self._update_text(slot)  # may finish on a stop-string match
             self._maybe_finish(slot)
 
     # -- finishing / preemption -------------------------------------------
@@ -598,6 +670,8 @@ class ContinuousBatchingEngine:
             return
         last = req.output_ids[-1] if req.output_ids else None
         if last == self.config.special.eos_token_id:
+            self._finish(slot, "stop")
+        elif last is not None and last in req.stop_token_ids:
             self._finish(slot, "stop")
         elif len(req.output_ids) >= req.max_new_tokens:
             self._finish(slot, "length")
@@ -623,11 +697,40 @@ class ContinuousBatchingEngine:
         req = self._slot_req[slot]
         req.state = FINISHED
         req.finished_reason = reason
+        if req.detok is not None and req.final_text is None:
+            # Consume any tokens not yet detokenized + flush pending bytes.
+            total = req.prior_output + req.output_ids
+            req.text += req.detok.push(total[req.detok_count :])
+            req.detok_count = len(total)
+            req.text += req.detok.flush()
+            req.final_text = req.text
+        if req.detok is not None:
+            self._emit_stream(req, final=True)
         self.allocator.free(req.req_id)
         self._finished[req.req_id] = req
         self._slot_req[slot] = None
         self._lengths[slot] = 0
         self._dev = None  # active set changed; re-upload next chunk
+
+    def cancel(self, req_id: int) -> bool:
+        """Abort a waiting or running request (client disconnect). Frees its
+        pages/slot immediately; the request finishes with reason
+        'cancelled'. Returns False if the id is unknown or already done."""
+        for req in list(self._waiting):
+            if req.req_id == req_id:
+                self._waiting.remove(req)
+                req.state = FINISHED
+                req.finished_reason = "cancelled"
+                self._finished[req_id] = req
+                if req.stream_cb is not None:
+                    self._emit_stream(req, final=True)
+                return True
+        for slot, req in enumerate(self._slot_req):
+            if req is not None and req.req_id == req_id:
+                self._finish(slot, "cancelled")
+                self.metrics["cancelled"] = self.metrics.get("cancelled", 0) + 1
+                return True
+        return False
 
     def _preempt_youngest(self) -> None:
         """Recompute-style preemption: youngest running request goes back to
@@ -756,11 +859,13 @@ class ContinuousBatchingEngine:
                         self.metrics["generated_tokens"] += 1
                         if (
                             token == self.config.special.eos_token_id
+                            or token in req.stop_token_ids
                             or len(req.output_ids) >= req.max_new_tokens
                         ):
                             break
                     if self._slot_req[i] is not None:
                         self._tokens[i] = req.output_ids[-1]
+                        self._update_text(i)  # may finish on stop string
                         self._maybe_finish(i)
 
         return [self._finished[rid] for rid in set(self._finished) - before]
@@ -793,6 +898,7 @@ class ContinuousBatchingEngine:
         min_pixels: Optional[int] = None,
         max_pixels: Optional[int] = None,
         seed: Optional[int] = None,
+        stop: Optional[Sequence[str]] = None,
     ) -> List[str]:
         if seed is not None:
             self._rng = jax.random.PRNGKey(seed)
@@ -810,19 +916,23 @@ class ContinuousBatchingEngine:
                 system_prompt=system_prompt,
                 min_pixels=min_pixels,
                 max_pixels=max_pixels,
+                stop=stop,
             )
             for i in range(n)
         ]
         self.run()
+        return [self.request_text(rid) for rid in ids]
+
+    def request_text(self, req_id: int) -> str:
+        """Final text of a finished request (stop-string truncation applied)."""
+        req = self._finished[req_id]
+        if req.final_text is not None:
+            return req.final_text
         eos = self.config.special.eos_token_id
-        out = []
-        for rid in ids:
-            req = self._finished[rid]
-            toks = req.prior_output + req.output_ids
-            if toks and toks[-1] == eos:
-                toks = toks[:-1]
-            out.append(self.tokenizer.decode(toks, skip_special_tokens=True))
-        return out
+        toks = req.prior_output + req.output_ids
+        if toks and (toks[-1] == eos or toks[-1] in req.stop_token_ids):
+            toks = toks[:-1]
+        return self.tokenizer.decode(toks, skip_special_tokens=True)
 
     def generate_one(self, prompt: str, images: Sequence = (), **kwargs) -> str:
         return self.generate_batch([prompt], [list(images)], **kwargs)[0]

@@ -133,6 +133,66 @@ class ByteTokenizer:
         return self._vocab_size
 
 
+class IncrementalDetokenizer:
+    """Streams stable text from a growing token-id sequence.
+
+    Byte-level BPE decode is concatenative per token, but a UTF-8 character
+    can span token boundaries — decoding an incomplete tail yields U+FFFD.
+    ``push(ids)`` buffers tokens whose decode ends in a replacement char and
+    emits only once the character completes, so the concatenation of all
+    returned deltas always equals ``decode(all_ids)`` (modulo a bounded
+    still-pending tail, flushed by ``flush()``).
+
+    Powers the vLLM-parity serving features the reference relies on
+    (``stop`` sequences + SSE streaming, /root/reference/dots_ocr/model/
+    inference.py:38-43 via vLLM's OpenAI surface).
+    """
+
+    def __init__(self, tokenizer: TokenizerLike, skip_special_tokens: bool = True):
+        self._tok = tokenizer
+        self._skip_special = skip_special_tokens
+        self._pending: List[int] = []
+
+    def push(self, ids: Sequence[int]) -> str:
+        """Feed newly generated ids; return newly stable text (maybe '')."""
+        if not ids:
+            return ""
+        self._pending.extend(int(i) for i in ids)
+        text = self._tok.decode(
+            self._pending, skip_special_tokens=self._skip_special
+        )
+        if text.endswith("�") and len(self._pending) < 16:
+            # Mid-character: hold everything (a UTF-8 char spans at most 4
+            # bytes so a real split resolves within a few tokens; the length
+            # guard stops genuinely invalid bytes from stalling the stream).
+            return ""
+        self._pending = []
+        return text
+
+    def flush(self) -> str:
+        """Emit whatever is still pending (end of stream)."""
+        if not self._pending:
+            return ""
+        text = self._tok.decode(
+            self._pending, skip_special_tokens=self._skip_special
+        )
+        self._pending = []
+        return text
+
+
+def longest_stop_prefix_at_tail(text: str, stops: Sequence[str]) -> int:
+    """Length of the longest tail of ``text`` that is a proper prefix of any
+    stop string — the holdback a streamer must not emit yet (it may become a
+    stop match once more tokens arrive)."""
+    hold = 0
+    for s in stops:
+        for k in range(min(len(s) - 1, len(text)), 0, -1):
+            if text.endswith(s[:k]):
+                hold = max(hold, k)
+                break
+    return hold
+
+
 def load_tokenizer(model_path: Optional[str]) -> TokenizerLike:
     """Load the checkpoint tokenizer if present, else the byte fallback."""
     if model_path:

@@ -31,6 +31,13 @@ class Submission:
     future: Future = field(default_factory=Future)
     min_pixels: Optional[int] = None
     max_pixels: Optional[int] = None
+    # vLLM-parity stop conditions (OpenAI `stop` / `stop_token_ids`).
+    stop: Sequence[str] = ()
+    stop_token_ids: Sequence[int] = ()
+    # SSE streaming: called from the ENGINE thread with
+    # (text_delta, finish_reason|None); the HTTP layer must trampoline into
+    # its own event loop (e.g. loop.call_soon_threadsafe).
+    stream_cb: Optional[object] = None
 
 
 class EngineWorker:
@@ -39,6 +46,7 @@ class EngineWorker:
     def __init__(self, engine):
         self.engine = engine
         self._queue: "queue.Queue[Submission]" = queue.Queue()
+        self._cancels: "queue.Queue[Submission]" = queue.Queue()
         self._futures: Dict[int, Submission] = {}
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -47,6 +55,11 @@ class EngineWorker:
     def submit(self, submission: Submission) -> Future:
         self._queue.put(submission)
         return submission.future
+
+    def cancel(self, submission: Submission) -> None:
+        """Abort a submission (e.g. the streaming client disconnected). The
+        engine thread frees its slot/pages on its next loop iteration."""
+        self._cancels.put(submission)
 
     def shutdown(self):
         self._stop.set()
@@ -70,6 +83,9 @@ class EngineWorker:
                     system_prompt=sub.system_prompt,
                     min_pixels=sub.min_pixels,
                     max_pixels=sub.max_pixels,
+                    stop=list(sub.stop),
+                    stop_token_ids=list(sub.stop_token_ids),
+                    stream_cb=sub.stream_cb,
                 )
                 self._futures[rid] = sub
                 # Requests rejected at submit time (e.g. prompt_too_long)
@@ -78,15 +94,41 @@ class EngineWorker:
                 if rejected is not None:
                     self._resolve(rejected)
             except Exception as e:  # noqa: BLE001 - bad request (e.g. aspect)
-                if not sub.future.done():
-                    sub.future.set_exception(e)
+                self._fail(sub, e)
             try:
                 sub = self._queue.get_nowait()
             except queue.Empty:
                 return
 
+    @staticmethod
+    def _fail(sub: Submission, exc: Exception) -> None:
+        """Resolve a submission exceptionally — and ALWAYS fire a final
+        stream callback so SSE handlers never hang on a dead request."""
+        if not sub.future.done():
+            sub.future.set_exception(exc)
+        if sub.stream_cb is not None:
+            try:
+                sub.stream_cb("", "error")
+            except Exception:  # noqa: BLE001
+                logger.exception("stream callback failed during error path")
+
+    def _drain_cancels(self) -> None:
+        while True:
+            try:
+                sub = self._cancels.get_nowait()
+            except queue.Empty:
+                return
+            for rid, pending in list(self._futures.items()):
+                if pending is sub:
+                    self.engine.cancel(rid)
+                    req = self.engine._finished.get(rid)
+                    if req is not None:
+                        self._resolve(req)
+                    break
+
     def _loop(self) -> None:
         while not self._stop.is_set():
+            self._drain_cancels()
             self._drain_queue(block=not self.engine.has_work())
             if not self.engine.has_work():
                 continue
@@ -95,8 +137,7 @@ class EngineWorker:
             except Exception as e:  # noqa: BLE001
                 logger.exception("engine step failed")
                 for sub in self._futures.values():
-                    if not sub.future.done():
-                        sub.future.set_exception(e)
+                    self._fail(sub, e)
                 self._futures.clear()
                 continue
             for req in finished:
@@ -106,11 +147,7 @@ class EngineWorker:
         sub = self._futures.pop(req.req_id, None)
         if sub is None or sub.future.done():
             return
-        eos = self.engine.config.special.eos_token_id
-        toks = req.prior_output + req.output_ids
-        if toks and toks[-1] == eos:
-            toks = toks[:-1]
-        text = self.engine.tokenizer.decode(toks, skip_special_tokens=True)
+        text = self.engine.request_text(req.req_id)
         sub.future.set_result(
             {
                 "text": text,

@@ -79,6 +79,17 @@ class _PendingRequest:
     future: asyncio.Future
 
 
+def truncate_at_stop(text: str, stops) -> tuple:
+    """Cut ``text`` at the earliest stop-string match (OpenAI semantics: the
+    stop string itself is excluded). Returns (text, matched: bool)."""
+    best = -1
+    for s in stops or []:
+        i = text.find(s)
+        if i >= 0 and (best < 0 or i < best):
+            best = i
+    return (text[:best], True) if best >= 0 else (text, False)
+
+
 def parse_chat_messages(messages: List[Dict[str, Any]]):
     """Extract (prompt_text, images, system_prompt) from OpenAI messages.
 
@@ -185,6 +196,37 @@ class OpenAIServer:
 
     # -- handlers -----------------------------------------------------------
 
+    @staticmethod
+    def _bad_request(message: str) -> web.Response:
+        return web.json_response(
+            {"error": {"message": message, "type": "invalid_request_error"}},
+            status=400,
+        )
+
+    @staticmethod
+    def _validate_params(body: Dict[str, Any]) -> Optional[str]:
+        """Explicit conformance: unsupported OpenAI params are REJECTED, not
+        silently ignored (vLLM-parity behavior for the knobs we don't serve).
+        Returns an error message or None."""
+        if body.get("n") not in (None, 1):
+            return "'n' != 1 is not supported"
+        if body.get("best_of") not in (None, 1):
+            return "'best_of' != 1 is not supported"
+        if body.get("logprobs"):
+            return "'logprobs' is not supported"
+        if body.get("tools") or body.get("functions") or body.get("tool_choice"):
+            return "tool / function calling is not supported"
+        for knob in ("presence_penalty", "frequency_penalty"):
+            if body.get(knob) not in (None, 0, 0.0):
+                return f"'{knob}' is not supported"
+        stop = body.get("stop")
+        if stop is not None and not (
+            isinstance(stop, str)
+            or (isinstance(stop, list) and all(isinstance(s, str) for s in stop))
+        ):
+            return "'stop' must be a string or a list of strings"
+        return None
+
     async def handle_chat_completions(self, request: web.Request) -> web.Response:
         self.metrics.requests_total += 1
         try:
@@ -192,27 +234,19 @@ class OpenAIServer:
                 body = await request.json()
             except (json.JSONDecodeError, ValueError) as e:
                 self.metrics.requests_failed += 1
-                return web.json_response(
-                    {"error": {"message": f"invalid JSON body: {e}",
-                               "type": "invalid_request_error"}},
-                    status=400,
-                )
+                return self._bad_request(f"invalid JSON body: {e}")
             messages = body.get("messages")
             if not isinstance(messages, list) or not messages:
                 self.metrics.requests_failed += 1
-                return web.json_response(
-                    {"error": {"message": "'messages' must be a non-empty list",
-                               "type": "invalid_request_error"}},
-                    status=400,
-                )
+                return self._bad_request("'messages' must be a non-empty list")
+            err = self._validate_params(body)
+            if err is not None:
+                self.metrics.requests_failed += 1
+                return self._bad_request(err)
             prompt, images, system_prompt = parse_chat_messages(messages)
             if not prompt and not images:
                 self.metrics.requests_failed += 1
-                return web.json_response(
-                    {"error": {"message": "no user content in 'messages'",
-                               "type": "invalid_request_error"}},
-                    status=400,
-                )
+                return self._bad_request("no user content in 'messages'")
             max_new = int(
                 body.get("max_completion_tokens")
                 or body.get("max_tokens")
@@ -220,6 +254,15 @@ class OpenAIServer:
             )
             temperature = float(body.get("temperature", 0.1))
             top_p = float(body.get("top_p", 1.0))
+            stop = body.get("stop")
+            stop = [stop] if isinstance(stop, str) else list(stop or [])
+            stop_token_ids = [int(t) for t in body.get("stop_token_ids") or []]
+
+            if body.get("stream"):
+                return await self._stream_chat(
+                    request, body, prompt, images, system_prompt,
+                    max_new, temperature, top_p, stop, stop_token_ids,
+                )
 
             if self._cb_worker is not None:
                 from dots_ocr_tpu.serve.async_engine import Submission
@@ -231,6 +274,8 @@ class OpenAIServer:
                     temperature=temperature,
                     top_p=top_p,
                     system_prompt=system_prompt,
+                    stop=stop,
+                    stop_token_ids=stop_token_ids,
                 )
                 result = await asyncio.wrap_future(self._cb_worker.submit(sub))
                 text = result["text"]
@@ -252,6 +297,9 @@ class OpenAIServer:
                 stats = self.engine.last_stats
                 prompt_tokens = stats.prompt_tokens
                 completion_tokens = stats.completion_tokens
+                # The micro-batch engine decodes to max_new; stop strings
+                # are applied post hoc (the continuous engine stops early).
+                text, _ = truncate_at_stop(text, stop)
                 finish_reason = "stop"
 
             self.metrics.prompt_tokens_total += prompt_tokens
@@ -281,6 +329,140 @@ class OpenAIServer:
             return web.json_response(
                 {"error": {"message": str(e), "type": type(e).__name__}}, status=500
             )
+
+    # -- SSE streaming --------------------------------------------------------
+
+    async def _stream_chat(
+        self,
+        request: web.Request,
+        body: Dict[str, Any],
+        prompt: str,
+        images: list,
+        system_prompt: Optional[str],
+        max_new: int,
+        temperature: float,
+        top_p: float,
+        stop: list,
+        stop_token_ids: list,
+    ) -> web.StreamResponse:
+        """OpenAI `stream: true` — chat.completion.chunk SSE events.
+
+        The continuous engine streams true per-chunk deltas (its engine
+        thread fires the request's stream_cb as tokens land); the
+        micro-batch engine falls back to one whole-text delta. Client
+        disconnect mid-stream cancels the request (frees its KV pages).
+        """
+        rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
+        created = int(time.time())
+        model = body.get("model", self.model_name)
+        include_usage = bool(
+            (body.get("stream_options") or {}).get("include_usage")
+        )
+
+        def sse(delta: Dict[str, Any], finish_reason=None, usage=None) -> bytes:
+            payload: Dict[str, Any] = {
+                "id": rid,
+                "object": "chat.completion.chunk",
+                "created": created,
+                "model": model,
+                "choices": [
+                    {"index": 0, "delta": delta, "finish_reason": finish_reason}
+                ],
+            }
+            if usage is not None:
+                payload["usage"] = usage
+            return f"data: {json.dumps(payload)}\n\n".encode()
+
+        resp = web.StreamResponse(
+            status=200,
+            headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+                "X-Accel-Buffering": "no",
+            },
+        )
+        await resp.prepare(request)
+        await resp.write(sse({"role": "assistant", "content": ""}))
+
+        usage = None
+        if self._cb_worker is not None:
+            from dots_ocr_tpu.serve.async_engine import Submission
+
+            loop = asyncio.get_running_loop()
+            deltas: asyncio.Queue = asyncio.Queue()
+
+            def stream_cb(delta: str, finish: Optional[str]) -> None:
+                # Engine thread -> event loop trampoline.
+                loop.call_soon_threadsafe(deltas.put_nowait, (delta, finish))
+
+            sub = Submission(
+                prompt=prompt,
+                images=images,
+                max_new_tokens=max_new,
+                temperature=temperature,
+                top_p=top_p,
+                system_prompt=system_prompt,
+                stop=stop,
+                stop_token_ids=stop_token_ids,
+                stream_cb=stream_cb,
+            )
+            fut = self._cb_worker.submit(sub)
+            finish_reason = "stop"
+            try:
+                while True:
+                    delta, finish = await deltas.get()
+                    if delta:
+                        await resp.write(sse({"content": delta}))
+                    if finish is not None:
+                        finish_reason = finish
+                        break
+            except (ConnectionResetError, asyncio.CancelledError):
+                # Client went away: stop decoding, free the slot/pages.
+                self._cb_worker.cancel(sub)
+                raise
+            if include_usage:
+                try:
+                    result = await asyncio.wrap_future(fut)
+                    self.metrics.prompt_tokens_total += result["prompt_tokens"]
+                    self.metrics.completion_tokens_total += result[
+                        "completion_tokens"
+                    ]
+                    usage = {
+                        "prompt_tokens": result["prompt_tokens"],
+                        "completion_tokens": result["completion_tokens"],
+                        "total_tokens": result["prompt_tokens"]
+                        + result["completion_tokens"],
+                    }
+                except Exception:  # noqa: BLE001 - error path already streamed
+                    pass
+        else:
+            pending = _PendingRequest(
+                prompt=prompt,
+                images=images,
+                temperature=temperature,
+                top_p=top_p,
+                max_new_tokens=max_new,
+                system_prompt=system_prompt,
+                future=asyncio.get_running_loop().create_future(),
+            )
+            await self._queue.put(pending)
+            text = await pending.future
+            text, _ = truncate_at_stop(text, stop)
+            if text:
+                await resp.write(sse({"content": text}))
+            finish_reason = "stop"
+            if include_usage:
+                stats = self.engine.last_stats
+                usage = {
+                    "prompt_tokens": stats.prompt_tokens,
+                    "completion_tokens": stats.completion_tokens,
+                    "total_tokens": stats.prompt_tokens + stats.completion_tokens,
+                }
+
+        await resp.write(sse({}, finish_reason=finish_reason, usage=usage))
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
 
     async def handle_models(self, request: web.Request) -> web.Response:
         return web.json_response(

@@ -66,6 +66,10 @@ def main():
         prompt_bucket_step=128,
         vision_bucket_step=512,
         steps_per_sync=args.steps_per_sync,
+        # Zeros-weights greedy decode is a period-1 token loop by
+        # construction; the degeneration guard would stop every request
+        # early and distort the measurement.
+        repetition_min_repeats=0,
     )
     eng = ContinuousBatchingEngine(
         params, config, sched=sched, default_max_new_tokens=args.max_new
@@ -82,23 +86,42 @@ def main():
     g0 = eng.metrics["generated_tokens"]
     s0 = eng.metrics["steps"]
     r0 = eng.metrics["chunk_input_rebuilds"]
+    # Drive the wave step by step, splitting time into prefill chunks
+    # (admission happened) vs pure decode chunks — "steady state" = the
+    # decode-only rate at full occupancy, the number a long-decode serving
+    # load sees; "wave" = end-to-end including prefills.
+    for i in range(n_req):
+        eng.submit(prompts[i], temperature=0.0, max_new_tokens=args.max_new)
+    decode_t = prefill_t = 0.0
+    decode_gen = 0
     t0 = time.perf_counter()
-    eng.generate_batch(prompts, [[] for _ in prompts],
-                       temperature=0.0, max_new_tokens=args.max_new)
+    while eng.has_work():
+        p_before = eng.metrics["prefills"]
+        g_before = eng.metrics["generated_tokens"]
+        ts = time.perf_counter()
+        eng.step()
+        dt_step = time.perf_counter() - ts
+        if eng.metrics["prefills"] > p_before:
+            prefill_t += dt_step
+        else:
+            decode_t += dt_step
+            decode_gen += eng.metrics["generated_tokens"] - g_before
     dt = time.perf_counter() - t0
     gen = eng.metrics["generated_tokens"] - g0
     steps = eng.metrics["steps"] - s0
     rebuilds = eng.metrics["chunk_input_rebuilds"] - r0
+    steady = decode_gen / decode_t if decode_t else 0.0
     log(
         f"S={args.slots} n={n_req} max_new={args.max_new} chunk={args.steps_per_sync}: "
-        f"{gen} tokens in {dt:.2f}s = {gen/dt:.0f} tok/s | "
-        f"{steps} chunks, {rebuilds} rebuilt "
+        f"wave {gen} tokens in {dt:.2f}s = {gen/dt:.0f} tok/s | "
+        f"steady-state {decode_gen} tokens in {decode_t:.2f}s = {steady:.0f} tok/s "
+        f"(prefill {prefill_t:.2f}s) | {steps} chunks, {rebuilds} rebuilt "
         f"({100*rebuilds/max(1,steps):.0f}% upload chunks)"
     )
     print(
         '{"metric": "continuous_decode_tok_s", "value": %.1f, '
-        '"slots": %d, "rebuild_frac": %.3f%s}'
-        % (gen / dt, args.slots, rebuilds / max(1, steps),
+        '"wave_tok_s": %.1f, "slots": %d, "rebuild_frac": %.3f%s}'
+        % (steady, gen / dt, args.slots, rebuilds / max(1, steps),
            ', "quant": "int8"' if args.quant else "")
     )
 
