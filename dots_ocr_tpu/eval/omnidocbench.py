@@ -113,6 +113,51 @@ def score_against_references(
     return score_pages(predictions, refs)
 
 
+def score_layout_against_gt(
+    results: Dict[str, dict], gt_json_dir: str
+) -> dict:
+    """Full benchmark column set (detection F1, per-category edit, TEDS,
+    reading order) against a dir of per-page ground-truth layout JSON —
+    the same columns the reference publishes
+    (/root/reference/assets/blog.md:419-432, 764-775)."""
+    from dots_ocr_tpu.eval.metrics import (
+        aggregate_layout_scores,
+        evaluate_layout_page,
+    )
+
+    per_page = {}
+    for page_id, rec in results.items():
+        gt_path = os.path.join(gt_json_dir, f"{page_id}.json")
+        pred_path = rec.get("layout_info_path")
+        if not os.path.exists(gt_path) or not pred_path or not os.path.exists(pred_path):
+            continue
+        with open(gt_path, encoding="utf-8") as f:
+            gt_cells = json.load(f)
+        with open(pred_path, encoding="utf-8") as f:
+            pred_cells = json.load(f)
+        if isinstance(gt_cells, dict):
+            gt_cells = gt_cells.get("cells", [])
+        if isinstance(pred_cells, dict):
+            pred_cells = pred_cells.get("cells", [])
+
+        def valid(cells):
+            # Salvaged pages (filtered=True) may store a raw string or
+            # bbox-less fragments; score only well-formed cells — the
+            # missing ones show up as detection/recall misses.
+            if not isinstance(cells, list):
+                return []
+            return [
+                c for c in cells
+                if isinstance(c, dict) and isinstance(c.get("bbox"), list)
+                and len(c["bbox"]) == 4
+            ]
+
+        per_page[page_id] = evaluate_layout_page(valid(pred_cells), valid(gt_cells))
+    agg = aggregate_layout_scores(list(per_page.values()))
+    agg["per_page"] = per_page
+    return agg
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="OmniDocBench-style sweep")
     ap.add_argument("images_dir")
@@ -122,6 +167,11 @@ def main(argv=None):
     ap.add_argument("--num-thread", type=int, default=64)
     ap.add_argument("--no-fitz-preprocess", action="store_true")
     ap.add_argument("--references", default=None, help="dir of ground-truth .md")
+    ap.add_argument(
+        "--gt-json", default=None,
+        help="dir of ground-truth layout JSON ({page_id}.json) for the full "
+        "column set: detection F1@.50:.95, per-category edit, TEDS, order",
+    )
     args = ap.parse_args(argv)
 
     os.makedirs(args.output, exist_ok=True)
@@ -135,12 +185,23 @@ def main(argv=None):
     )
     preds = collect_nohf_markdown(results, os.path.join(args.output, "markdown_nohf"))
     print(f"collected {len(preds)} markdown outputs")
+    scores = {}
     if args.references:
         score = score_against_references(preds, args.references)
-        print(json.dumps({"overall_edit_distance": score["overall"],
-                          "pages": score["count"]}))
+        scores["overall_edit_distance"] = score["overall"]
+        scores["pages"] = score["count"]
+        scores["md_pages"] = score["pages"]
+    if args.gt_json:
+        layout = score_layout_against_gt(results, args.gt_json)
+        per_page = layout.pop("per_page")
+        scores["layout"] = layout
+        scores["layout_per_page"] = per_page
+    if scores:
+        headline = {k: v for k, v in scores.items()
+                    if k not in ("md_pages", "layout_per_page")}
+        print(json.dumps(headline))
         with open(os.path.join(args.output, "scores.json"), "w") as f:
-            json.dump(score, f, indent=2)
+            json.dump(scores, f, indent=2)
 
 
 if __name__ == "__main__":
