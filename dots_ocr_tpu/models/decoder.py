@@ -251,6 +251,7 @@ def decoder_decode_step_paged(
     from dots_ocr_tpu.engine.kv_cache import quantize_kv
     from dots_ocr_tpu.ops.paged_attention import (
         paged_attention,
+        paged_attention_multipage,
         paged_attention_reference,
     )
 
@@ -300,11 +301,18 @@ def decoder_decode_step_paged(
         paged_k = k_layer.reshape(kv_heads, -1, page_size, head_dim)
         paged_v = v_layer.reshape(kv_heads, -1, page_size, head_dim)
         if attn_impl == "paged":
+            # Multi-page manual-DMA kernel: fastest at every measured size
+            # (beats both the (batch, page)-grid v1 kernel and the jax
+            # library paged kernel — tools/bench_paged.py, PERF.md).
+            out = paged_attention_multipage(
+                q, paged_k, paged_v, seq_lens, page_tables, **scale_kwargs
+            )
+        elif attn_impl == "paged_v1":
             out = paged_attention(
                 q, paged_k, paged_v, seq_lens, page_tables, **scale_kwargs
             )
         elif attn_impl == "paged_interpret":
-            out = paged_attention(
+            out = paged_attention_multipage(
                 q, paged_k, paged_v, seq_lens, page_tables, interpret=True,
                 **scale_kwargs,
             )
@@ -318,6 +326,143 @@ def decoder_decode_step_paged(
         x = x + swiglu(h, m["gate"], m["up"], m["down"])
         k_out.append(k_layer)
         v_out.append(v_layer)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    if quantized:
+        return x, tuple(k_out), tuple(v_out), tuple(ks_out), tuple(vs_out)
+    return x, tuple(k_out), tuple(v_out), None, None
+
+
+def decoder_prefill_extend(
+    params: dict,
+    cfg: DecoderConfig,
+    inputs_embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    prompt_len: jnp.ndarray,
+    k_pages,
+    v_pages,
+    page_table: jnp.ndarray,
+    slots: jnp.ndarray,
+    page_size: int,
+    kv_hi: int,
+    q_offset: int,
+    attn_impl: str = "flash",
+    k_scales=None,
+    v_scales=None,
+):
+    """One CHUNK of a chunked prefill, writing straight into the paged cache.
+
+    The vLLM-parity scheduling move (SURVEY §2.2: continuous batching):
+    long vision+prompt prefills are split into fixed-size token chunks so
+    decode steps for running sequences schedule between them instead of
+    stalling for the whole multi-second prefill.
+
+    inputs_embeds: [C, D] chunk embeddings (rows past the prompt are
+    padding); positions: [C] absolute positions (= q_offset + arange(C));
+    prompt_len: scalar — total prompt tokens (valid rows of earlier+this
+    chunk); k_pages/v_pages: per-layer tuples [KV, N_slots, D];
+    page_table: [W] THIS sequence's padded table with W * page_size >=
+    kv_hi; slots: [C] physical flat slots for the chunk's positions
+    (padding rows -> the reserved null page); kv_hi: static gather bound
+    (>= q_offset + C, a multiple of page_size).
+
+    Attention per chunk: the [0, kv_hi) prefix is GATHERED from pages into
+    contiguous KV (one take per layer — the same bytes flash reads anyway),
+    the chunk's fresh K/V are scattered in first so the gather sees them,
+    and flash attention runs causally with q_offset (queries at absolute
+    positions attend keys <= their position; keys beyond prompt_len are
+    segment-masked).
+
+    Returns (hidden [C, D] post-final-norm, k_pages, v_pages, ks, vs).
+    """
+    from dots_ocr_tpu.engine.kv_cache import quantize_kv
+    from dots_ocr_tpu.ops.flash_attention import flash_attention
+
+    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
+    c = inputs_embeds.shape[0]
+    kv_heads, head_dim = cfg.num_kv_heads, cfg.head_dim
+    quantized = k_scales is not None
+
+    # Gather slots for the [0, kv_hi) prefix — shared by every layer.
+    gather_pos = jnp.arange(kv_hi)
+    gather_slots = (
+        page_table[gather_pos // page_size] * page_size + gather_pos % page_size
+    )
+    q_seg = jnp.where(positions < prompt_len, 0, -1).astype(jnp.int32)[None]
+    kv_seg = jnp.where(gather_pos < prompt_len, 0, -1).astype(jnp.int32)[None]
+
+    x = inputs_embeds
+    k_out, v_out, ks_out, vs_out = [], [], [], []
+    for layer in range(cfg.num_layers):
+        block_params = jax.tree.map(lambda a: a[layer], params["blocks"])
+        k_layer, v_layer = k_pages[layer], v_pages[layer]
+        attn_p = block_params["attn"]
+        h = rms_norm(x, block_params["input_norm"], cfg.rms_norm_eps)
+        q, k, v = _project_qkv(h, attn_p, cfg)  # q [C,H,hd], k/v [C,KV,hd]
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        if quantized:
+            qk, sk = quantize_kv(k)  # [C, KV, hd], [C, KV]
+            qv, sv = quantize_kv(v)
+            k_layer = k_layer.at[:, slots].set(qk.transpose(1, 0, 2))
+            v_layer = v_layer.at[:, slots].set(qv.transpose(1, 0, 2))
+            n_slots = k_layer.shape[1]
+            flat_idx = (
+                jnp.arange(kv_heads)[:, None] * n_slots + slots[None, :]
+            ).reshape(-1)
+            ks_layer = k_scales[layer].at[flat_idx].set(sk.T.reshape(-1))
+            vs_layer = v_scales[layer].at[flat_idx].set(sv.T.reshape(-1))
+            ks_out.append(ks_layer)
+            vs_out.append(vs_layer)
+            scale_idx = (
+                jnp.arange(kv_heads)[:, None] * n_slots + gather_slots[None, :]
+            )
+            k_full = jnp.take(k_layer, gather_slots, axis=1).astype(jnp.float32)
+            v_full = jnp.take(v_layer, gather_slots, axis=1).astype(jnp.float32)
+            k_full = (k_full * jnp.take(ks_layer, scale_idx)[..., None]).astype(
+                jnp.bfloat16
+            )
+            v_full = (v_full * jnp.take(vs_layer, scale_idx)[..., None]).astype(
+                jnp.bfloat16
+            )
+        else:
+            k_layer = k_layer.at[:, slots].set(
+                k.transpose(1, 0, 2).astype(k_layer.dtype)
+            )
+            v_layer = v_layer.at[:, slots].set(
+                v.transpose(1, 0, 2).astype(v_layer.dtype)
+            )
+            k_full = jnp.take(k_layer, gather_slots, axis=1)  # [KV, kv_hi, D]
+            v_full = jnp.take(v_layer, gather_slots, axis=1)
+        k_out.append(k_layer)
+        v_out.append(v_layer)
+
+        kc = k_full.transpose(1, 0, 2)[None]  # [1, kv_hi, KV, D]
+        vc = v_full.transpose(1, 0, 2)[None]
+        if attn_impl in ("flash", "flash_interpret"):
+            out = flash_attention(
+                q.astype(kc.dtype)[None],
+                kc,
+                vc,
+                q_segment_ids=q_seg,
+                kv_segment_ids=kv_seg,
+                causal=True,
+                q_offset=q_offset,
+                interpret=attn_impl == "flash_interpret",
+            )[0]
+        else:  # XLA fallback (CPU tests / tiny chunks)
+            causal = gather_pos[None, :] <= positions[:, None]  # [C, kv_hi]
+            valid = (gather_pos[None, :] < prompt_len) & (
+                positions[:, None] < prompt_len
+            )
+            out = mha_reference(
+                q[None], kc, vc, mask=(causal & valid)[None]
+            )[0]
+        x = x + linear(out.reshape(c, cfg.q_dim), attn_p["wo"])
+        h = rms_norm(x, block_params["post_attn_norm"], cfg.rms_norm_eps)
+        m = block_params["mlp"]
+        x = x + swiglu(h, m["gate"], m["up"], m["down"])
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     if quantized:

@@ -49,6 +49,7 @@ def _flash_kernel(
     acc_scratch,
     *,
     causal: bool,
+    q_offset: int,
     sm_scale: float,
     num_k_blocks: int,
     block_q: int,
@@ -80,7 +81,9 @@ def _flash_kernel(
     k_lo, k_hi = jnp.min(kv_seg_blk), jnp.max(kv_seg_blk)
     segments_overlap = (q_lo <= k_hi) & (k_lo <= q_hi) & (q_hi >= 0) & (k_hi >= 0)
     if causal:
-        should_run = ((qi + 1) * block_q - 1 >= ki * block_k) & segments_overlap
+        should_run = (
+            (qi + 1) * block_q - 1 + q_offset >= ki * block_k
+        ) & segments_overlap
     else:
         should_run = segments_overlap
 
@@ -90,7 +93,9 @@ def _flash_kernel(
     # packed vision and of long causal prefills qualify.
     uniform_segment = (q_lo == q_hi) & (k_lo == k_hi) & (q_lo == k_lo) & (q_lo >= 0)
     if causal:
-        no_mask_needed = uniform_segment & (qi * block_q >= (ki + 1) * block_k)
+        no_mask_needed = uniform_segment & (
+            qi * block_q + q_offset >= (ki + 1) * block_k
+        )
     else:
         no_mask_needed = uniform_segment
 
@@ -145,6 +150,7 @@ def _flash_kernel(
             row_ids = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
                 + qi * block_q
+                + q_offset
             )
             col_ids = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
@@ -162,7 +168,9 @@ def _flash_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret"),
+    static_argnames=(
+        "causal", "q_offset", "sm_scale", "block_q", "block_k", "interpret"
+    ),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -171,6 +179,7 @@ def flash_attention(
     q_segment_ids: Optional[jnp.ndarray] = None,
     kv_segment_ids: Optional[jnp.ndarray] = None,
     causal: bool = False,
+    q_offset: int = 0,
     sm_scale: Optional[float] = None,
     block_q: int = 1024,
     block_k: int = 1024,
@@ -182,7 +191,11 @@ def flash_attention(
     q: [B, Tq, H, D]; k, v: [B, S, KV, D] with H % KV == 0 (GQA).
     q_segment_ids: [B, Tq]; kv_segment_ids: [B, S] (int32; -1 = padding;
     None = all tokens in one segment). causal adds position masking
-    (absolute positions = indices, matching engine prefill).
+    (absolute positions = indices, matching engine prefill). q_offset
+    shifts the queries' absolute positions by a static amount — the
+    chunked-prefill "extend" pattern where a [Tq] query chunk continues a
+    sequence whose first q_offset tokens are already cached (kv covers
+    positions [0, S)).
 
     Block defaults (1024x1024) are tuned on v5e at the flagship shapes:
     vs 128x128 tiles they measure 8.7x faster image-wide (88 vs 10
@@ -256,6 +269,7 @@ def flash_attention(
     kernel = functools.partial(
         _flash_kernel,
         causal=causal,
+        q_offset=q_offset,
         sm_scale=sm_scale,
         num_k_blocks=num_k_blocks,
         block_q=block_q,

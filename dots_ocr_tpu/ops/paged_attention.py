@@ -273,6 +273,255 @@ def paged_attention_stacked(
     return out.reshape(batch, num_heads, head_dim)
 
 
+# ---------------------------------------------------------------------------
+# Multi-page manual-DMA kernel (v2)
+# ---------------------------------------------------------------------------
+#
+# The v1 kernel above walks a (batch, page) grid: each grid step carries a
+# fixed pipeline cost (~1 us), which dominates at decode sizes — one page is
+# only 64 KB of KV. v2 collapses the page axis into an IN-KERNEL dynamic
+# loop with double-buffered manual DMA: the grid is (batch,) alone, each
+# slot's pages stream HBM->VMEM in blocks of ``pages_per_block`` overlapped
+# with the previous block's compute, and pages past the sequence length are
+# never touched (a dynamic fori bound, unlike the auto-pipeline whose dead
+# tiles still fetch). Blocking several pages per wait round amortizes the
+# per-DMA sync cost AND turns the score dot into a [G, F*ps] MXU op.
+
+
+def _multipage_kernel(
+    lengths_ref,      # scalar prefetch [B]
+    page_idx_ref,     # scalar prefetch [B * max_pages]
+    *refs,            # q, k_hbm, v_hbm, [ks_hbm, vs_hbm], o, bufs..., sems
+    page_size: int,
+    max_pages: int,
+    pages_per_block: int,
+    mask_value: float,
+    sm_scale: float,
+    kv_heads: int,
+    group: int,
+    quantized: bool,
+):
+    if quantized:
+        (q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref,
+         k_buf, v_buf, ks_buf, vs_buf, sem) = refs
+    else:
+        q_ref, k_hbm, v_hbm, o_ref, k_buf, v_buf, sem = refs
+        ks_buf = vs_buf = None
+    b = pl.program_id(0)
+    length = lengths_ref[b]
+    n_pages = jax.lax.div(length + page_size - 1, page_size)
+    fpb = pages_per_block
+    n_blocks = jax.lax.div(n_pages + fpb - 1, fpb)
+    blk = fpb * page_size
+
+    def copies(slot, block):
+        # Logical pages past the end are clamped to the last valid page
+        # (their tokens are masked out below) so every block issues exactly
+        # the same number of DMAs — the waits stay static.
+        out = []
+        for f in range(fpb):
+            logical = jnp.minimum(block * fpb + f, n_pages - 1)
+            page = page_idx_ref[b * max_pages + logical]
+            dst = slice(f * page_size, (f + 1) * page_size)
+            out.append(
+                pltpu.make_async_copy(
+                    k_hbm.at[:, page], k_buf.at[slot, :, dst], sem.at[slot, 0]
+                )
+            )
+            out.append(
+                pltpu.make_async_copy(
+                    v_hbm.at[:, page], v_buf.at[slot, :, dst], sem.at[slot, 1]
+                )
+            )
+            if quantized:
+                out.append(
+                    pltpu.make_async_copy(
+                        ks_hbm.at[:, page], ks_buf.at[slot, :, dst],
+                        sem.at[slot, 2],
+                    )
+                )
+                out.append(
+                    pltpu.make_async_copy(
+                        vs_hbm.at[:, page], vs_buf.at[slot, :, dst],
+                        sem.at[slot, 3],
+                    )
+                )
+        return out
+
+    @pl.when(n_blocks > 0)
+    def _warmup():
+        for c in copies(0, 0):
+            c.start()
+
+    rows = kv_heads * group
+    m0 = jnp.full((rows, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((rows, 1), jnp.float32)
+    acc0 = jnp.zeros((rows, q_ref.shape[-1]), jnp.float32)
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_blocks)
+        def _prefetch():
+            for c in copies(jax.lax.rem(i + 1, 2), i + 1):
+                c.start()
+
+        for c in copies(slot, i):
+            c.wait()
+
+        token_pos = i * blk + jax.lax.broadcasted_iota(
+            jnp.int32, (1, blk), 1
+        )
+        valid = token_pos < length  # [1, blk]
+
+        s_parts = []
+        for h in range(kv_heads):
+            qh = q_ref[0, h].astype(jnp.float32)  # [G, D]
+            k = k_buf[slot, h]  # [blk, D]
+            if quantized:
+                k = k.astype(jnp.float32) * ks_buf[slot, h][:, None]
+            s_parts.append(
+                jax.lax.dot_general(
+                    qh, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        s = jnp.concatenate(s_parts, axis=0) * sm_scale  # [rows, blk]
+        s = jnp.where(valid, s, mask_value)
+
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        p = jnp.exp(s - m_next)
+        p = jnp.where(valid, p, 0.0)
+        alpha = jnp.exp(m_prev - m_next)
+        alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+        accs = []
+        for h in range(kv_heads):
+            v = v_buf[slot, h]  # [blk, D]
+            if quantized:
+                v = (
+                    v.astype(jnp.float32) * vs_buf[slot, h][:, None]
+                ).astype(jnp.bfloat16)
+            ph = p[h * group : (h + 1) * group].astype(v.dtype)
+            accs.append(
+                jax.lax.dot(ph, v, preferred_element_type=jnp.float32)
+            )
+        pv = jnp.concatenate(accs, axis=0)
+        acc = acc * alpha + pv
+        return m_next, l_next, acc
+
+    _, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+    l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+    o_ref[0] = (
+        (acc * l_inv)
+        .reshape(kv_heads, group, acc.shape[-1])
+        .astype(o_ref.dtype)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "interpret", "pages_per_block")
+)
+def paged_attention_multipage(
+    q: jnp.ndarray,
+    k_pages: jnp.ndarray,
+    v_pages: jnp.ndarray,
+    lengths: jnp.ndarray,
+    page_indices: jnp.ndarray,
+    sm_scale: Optional[float] = None,
+    k_scales: Optional[jnp.ndarray] = None,
+    v_scales: Optional[jnp.ndarray] = None,
+    pages_per_block: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Paged decode attention, one grid step per sequence (see module notes).
+
+    q: [B, H, D]; k_pages/v_pages: [KV, num_pages, page_size, D];
+    lengths: [B]; page_indices: [B, max_pages]. Optional int8 payloads with
+    [KV, num_pages, page_size] f32 scales. ``pages_per_block`` pages stream
+    per DMA-wait round (default: enough pages for a 512-token block, capped
+    by the table width).
+    """
+    batch, num_heads, head_dim = q.shape
+    kv_heads, _, page_size, _ = k_pages.shape
+    max_pages = page_indices.shape[1]
+    group = num_heads // kv_heads
+    scale = sm_scale if sm_scale is not None else head_dim**-0.5
+    quantized = k_scales is not None
+    if pages_per_block is None:
+        pages_per_block = max(1, min(max_pages, 512 // page_size))
+    fpb = min(pages_per_block, max_pages)
+    blk = fpb * page_size
+
+    qg = q.reshape(batch, kv_heads, group, head_dim)
+
+    def q_index(b, *_):
+        return (b, 0, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, kv_heads, group, head_dim), q_index),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    inputs = [
+        lengths.astype(jnp.int32),
+        page_indices.reshape(-1).astype(jnp.int32),
+        qg,
+        k_pages,
+        v_pages,
+    ]
+    n_bufs = 2  # k, v
+    if quantized:
+        in_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        inputs += [k_scales.astype(jnp.float32), v_scales.astype(jnp.float32)]
+        n_bufs = 4
+    scratch_shapes = [
+        pltpu.VMEM((2, kv_heads, blk, head_dim), k_pages.dtype),
+        pltpu.VMEM((2, kv_heads, blk, head_dim), v_pages.dtype),
+    ]
+    if quantized:
+        scratch_shapes += [
+            pltpu.VMEM((2, kv_heads, blk), jnp.float32),
+            pltpu.VMEM((2, kv_heads, blk), jnp.float32),
+        ]
+    scratch_shapes.append(pltpu.SemaphoreType.DMA((2, n_bufs)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(batch,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, kv_heads, group, head_dim), q_index),
+        scratch_shapes=scratch_shapes,
+    )
+    kernel = functools.partial(
+        _multipage_kernel,
+        page_size=page_size,
+        max_pages=max_pages,
+        pages_per_block=fpb,
+        mask_value=DEFAULT_MASK_VALUE,
+        sm_scale=scale,
+        kv_heads=kv_heads,
+        group=group,
+        quantized=quantized,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(qg.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return out.reshape(batch, num_heads, head_dim)
+
+
 def paged_attention(
     q: jnp.ndarray,
     k_pages: jnp.ndarray,

@@ -123,6 +123,65 @@ def test_paged_kernel_matches_reference():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_multipage_kernel_matches_reference():
+    from dots_ocr_tpu.ops.paged_attention import paged_attention_multipage
+
+    lengths = [10, 5, 16, 1]
+    q, kp, vp, lens, pidx, kc, vc = _setup_paged(7, 4, 2, 8, 32, 4, 4, lengths)
+    out = paged_attention_multipage(q, kp, vp, lens, pidx, interpret=True)
+    ref = paged_attention_reference(q, kp, vp, lens, pidx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_multipage_kernel_zero_length_and_partial_pages():
+    from dots_ocr_tpu.ops.paged_attention import paged_attention_multipage
+
+    lengths = [8, 0, 3, 0]
+    q, kp, vp, lens, pidx, kc, vc = _setup_paged(8, 4, 2, 4, 32, 4, 4, lengths)
+    out = np.asarray(paged_attention_multipage(q, kp, vp, lens, pidx, interpret=True))
+    assert not np.isnan(out).any()
+    np.testing.assert_array_equal(out[1], 0.0)
+    np.testing.assert_array_equal(out[3], 0.0)
+    ref = np.asarray(paged_attention_reference(q, kp, vp, lens, pidx))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_multipage_kernel_partial_blocks():
+    """pages_per_block not dividing the page count: the clamped duplicate
+    pages in the last block must be fully masked."""
+    from dots_ocr_tpu.ops.paged_attention import paged_attention_multipage
+
+    lengths = [100, 37, 128, 5]  # 4, 2, 4, 1 pages of 32
+    q, kp, vp, lens, pidx, kc, vc = _setup_paged(11, 4, 2, 8, 32, 32, 4, lengths)
+    ref = paged_attention_reference(q, kp, vp, lens, pidx)
+    for fpb in (1, 3, 4):
+        out = paged_attention_multipage(
+            q, kp, vp, lens, pidx, pages_per_block=fpb, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5,
+            err_msg=f"fpb={fpb}",
+        )
+
+
+def test_multipage_kernel_quantized():
+    from dots_ocr_tpu.engine.kv_cache import quantize_kv
+    from dots_ocr_tpu.ops.paged_attention import paged_attention_multipage
+
+    lengths = [10, 5, 16, 1]
+    q, kp, vp, lens, pidx, kc, vc = _setup_paged(9, 4, 2, 8, 32, 4, 4, lengths)
+    qk, sk = quantize_kv(kp)
+    qv, sv = quantize_kv(vp)
+    ref = paged_attention_reference(q, qk, qv, lens, pidx, k_scales=sk, v_scales=sv)
+    out = paged_attention_multipage(
+        q, qk, qv, lens, pidx, k_scales=sk, v_scales=sv, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
 def test_paged_kernel_zero_length_slot():
     lengths = [8, 0, 3, 0]
     q, kp, vp, lens, pidx, kc, vc = _setup_paged(2, 4, 2, 4, 32, 4, 4, lengths)

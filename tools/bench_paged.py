@@ -26,7 +26,11 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from dots_ocr_tpu.ops.paged_attention import paged_attention
+    from dots_ocr_tpu.ops.paged_attention import (
+        paged_attention,
+        paged_attention_multipage,
+        paged_attention_reference,
+    )
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr, flush=True)
     kv_heads, q_heads, head_dim = 2, 12, 128
@@ -34,17 +38,40 @@ def main():
 
     iters = 100
 
-    @jax.jit
-    def run(q, k_pages, v_pages, lengths, tables):
-        # Chain kernel calls in-program: a single dispatch/fetch costs a
-        # full tunnel RTT (~30 ms), far above one kernel invocation. The
-        # q bump defeats CSE; the output feeds the next q so XLA cannot
-        # reorder or elide iterations.
-        def body(i, q):
-            out = paged_attention(q, k_pages, v_pages, lengths, tables)
-            return q + out.astype(q.dtype) * jnp.bfloat16(1e-6)
+    impls = {
+        "v1-grid": paged_attention,
+        "v2-dma": paged_attention_multipage,
+        "xla-gather": paged_attention_reference,
+    }
+    try:
+        from jax.experimental.pallas.ops.tpu.paged_attention import (
+            paged_attention as jax_lib_paged,
+        )
 
-        return jax.lax.fori_loop(0, iters, body, q)
+        def lib_impl(q, kp, vp, lengths, tables):
+            blk = max(1, min(8, tables.shape[1]))
+            return jax_lib_paged(
+                q, kp, vp, lengths, tables, pages_per_compute_block=blk
+            )
+
+        impls["jaxlib"] = lib_impl
+    except ImportError:
+        pass
+
+    def make_run(impl):
+        @jax.jit
+        def run(q, k_pages, v_pages, lengths, tables):
+            # Chain kernel calls in-program: a single dispatch/fetch costs a
+            # full tunnel RTT (~30 ms), far above one kernel invocation. The
+            # q bump defeats CSE; the output feeds the next q so XLA cannot
+            # reorder or elide iterations.
+            def body(i, q):
+                out = impl(q, k_pages, v_pages, lengths, tables)
+                return q + out.astype(q.dtype) * jnp.bfloat16(1e-6)
+
+            return jax.lax.fori_loop(0, iters, body, q)
+
+        return run
 
     for slots in (16, 64):
         for ctx in (256, 1024, 4096):
@@ -64,24 +91,33 @@ def main():
             ) - 1
             lengths = jnp.full((slots,), ctx, jnp.int32)
             q0 = jnp.asarray(rng.randn(slots, q_heads, head_dim), jnp.bfloat16)
-
-            out = run(q0, k_pages, v_pages, lengths, tables)
-            np.asarray(out[0, 0, :1])  # compile + settle
-
-            times = []
-            for r in range(args.reps):
-                q = q0 + jnp.bfloat16(r * 1e-3)  # defeat memoization
-                t0 = time.perf_counter()
-                out = run(q, k_pages, v_pages, lengths, tables)
-                np.asarray(out[0, 0, :1])
-                times.append(time.perf_counter() - t0)
-            best = min(times) / iters  # per kernel call; RTT amortized
             kv_bytes = 2 * slots * pages_per_seq * ps * kv_heads * head_dim * 2
-            print(
-                f"S={slots:3d} ctx={ctx:5d} ps={ps}: {best*1e6:8.0f} us/call  "
-                f"({kv_bytes/best/1e9:6.1f} GB/s effective KV read; "
-                f"x28 layers = {28*best*1e3:.2f} ms/decode-iter)"
-            )
+
+            for name, impl in impls.items():
+                run = make_run(impl)
+                try:
+                    out = run(q0, k_pages, v_pages, lengths, tables)
+                    np.asarray(out[0, 0, :1])  # compile + settle
+                except Exception as e:  # noqa: BLE001
+                    print(f"S={slots:3d} ctx={ctx:5d} ps={ps} {name:10s}: "
+                          f"FAILED ({type(e).__name__})")
+                    continue
+
+                times = []
+                for r in range(args.reps):
+                    q = q0 + jnp.bfloat16(r * 1e-3)  # defeat memoization
+                    t0 = time.perf_counter()
+                    out = run(q, k_pages, v_pages, lengths, tables)
+                    np.asarray(out[0, 0, :1])
+                    times.append(time.perf_counter() - t0)
+                best = min(times) / iters  # per kernel call; RTT amortized
+                print(
+                    f"S={slots:3d} ctx={ctx:5d} ps={ps} {name:10s}: "
+                    f"{best*1e6:8.0f} us/call  "
+                    f"({kv_bytes/best/1e9:6.1f} GB/s effective KV read; "
+                    f"x28 layers = {28*best*1e3:.2f} ms/decode-iter)",
+                    flush=True,
+                )
 
 
 if __name__ == "__main__":
