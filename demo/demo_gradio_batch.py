@@ -21,6 +21,7 @@ except ImportError as e:  # pragma: no cover - UI-only dependency
 from dots_ocr_tpu.batch.jobs import BatchJobManager
 from dots_ocr_tpu.batch.script_engine import run_user_script
 from dots_ocr_tpu.parser import DotsOCRParser
+from dots_ocr_tpu.ui.callbacks import load_result_content, save_result_edits
 
 SERVER = {"ip": "localhost", "port": 8000}
 MANAGER = BatchJobManager(
@@ -142,6 +143,35 @@ def build_app() -> "gr.Blocks":
                 gr.Button("Delete").click(delete, rid_box, rp_log)
             all_zip = gr.File(label="all results zip")
             gr.Button("Export all").click(export_all, None, all_zip)
+        with gr.Tab("Edit"):
+            # Per-result markdown/JSON editing with autosave to edited/
+            # and edited-aware exports (reference
+            # demo_gradio_batch.py:857-927,1921-2031).
+            edit_rid = gr.Textbox(label="rid")
+            edit_page = gr.Number(value=0, precision=0, label="page")
+            edit_status = gr.Textbox(label="status")
+            md_edit = gr.Code(language="markdown", label="markdown")
+            json_edit = gr.Code(language="json", label="layout JSON")
+
+            def _load(rid, page):
+                return load_result_content(MANAGER, (rid or "").strip(),
+                                           int(page or 0))
+
+            def _save(rid, page, md_text, json_text):
+                return save_result_edits(MANAGER, (rid or "").strip(),
+                                         int(page or 0), md_text, json_text)
+
+            gr.Button("Load").click(
+                _load, [edit_rid, edit_page], [md_edit, json_edit, edit_status]
+            )
+            gr.Button("Save (autosaves to edited/)", variant="primary").click(
+                _save, [edit_rid, edit_page, md_edit, json_edit], edit_status
+            )
+            # Autosave on blur as well — same handler.
+            md_edit.blur(_save, [edit_rid, edit_page, md_edit, json_edit],
+                         edit_status)
+            json_edit.blur(_save, [edit_rid, edit_page, md_edit, json_edit],
+                           edit_status)
         with gr.Tab("Script export"):
             code = gr.Code(value=DEFAULT_SCRIPT, language="python", label="script")
             logs = gr.Textbox(label="logs", lines=8)

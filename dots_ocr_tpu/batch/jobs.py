@@ -125,6 +125,10 @@ class BatchResult:
     export_path: Optional[str] = None
     submitted_at: float = field(default_factory=time.time)
     finished_at: Optional[float] = None
+    # In-browser edits: {"page{N}.{md|json}": path under edited/}. Exports
+    # prefer these over the original artifacts (reference batch console's
+    # autosave-to-edited/ feature, demo_gradio_batch.py:857-927,1921-2031).
+    edits: Dict[str, str] = field(default_factory=dict)
 
 
 class BatchJobManager:
@@ -312,10 +316,90 @@ class BatchJobManager:
 
     # -- exports / persistence ------------------------------------------------
 
+    # -- per-result editing (autosave to edited/, edited-aware exports) ----
+
+    _EDIT_ARTIFACT_KEY = {"md": "md_content_path", "json": "layout_info_path"}
+
+    def save_edit(self, rid: str, page_no: int, kind: str, content: str) -> str:
+        """Persist an edited markdown/JSON pane for one page of a result.
+
+        Writes ``output_dir/edited/{rid}_page{page_no}.{kind}``, records it
+        on the result, and persists the manifest so edits survive restarts.
+        Returns the saved path.
+        """
+        if kind not in self._EDIT_ARTIFACT_KEY:
+            raise ValueError(f"kind must be md|json, got {kind!r}")
+        with self._lock:
+            result = self._results.get(rid)
+        if result is None:
+            raise KeyError(rid)
+        edited_dir = os.path.join(self.output_dir, "edited")
+        os.makedirs(edited_dir, exist_ok=True)
+        path = os.path.join(edited_dir, f"{rid}_page{page_no}.{kind}")
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(content)
+        os.replace(tmp, path)
+        with self._lock:
+            result.edits[f"page{page_no}.{kind}"] = path
+            done_pages = (
+                result.artifacts.get("pages")
+                if result.status == "done" else None
+            )
+        if done_pages:
+            # Keep the pre-built export fresh: downloads after an edit must
+            # carry the edited content.
+            result.export_path = self._build_export_zip(rid, done_pages)
+        self._persist()
+        return path
+
+    def edited_path(self, rid: str, page_no: int, kind: str) -> Optional[str]:
+        with self._lock:
+            result = self._results.get(rid)
+            if result is None:
+                return None
+            return result.edits.get(f"page{page_no}.{kind}")
+
+    def get_content(self, rid: str, page_no: int, kind: str):
+        """(content, was_edited) for a page's md/json — the edited version
+        when one exists, else the original artifact."""
+        path = self.edited_path(rid, page_no, kind)
+        edited = path is not None and os.path.exists(path)
+        if not edited:
+            with self._lock:
+                result = self._results.get(rid)
+            if result is None:
+                return None, False
+            pages = result.artifacts.get("pages", [])
+            if page_no >= len(pages):
+                return None, False
+            path = pages[page_no].get(self._EDIT_ARTIFACT_KEY[kind])
+        if not path or not os.path.exists(path):
+            return None, edited
+        with open(path, encoding="utf-8") as f:
+            return f.read(), edited
+
+    def _export_path_for(
+        self, result: "BatchResult | None", page_no: int, key: str, path: str
+    ) -> str:
+        """Edited-aware source path: exports carry the edited content under
+        the ORIGINAL artifact's name."""
+        if result is None:
+            return path
+        kind = {"md_content_path": "md", "layout_info_path": "json"}.get(key)
+        if kind is None:
+            return path
+        edited = result.edits.get(f"page{page_no}.{kind}")
+        if edited and os.path.exists(edited):
+            return edited
+        return path
+
     def _build_export_zip(self, rid: str, page_results: List[dict]) -> str:
+        with self._lock:
+            result = self._results.get(rid)
         zip_path = os.path.join(self.output_dir, f"{rid}_export.zip")
         with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-            for page in page_results:
+            for page_no, page in enumerate(page_results):
                 for key in (
                     "layout_info_path",
                     "layout_image_path",
@@ -324,22 +408,24 @@ class BatchJobManager:
                 ):
                     path = page.get(key)
                     if path and os.path.exists(path):
-                        zf.write(path, arcname=os.path.basename(path))
+                        src = self._export_path_for(result, page_no, key, path)
+                        zf.write(src, arcname=os.path.basename(path))
         return zip_path
 
     def export_all_zip(self, dest: Optional[str] = None) -> str:
-        """One zip of every finished result's artifacts."""
+        """One zip of every finished result's artifacts (edited-aware)."""
         dest = dest or os.path.join(self.output_dir, "all_results.zip")
         with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
             for r in self.results():
                 if r.status != "done":
                     continue
-                for page in r.artifacts.get("pages", []):
+                for page_no, page in enumerate(r.artifacts.get("pages", [])):
                     for key in ("layout_info_path", "md_content_path",
                                 "md_content_nohf_path", "layout_image_path"):
                         path = page.get(key)
                         if path and os.path.exists(path):
-                            zf.write(path, arcname=f"{r.rid}/{os.path.basename(path)}")
+                            src = self._export_path_for(r, page_no, key, path)
+                            zf.write(src, arcname=f"{r.rid}/{os.path.basename(path)}")
         return dest
 
     def _persist(self) -> None:

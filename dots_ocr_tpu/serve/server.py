@@ -538,6 +538,12 @@ def main(argv=None):
     parser.add_argument("--max-slots", type=int, default=32)
     parser.add_argument("--steps-per-sync", type=int, default=16)
     parser.add_argument(
+        "--prefill-chunk-tokens", type=int, default=2048,
+        help="prompts longer than this prefill in chunks interleaved with "
+        "decode steps (bounds decode stalls during long vision prefills); "
+        "0 = monolithic prefill",
+    )
+    parser.add_argument(
         "--random-tiny", action="store_true",
         help="serve a tiny random-weight model (smoke tests without weights)",
     )
@@ -619,6 +625,7 @@ def main(argv=None):
                     1, (args.num_pages // 2) // max(args.max_slots // 4, 1)
                 ),
                 kv_cache_dtype=args.kv_cache_dtype,
+                prefill_chunk_tokens=args.prefill_chunk_tokens,
             ),
         )
     else:

@@ -1,0 +1,176 @@
+"""Mixed-wave serving bench: concurrent vision pages, prefill + decode.
+
+The workload the <1 s p50 / pages-per-second target is about: N document
+pages arrive together; each needs a vision prefill (the chunked-prefill
+scheduler interleaves these with decode) and a few hundred output tokens.
+Reports pages/s, time-to-first-token per request, and decode-chunk latency
+p50/p99 split by whether a prefill chunk ran in the same step — the
+interleaving guarantee is "decode keeps flowing during prefill bursts".
+
+    python tools/bench_mixed.py [--pages 8] [--max-new 256] \
+        [--side 1536] [--chunk 2048] [--windowed] [--quant]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def pct(xs, p):
+    if not xs:
+        return 0.0
+    xs = sorted(xs)
+    return xs[min(len(xs) - 1, int(round(p / 100 * (len(xs) - 1))))]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=8)
+    ap.add_argument("--max-new", type=int, default=256)
+    ap.add_argument("--side", type=int, default=1536,
+                    help="square page side in px (1536 -> ~2.4MP -> ~3k "
+                    "vision tokens)")
+    ap.add_argument("--chunk", type=int, default=2048,
+                    help="prefill_chunk_tokens (0 = monolithic)")
+    ap.add_argument("--slots", type=int, default=16)
+    ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--steps-per-sync", type=int, default=8)
+    ap.add_argument("--windowed", action="store_true",
+                    help="windowed vision attention (encoder fast path)")
+    ap.add_argument("--quant", action="store_true", help="int8 weights")
+    args = ap.parse_args()
+
+    import numpy as np
+    from PIL import Image
+
+    import jax
+
+    from dots_ocr_tpu.engine.scheduler import (
+        ContinuousBatchingEngine,
+        SchedulerConfig,
+    )
+    from dots_ocr_tpu.models.config import DotsOCRConfig
+    from dots_ocr_tpu.models.init import zeros_params
+
+    log(f"devices: {jax.devices()}")
+    config = DotsOCRConfig.flagship()
+    if args.windowed:
+        import dataclasses
+        config = config.replace(
+            vision=dataclasses.replace(config.vision, window_size=16)
+        )
+    params = zeros_params(config)
+    if args.quant:
+        from dots_ocr_tpu.models.quantize import quantize_decoder_params
+
+        params = quantize_decoder_params(params)
+        log("int8 weight-only decoder")
+
+    # Page budget: merged vision tokens = (side/28)^2 (patch 14 + 2x2
+    # merge) + prompt + max_new.
+    ps = args.page_size
+    vis_tokens = (args.side // 28 + 1) ** 2
+    seq_cap = vis_tokens + 512 + args.max_new
+    pages_per_seq = -(-seq_cap // ps) + 1
+    sched = SchedulerConfig(
+        num_pages=args.slots * pages_per_seq + 8,
+        page_size=ps,
+        max_slots=args.slots,
+        max_pages_per_seq=pages_per_seq,
+        prompt_bucket_step=512,
+        vision_bucket_step=512,
+        steps_per_sync=args.steps_per_sync,
+        prefill_chunk_tokens=args.chunk,
+        repetition_min_repeats=0,
+    )
+    eng = ContinuousBatchingEngine(
+        params, config, sched=sched, default_max_new_tokens=args.max_new
+    )
+
+    rng = np.random.RandomState(0)
+    pages = [
+        Image.fromarray(
+            rng.randint(160, 255, (args.side, args.side, 3), np.uint8)
+        )
+        for _ in range(args.pages)
+    ]
+    prompt = "Please output the layout of this document page."
+
+    log("warmup (encoder + prefill chunks + decode widths)...")
+    t0 = time.perf_counter()
+    eng.generate_one(prompt, images=[pages[0]], temperature=0.0,
+                     max_new_tokens=max(8, args.steps_per_sync))
+    eng.warmup_decode(nucleus_variants=(False,))
+    log(f"  warm in {time.perf_counter() - t0:.1f}s")
+
+    # The measured wave: all pages submitted at once.
+    ids = [
+        eng.submit(f"{prompt} (page {i})", images=[pages[i]],
+                   temperature=0.0, max_new_tokens=args.max_new)
+        for i in range(args.pages)
+    ]
+    first_token_at = {}
+    decode_with_prefill, decode_alone = [], []
+    g0 = eng.metrics["generated_tokens"]
+    t0 = time.perf_counter()
+    while eng.has_work():
+        pc0 = eng.metrics.get("prefill_chunks", 0)
+        p0 = eng.metrics["prefills"]
+        d0 = eng.metrics["steps"]
+        g_before = eng.metrics["generated_tokens"]
+        ts = time.perf_counter()
+        eng.step()
+        dt = time.perf_counter() - ts
+        had_prefill = (
+            eng.metrics.get("prefill_chunks", 0) > pc0
+            or eng.metrics["prefills"] > p0
+        )
+        had_decode = eng.metrics["steps"] > d0
+        if had_decode:
+            (decode_with_prefill if had_prefill else decode_alone).append(dt)
+        for rid in ids:
+            req = eng._finished.get(rid)
+            if rid not in first_token_at:
+                live = next(
+                    (r for r in eng._slot_req
+                     if r is not None and r.req_id == rid), None
+                )
+                if (live is not None and live.output_ids) or req is not None:
+                    first_token_at[rid] = time.perf_counter() - t0
+    wall = time.perf_counter() - t0
+    gen = eng.metrics["generated_tokens"] - g0
+
+    ttft = sorted(first_token_at.values())
+    result = {
+        "metric": "mixed_wave_pages_per_s",
+        "value": round(args.pages / wall, 3),
+        "pages": args.pages,
+        "side_px": args.side,
+        "prefill_chunk_tokens": args.chunk,
+        "windowed": bool(args.windowed),
+        "wall_s": round(wall, 2),
+        "gen_tok_s": round(gen / wall, 1),
+        "ttft_p50_s": round(pct(ttft, 50), 2),
+        "ttft_max_s": round(pct(ttft, 100), 2),
+        "decode_step_p50_ms": round(1e3 * pct(decode_alone, 50), 1),
+        "decode_step_p99_ms": round(1e3 * pct(decode_alone, 99), 1),
+        "decode_step_with_prefill_p99_ms": round(
+            1e3 * pct(decode_with_prefill, 99), 1
+        ),
+        "prefill_chunks": eng.metrics.get("prefill_chunks", 0),
+    }
+    import json
+
+    log(json.dumps(result, indent=2))
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
