@@ -38,10 +38,11 @@ from dots_ocr_tpu.engine.tokenizer import TokenizerLike
 from dots_ocr_tpu.models.config import DotsOCRConfig
 from dots_ocr_tpu.models.decoder import (
     decoder_decode_step_paged,
+    decoder_prefill_extend,
     embed_tokens,
     logits_from_hidden,
 )
-from dots_ocr_tpu.models.vlm import build_scatter_indices, vlm_prefill
+from dots_ocr_tpu.models.vlm import build_scatter_indices, vlm_embed, vlm_prefill
 
 logger = logging.getLogger(__name__)
 
@@ -98,6 +99,107 @@ def prefill_program(
     paged = write_prefill_kv(paged, cache.k, cache.v, slot_mapping)
     first = sample_logits(rng, logits, temperature, top_p, nucleus=nucleus)
     return first, paged
+
+
+@partial(jax.jit, static_argnames=("config", "attn_impl"))
+def embed_program(
+    params,
+    config: DotsOCRConfig,
+    input_ids,
+    patches=None,
+    rope_cos=None,
+    rope_sin=None,
+    segment_ids=None,
+    scatter_batch=None,
+    scatter_pos=None,
+    window_ids=None,
+    attn_impl: str = "xla",
+):
+    """Embedding stage of a chunked prefill: run the vision encoder ONCE for
+    the request and splice its tokens into the prompt embeddings. The result
+    stays on device; decoder chunks slice it (see prefill_extend_program).
+
+    input_ids: [1, T] with T a multiple of prefill_chunk_tokens so every
+    chunk slice is exact. Returns [T, D].
+    """
+    return vlm_embed(
+        params,
+        config,
+        input_ids,
+        patches=patches,
+        rope_cos=rope_cos,
+        rope_sin=rope_sin,
+        segment_ids=segment_ids,
+        scatter_batch=scatter_batch,
+        scatter_pos=scatter_pos,
+        window_ids=window_ids,
+        attn_impl=attn_impl,
+    )[0]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("page_size", "kv_hi", "q_offset", "config", "attn_impl", "nucleus"),
+    donate_argnames=("paged",),
+)
+def prefill_extend_program(
+    params,
+    config: DotsOCRConfig,
+    paged: PagedKV,
+    embeds_chunk,
+    prompt_len,
+    page_table,
+    slots,
+    rng,
+    temperature,
+    top_p,
+    page_size: int,
+    kv_hi: int,
+    q_offset: int,
+    attn_impl: str = "flash",
+    nucleus: bool = False,
+):
+    """ONE chunk of a chunked prefill (vLLM-parity scheduling: long prefills
+    no longer monopolize the chip — decode chunks for running sequences
+    schedule between these).
+
+    embeds_chunk: [C, D] (slice of embed_program's output; rows past the
+    prompt are padding); prompt_len: scalar total prompt tokens; page_table:
+    [kv_hi / page_size] this sequence's table (null-page padded); slots: [C]
+    physical write slots (padding rows -> the reserved null page). Static
+    (kv_hi, q_offset) are both multiples of the chunk size, so the program
+    compiles once per chunk INDEX, not per request.
+
+    Always samples a candidate first token from the last valid row — on the
+    final chunk that row is the prompt's last position and the host uses the
+    sample; earlier chunks ignore it (the [1, V] logit matmul is noise next
+    to the chunk forward). Returns (first_token [1], paged).
+    """
+    c = embeds_chunk.shape[0]
+    positions = q_offset + jnp.arange(c, dtype=jnp.int32)
+    hidden, k, v, ks, vs = decoder_prefill_extend(
+        params["decoder"],
+        config.decoder,
+        embeds_chunk,
+        positions,
+        prompt_len,
+        paged.k,
+        paged.v,
+        page_table,
+        slots,
+        page_size=page_size,
+        kv_hi=kv_hi,
+        q_offset=q_offset,
+        attn_impl=attn_impl,
+        k_scales=paged.k_scale,
+        v_scales=paged.v_scale,
+    )
+    last_row = jnp.clip(prompt_len - 1 - q_offset, 0, c - 1)
+    logits = logits_from_hidden(
+        params["decoder"], config.decoder, hidden[last_row][None]
+    )
+    first = sample_logits(rng, logits, temperature, top_p, nucleus=nucleus)
+    return first, PagedKV(k, v, ks, vs)
 
 
 @partial(
@@ -216,7 +318,9 @@ def decode_program(
 # Host-side request state
 # ---------------------------------------------------------------------------
 
-WAITING, RUNNING, FINISHED = "waiting", "running", "finished"
+WAITING, PREFILLING, RUNNING, FINISHED = (
+    "waiting", "prefilling", "running", "finished"
+)
 
 
 @dataclasses.dataclass
@@ -241,6 +345,13 @@ class SchedulerConfig:
     # repetition_min_repeats times). 0 disables.
     repetition_max_period: int = 64
     repetition_min_repeats: int = 8
+    # Chunked prefill: prompts longer than this many tokens are admitted as
+    # PREFILLING requests whose decoder forward runs in fixed-size chunks of
+    # this many tokens, ONE chunk per scheduler step, so decode chunks for
+    # running sequences schedule between them (vLLM-parity continuous
+    # batching; the 8-concurrent-pages scenario is prefill-bound without
+    # it). 0 = monolithic prefill only. Rounded up to a page multiple.
+    prefill_chunk_tokens: int = 0
     # "bf16" or "int8". int8 halves cache HBM — the capacity lever for the
     # full workload envelope (14.4k-vision + 24k-decode sequences at high
     # slot counts exceed HBM in bf16). At SHORT contexts the per-page
@@ -281,6 +392,11 @@ class ScheduledRequest:
     emitted_len: int = 0
     detok_count: int = 0  # generated tokens consumed by detok
     final_text: Optional[str] = None  # set when stop-string truncation applies
+    # Chunked-prefill state (PREFILLING only): the full prompt's embeddings
+    # on device ([t_bucket, D], vision already spliced) and how many prompt
+    # tokens have been extended into the paged cache so far.
+    embeds: Any = None
+    prefill_pos: int = 0
 
     @property
     def cache_len(self) -> int:
@@ -310,6 +426,13 @@ class ContinuousBatchingEngine:
         self.config = config
         self.tokenizer = tokenizer or InferenceEngine._default_tokenizer(config)
         self.sched = sched or SchedulerConfig()
+        if self.sched.prefill_chunk_tokens > 0:
+            ps = self.sched.page_size
+            rounded = -(-self.sched.prefill_chunk_tokens // ps) * ps
+            if rounded != self.sched.prefill_chunk_tokens:
+                self.sched = dataclasses.replace(
+                    self.sched, prefill_chunk_tokens=rounded
+                )
         self.default_max_new_tokens = default_max_new_tokens
         if attn_impl == "auto":
             on_tpu = jax.default_backend() == "tpu"
@@ -358,6 +481,7 @@ class ContinuousBatchingEngine:
         self.metrics = {
             "steps": 0,
             "prefills": 0,
+            "prefill_chunks": 0,
             "generated_tokens": 0,
             "preemptions": 0,
             "chunk_input_rebuilds": 0,  # host->device upload chunks
@@ -560,17 +684,33 @@ class ContinuousBatchingEngine:
 
     # -- admission -------------------------------------------------------
 
+    def _chunked(self, req: ScheduledRequest) -> bool:
+        ct = self.sched.prefill_chunk_tokens
+        return ct > 0 and len(req.prompt_ids) > ct
+
     def _try_admit(self) -> None:
         watermark = int(self.sched.num_pages * self.sched.admit_free_page_fraction)
         while self._waiting and self._free_slots():
-            batch: List[ScheduledRequest] = []
             free_slots = len(self._free_slots())
             budget = self.allocator.free_pages - watermark
+            head = self._waiting[0]
+            if self._chunked(head):
+                # Long prompt: admit as a PREFILLING request — its decoder
+                # forward runs chunk by chunk across steps (see step()).
+                need = self.allocator.pages_needed(len(head.prompt_ids) + 1)
+                if need > budget:
+                    return
+                self._waiting.popleft()
+                self._admit_chunked(head)
+                continue
+            batch: List[ScheduledRequest] = []
             while (
                 self._waiting
                 and len(batch) < min(self.sched.max_prefill_batch, free_slots)
             ):
                 req = self._waiting[0]
+                if self._chunked(req):
+                    break  # handled at the head of the next outer iteration
                 need = self.allocator.pages_needed(len(req.prompt_ids) + 1)
                 if need > budget:
                     break
@@ -579,6 +719,123 @@ class ContinuousBatchingEngine:
             if not batch:
                 return
             self._admit_batch(batch)
+
+    def _admit_chunked(self, req: ScheduledRequest) -> None:
+        """Run the embedding stage (vision encoder included) ONCE and park
+        the request in a slot as PREFILLING. The prompt bucket is a multiple
+        of the chunk size so every decoder chunk is an exact static slice."""
+        from dots_ocr_tpu.models.preprocess import merge_packed
+
+        ct = self.sched.prefill_chunk_tokens
+        plen = len(req.prompt_ids)
+        slot = self._free_slots()[0]
+        t_bucket = -(-plen // ct) * ct
+        pad_id = self.config.special.pad_token_id
+        input_ids = np.full((1, t_bucket), pad_id, np.int32)
+        input_ids[0, :plen] = req.prompt_ids
+        self.allocator.allocate(req.req_id, plen + 1)
+
+        kwargs = {}
+        if req.packed is not None:
+            merged = merge_packed(
+                [req.packed],
+                self.config.vision,
+                bucket_step=self.sched.vision_bucket_step,
+            )
+            merge = self.config.vision.spatial_merge_size**2
+            sb, sp = build_scatter_indices(
+                input_ids,
+                self.config.special.imgpad_id,
+                merged.patches.shape[0] // merge,
+                valid_rows=merged.merged_valid_rows(merge),
+            )
+            kwargs = dict(
+                patches=jnp.asarray(merged.patches),
+                rope_cos=jnp.asarray(merged.rope_cos),
+                rope_sin=jnp.asarray(merged.rope_sin),
+                segment_ids=jnp.asarray(merged.segment_ids),
+                scatter_batch=jnp.asarray(sb),
+                scatter_pos=jnp.asarray(sp),
+            )
+            if merged.window_ids is not None:
+                kwargs["window_ids"] = jnp.asarray(merged.window_ids)
+
+        req.embeds = embed_program(
+            self.params,
+            self.config,
+            jnp.asarray(input_ids),
+            attn_impl=self.prefill_impl,
+            **kwargs,
+        )
+        req.state = PREFILLING
+        req.slot = slot
+        req.prefill_pos = 0
+        self._slot_req[slot] = req
+        self._lengths[slot] = 0
+        self._temps[slot] = req.temperature
+        self._top_ps[slot] = req.top_p
+        # NOTE: self._dev stays valid — the decode active set (RUNNING slots)
+        # is unchanged until the last chunk completes.
+
+    def _run_prefill_chunk(self) -> None:
+        """One decoder chunk for the oldest PREFILLING request. On the final
+        chunk, sample the first token and promote the request to RUNNING."""
+        slot = next(
+            (
+                i
+                for i, r in enumerate(self._slot_req)
+                if r is not None and r.state == PREFILLING
+            ),
+            None,
+        )
+        if slot is None:
+            return
+        req = self._slot_req[slot]
+        ct = self.sched.prefill_chunk_tokens
+        plen = len(req.prompt_ids)
+        start = req.prefill_pos
+        kv_hi = start + ct  # both multiples of page_size
+        width = kv_hi // self.sched.page_size
+        table = np.zeros(width, np.int32)
+        full = self.allocator.padded_table(req.req_id)
+        n = min(width, len(full))
+        table[:n] = full[:n]
+        n_valid = min(ct, plen - start)
+        slots = np.zeros(ct, np.int32)  # padding rows -> null page slot 0
+        slots[:n_valid] = self.allocator.slot_mapping(req.req_id, start, n_valid)
+        # Static slice (python ints): one tiny device op, no host round trip.
+        embeds_chunk = req.embeds[start : start + ct]
+
+        first, self.paged = prefill_extend_program(
+            self.params,
+            self.config,
+            self.paged,
+            embeds_chunk,
+            jnp.int32(plen),
+            jnp.asarray(table),
+            jnp.asarray(slots),
+            self._next_rng(),
+            jnp.asarray([req.temperature], np.float32),
+            jnp.asarray([req.top_p], np.float32),
+            page_size=self.sched.page_size,
+            kv_hi=kv_hi,
+            q_offset=start,
+            attn_impl=self.prefill_impl,
+            nucleus=req.top_p < 1.0,
+        )
+        req.prefill_pos += ct
+        self.metrics["prefill_chunks"] += 1
+        if req.prefill_pos >= plen:
+            token = int(np.asarray(first)[0])
+            req.embeds = None
+            req.state = RUNNING
+            req.output_ids = [token]
+            self._tokens[slot] = token
+            self._lengths[slot] = plen
+            self.metrics["prefills"] += 1
+            self._dev = None  # active set grows; re-upload next decode chunk
+            self._update_text(slot)
+            self._maybe_finish(slot)
 
     def _admit_batch(self, reqs: List[ScheduledRequest]) -> None:
         """Prefill up to max_prefill_batch requests in one dispatch. The
@@ -697,6 +954,7 @@ class ContinuousBatchingEngine:
         req = self._slot_req[slot]
         req.state = FINISHED
         req.finished_reason = reason
+        req.embeds = None  # release chunked-prefill device memory, if any
         if req.detok is not None and req.final_text is None:
             # Consume any tokens not yet detokenized + flush pending bytes.
             total = req.prior_output + req.output_ids
@@ -743,6 +1001,10 @@ class ContinuousBatchingEngine:
         self.allocator.free(victim.req_id)
         self._slot_req[slot] = None
         self._lengths[slot] = 0
+        # A PREFILLING victim just restarts its (chunked) prefill later: drop
+        # the on-device embeddings and chunk progress; nothing was generated.
+        victim.embeds = None
+        victim.prefill_pos = 0
         victim.prompt_ids = victim.prompt_ids + victim.output_ids
         victim.max_new_tokens = max(1, victim.max_new_tokens - len(victim.output_ids))
         victim.prior_output = victim.prior_output + victim.output_ids
@@ -757,11 +1019,18 @@ class ContinuousBatchingEngine:
     # -- the step --------------------------------------------------------
 
     def step(self) -> List[ScheduledRequest]:
-        """Admit + one multi-step decode chunk. Returns newly finished."""
+        """Admit + at most one prefill chunk + one multi-step decode chunk.
+        Returns newly finished requests."""
         before = set(self._finished)
         self._try_admit()
+        # ONE chunk of ONE chunked prefill per step: decode latency during a
+        # long prefill is bounded by a chunk's forward, not the whole prompt.
+        self._run_prefill_chunk()
 
-        active = [i for i, r in enumerate(self._slot_req) if r is not None]
+        active = [
+            i for i, r in enumerate(self._slot_req)
+            if r is not None and r.state == RUNNING
+        ]
         if active:
             s = self.sched.max_slots
             chunk = self.sched.steps_per_sync

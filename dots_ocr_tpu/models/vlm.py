@@ -76,6 +76,42 @@ def build_scatter_indices(
     return out_b, out_p
 
 
+def vlm_embed(
+    params: dict,
+    config: DotsOCRConfig,
+    input_ids: jnp.ndarray,
+    patches: Optional[jnp.ndarray] = None,
+    rope_cos: Optional[jnp.ndarray] = None,
+    rope_sin: Optional[jnp.ndarray] = None,
+    segment_ids: Optional[jnp.ndarray] = None,
+    scatter_batch: Optional[jnp.ndarray] = None,
+    scatter_pos: Optional[jnp.ndarray] = None,
+    window_ids: Optional[jnp.ndarray] = None,
+    attn_impl: str = "xla",
+) -> jnp.ndarray:
+    """The embedding stage of a prefill only: token embeddings with the
+    vision tokens spliced in at the imgpad positions. Returns [B, T, D].
+
+    Split out from :func:`vlm_prefill` so chunked prefill (the scheduler's
+    decode-interleaved admission path) can run the encoder once and then
+    feed the decoder stack chunk by chunk via ``decoder_prefill_extend``.
+    """
+    x = embed_tokens(params["decoder"], input_ids)
+    if patches is not None:
+        vision_tokens = encode_images(
+            params["vision"],
+            config.vision,
+            patches,
+            rope_cos,
+            rope_sin,
+            segment_ids,
+            window_ids=window_ids,
+            attn_impl=attn_impl,
+        )
+        x = splice_vision_embeddings(x, vision_tokens, scatter_batch, scatter_pos)
+    return x
+
+
 def vlm_prefill(
     params: dict,
     config: DotsOCRConfig,
@@ -104,19 +140,19 @@ def vlm_prefill(
     ``last_logit_only`` — generation needs only the last valid position, and
     the full [B, T, V] f32 tensor is ~10 GB at B=16, T=1k, V=152k.
     """
-    x = embed_tokens(params["decoder"], input_ids)
-    if patches is not None:
-        vision_tokens = encode_images(
-            params["vision"],
-            config.vision,
-            patches,
-            rope_cos,
-            rope_sin,
-            segment_ids,
-            window_ids=window_ids,
-            attn_impl=attn_impl,
-        )
-        x = splice_vision_embeddings(x, vision_tokens, scatter_batch, scatter_pos)
+    x = vlm_embed(
+        params,
+        config,
+        input_ids,
+        patches=patches,
+        rope_cos=rope_cos,
+        rope_sin=rope_sin,
+        segment_ids=segment_ids,
+        scatter_batch=scatter_batch,
+        scatter_pos=scatter_pos,
+        window_ids=window_ids,
+        attn_impl=attn_impl,
+    )
 
     hidden, cache = decoder_prefill(
         params["decoder"], config.decoder, x, positions, seq_lens, attn_impl,

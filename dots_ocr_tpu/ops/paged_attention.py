@@ -451,6 +451,15 @@ def paged_attention_multipage(
     group = num_heads // kv_heads
     scale = sm_scale if sm_scale is not None else head_dim**-0.5
     quantized = k_scales is not None
+    if not interpret and head_dim % 128 != 0:
+        # The manual HBM->VMEM page DMAs slice the minor (head_dim) axis,
+        # and Mosaic requires those slices 128-lane aligned — real
+        # checkpoints have head_dim 128, but tiny test configs don't.
+        # Fall back to the v1 (BlockSpec auto-pipelined) kernel there.
+        return paged_attention(
+            q, k_pages, v_pages, lengths, page_indices,
+            sm_scale=scale, k_scales=k_scales, v_scales=v_scales,
+        )
     if pages_per_block is None:
         pages_per_block = max(1, min(max_pages, 512 // page_size))
     fpb = min(pages_per_block, max_pages)
