@@ -419,10 +419,22 @@ class ContinuousBatchingEngine:
         default_max_new_tokens: int = 16384,
         attn_impl: str = "auto",
         kv_dtype=None,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh for tensor-parallel SERVING.
+        Pass params already sharded (parallel.sharding.shard_params); the
+        paged cache is placed per paged_kv_specs (KV heads over the model
+        axis) and all small step inputs are replicated onto the mesh. The
+        jitted step programs are unchanged — GSPMD inserts the collectives."""
         from dots_ocr_tpu.engine.engine import InferenceEngine
 
         self.params = params
+        self.mesh = mesh
+        self._replicated = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._replicated = NamedSharding(mesh, PartitionSpec())
         self.config = config
         self.tokenizer = tokenizer or InferenceEngine._default_tokenizer(config)
         self.sched = sched or SchedulerConfig()
@@ -454,6 +466,19 @@ class ContinuousBatchingEngine:
             dtype=kv_dtype,
             quantized=self.sched.kv_cache_dtype == "int8",
         )
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from dots_ocr_tpu.parallel.sharding import paged_kv_specs
+
+            specs = paged_kv_specs(
+                config, mesh, quantized=self.sched.kv_cache_dtype == "int8"
+            )
+            self.paged = jax.tree.map(
+                lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+                self.paged,
+                specs,
+            )
         self.allocator = PageAllocator(
             num_pages=self.sched.num_pages,
             page_size=self.sched.page_size,
@@ -605,9 +630,17 @@ class ContinuousBatchingEngine:
 
     # -- helpers ---------------------------------------------------------
 
+    def _put(self, x):
+        """Device placement for small step inputs: replicated onto the mesh
+        when serving tensor-parallel, plain asarray otherwise."""
+        x = jnp.asarray(x)
+        if self._replicated is not None:
+            return jax.device_put(x, self._replicated)
+        return x
+
     def _next_rng(self):
         self._rng, out = jax.random.split(self._rng)
-        return out
+        return self._put(out) if self._replicated is not None else out
 
     def _free_slots(self) -> List[int]:
         return [i for i, r in enumerate(self._slot_req) if r is None]
@@ -653,14 +686,14 @@ class ContinuousBatchingEngine:
         s = self.sched.max_slots
         # All-inactive mask: identical compiled program, zero-iteration
         # execution, and no KV pages are touched.
-        idle = jnp.zeros(s, bool)
-        tokens = jnp.zeros(s, jnp.int32)
-        positions = jnp.zeros(s, jnp.int32)
-        temps = jnp.asarray(self._temps)
-        top_ps = jnp.asarray(self._top_ps)
+        idle = self._put(jnp.zeros(s, bool))
+        tokens = self._put(jnp.zeros(s, jnp.int32))
+        positions = self._put(jnp.zeros(s, jnp.int32))
+        temps = self._put(self._temps)
+        top_ps = self._put(self._top_ps)
         compiled = 0
         for w in widths:
-            tables = jnp.zeros((s, w), jnp.int32)
+            tables = self._put(jnp.zeros((s, w), jnp.int32))
             for nucleus in nucleus_variants:
                 packed, _, self.paged = decode_program(
                     self.params,
@@ -750,20 +783,20 @@ class ContinuousBatchingEngine:
                 valid_rows=merged.merged_valid_rows(merge),
             )
             kwargs = dict(
-                patches=jnp.asarray(merged.patches),
-                rope_cos=jnp.asarray(merged.rope_cos),
-                rope_sin=jnp.asarray(merged.rope_sin),
-                segment_ids=jnp.asarray(merged.segment_ids),
-                scatter_batch=jnp.asarray(sb),
-                scatter_pos=jnp.asarray(sp),
+                patches=self._put(merged.patches),
+                rope_cos=self._put(merged.rope_cos),
+                rope_sin=self._put(merged.rope_sin),
+                segment_ids=self._put(merged.segment_ids),
+                scatter_batch=self._put(sb),
+                scatter_pos=self._put(sp),
             )
             if merged.window_ids is not None:
-                kwargs["window_ids"] = jnp.asarray(merged.window_ids)
+                kwargs["window_ids"] = self._put(merged.window_ids)
 
         req.embeds = embed_program(
             self.params,
             self.config,
-            jnp.asarray(input_ids),
+            self._put(input_ids),
             attn_impl=self.prefill_impl,
             **kwargs,
         )
@@ -811,12 +844,12 @@ class ContinuousBatchingEngine:
             self.config,
             self.paged,
             embeds_chunk,
-            jnp.int32(plen),
-            jnp.asarray(table),
-            jnp.asarray(slots),
+            self._put(np.int32(plen)),
+            self._put(table),
+            self._put(slots),
             self._next_rng(),
-            jnp.asarray([req.temperature], np.float32),
-            jnp.asarray([req.top_p], np.float32),
+            self._put(np.asarray([req.temperature], np.float32)),
+            self._put(np.asarray([req.top_p], np.float32)),
             page_size=self.sched.page_size,
             kv_hi=kv_hi,
             q_offset=start,
@@ -878,26 +911,26 @@ class ContinuousBatchingEngine:
                 valid_rows=merged.merged_valid_rows(merge),
             )
             kwargs = dict(
-                patches=jnp.asarray(merged.patches),
-                rope_cos=jnp.asarray(merged.rope_cos),
-                rope_sin=jnp.asarray(merged.rope_sin),
-                segment_ids=jnp.asarray(merged.segment_ids),
-                scatter_batch=jnp.asarray(sb),
-                scatter_pos=jnp.asarray(sp),
+                patches=self._put(merged.patches),
+                rope_cos=self._put(merged.rope_cos),
+                rope_sin=self._put(merged.rope_sin),
+                segment_ids=self._put(merged.segment_ids),
+                scatter_batch=self._put(sb),
+                scatter_pos=self._put(sp),
             )
             if merged.window_ids is not None:
-                kwargs["window_ids"] = jnp.asarray(merged.window_ids)
+                kwargs["window_ids"] = self._put(merged.window_ids)
 
         first, self.paged = prefill_program(
             self.params,
             self.config,
             self.paged,
-            jnp.asarray(input_ids),
-            jnp.asarray(seq_lens),
-            jnp.asarray(slot_mapping.reshape(-1)),
+            self._put(input_ids),
+            self._put(seq_lens),
+            self._put(slot_mapping.reshape(-1)),
             self._next_rng(),
-            jnp.asarray(temps),
-            jnp.asarray(tps),
+            self._put(temps),
+            self._put(tps),
             attn_impl=self.prefill_impl,
             nucleus=bool(any(r.top_p < 1.0 for r in reqs)),
             **kwargs,
@@ -1085,12 +1118,12 @@ class ContinuousBatchingEngine:
                     full = self.allocator.padded_table(self._slot_req[i].req_id)
                     tables[i] = full[:mp_bucket]
                 self._dev = {
-                    "tokens": jnp.asarray(self._tokens),
-                    "positions": jnp.asarray(positions),
-                    "tables": jnp.asarray(tables),
-                    "active": jnp.asarray(active_mask),
-                    "temps": jnp.asarray(self._temps),
-                    "top_ps": jnp.asarray(self._top_ps),
+                    "tokens": self._put(self._tokens),
+                    "positions": self._put(positions),
+                    "tables": self._put(tables),
+                    "active": self._put(active_mask),
+                    "temps": self._put(self._temps),
+                    "top_ps": self._put(self._top_ps),
                     "rng": self._next_rng(),
                     "nucleus": bool(np.any(self._top_ps[active] < 1.0)),
                 }

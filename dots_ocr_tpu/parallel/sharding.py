@@ -163,3 +163,32 @@ def kv_cache_spec(config: DotsOCRConfig, mesh: Mesh) -> P:
     data = "data" if mesh.shape.get("data", 1) > 1 else None
     kv = _axis(mesh, "model", config.decoder.num_kv_heads)
     return P(None, data, None, kv, None)
+
+
+def paged_kv_specs(config: DotsOCRConfig, mesh: Mesh, quantized: bool = False):
+    """PartitionSpecs for the serving engine's ``PagedKV`` cache.
+
+    Sharding decision (SURVEY §2.3 "make TP a config axis" for SERVING): the
+    per-layer [KV, N_slots, D] page pools shard the KV-head axis over
+    ``model`` when divisible — the same split the attention projections use,
+    so each chip writes and reads only its own heads' pages and decode
+    attention needs no cache collectives (the head-parallel outputs meet at
+    the row-parallel wo matmul's reduce, exactly like the dense path). Page
+    tables, tokens, and lengths are tiny and stay replicated. When KV heads
+    don't divide the model axis the pool replicates (correct, just not
+    memory-scaled). The flat [KV * N_slots] int8 scale leaves split
+    contiguously, which IS the head split when divisible.
+    """
+    from dots_ocr_tpu.engine.kv_cache import PagedKV
+
+    d = config.decoder
+    kv = _axis(mesh, "model", d.num_kv_heads)
+    pool = P(kv, None, None)
+    scale = P(kv)
+    layers = d.num_layers
+    return PagedKV(
+        tuple(pool for _ in range(layers)),
+        tuple(pool for _ in range(layers)),
+        tuple(scale for _ in range(layers)) if quantized else None,
+        tuple(scale for _ in range(layers)) if quantized else None,
+    )
