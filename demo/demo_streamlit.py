@@ -1,72 +1,120 @@
-"""Minimal Streamlit UI (reference ``demo/demo_streamlit.py`` analog).
+"""Streamlit UI (reference ``demo/demo_streamlit.py`` analog, full surface).
 
-Shows the raw client-side post-processing path: direct server call ->
-``post_process_cells`` -> ``draw_layout_on_image`` -> ``layoutjson2md`` +
-``fix_streamlit_formulas`` (reference ``:119-209``). Run:
-``streamlit run demo/demo_streamlit.py``.
+Feature parity with the reference page (``:62-215``): sidebar config
+(server, prompt mode, min/max pixels), three image input modes (upload /
+URL-or-path / bundled test image), the layout pipeline
+(``post_process_cells`` -> ``draw_layout_on_image`` -> ``layoutjson2md`` +
+``fix_streamlit_formulas``), plus the raw-output and post-processed text
+areas and dimension readouts. All decision logic lives in
+``dots_ocr_tpu.ui.callbacks`` (pure, headless-tested); this file is
+streamlit wiring only. Run: ``streamlit run demo/demo_streamlit.py``.
 """
 
-import json
+import glob
+import os
 
 try:
     import streamlit as st
 except ImportError as e:  # pragma: no cover - UI-only dependency
     raise SystemExit("demo_streamlit requires `pip install streamlit`") from e
 
-from PIL import Image
-
 from dots_ocr_tpu.client.inference import inference_with_server
-from dots_ocr_tpu.utils.boxes import post_process_cells
+from dots_ocr_tpu.ui.callbacks import process_layout_response, resolve_image_input
+from dots_ocr_tpu.utils.consts import MAX_PIXELS, MIN_PIXELS
 from dots_ocr_tpu.utils.image_io import fetch_image
-from dots_ocr_tpu.utils.markdown import fix_streamlit_formulas, layoutjson2md
 from dots_ocr_tpu.utils.prompts import dict_promptmode_to_prompt
-from dots_ocr_tpu.utils.visualize import draw_layout_on_image
 
 st.set_page_config(page_title="dots.ocr (TPU)", layout="wide")
-st.title("dots.ocr — TPU-native document parser")
+st.title("🔍 dots.ocr — TPU-native document parser")
 
-with st.sidebar:
-    ip = st.text_input("Server IP", "localhost")
-    port = st.number_input("Port", value=8000, step=1)
-    prompt_mode = st.selectbox(
-        "Prompt mode", list(dict_promptmode_to_prompt), index=0
+
+def config_sidebar() -> dict:
+    cfg = {}
+    st.sidebar.header("Configuration Parameters")
+    cfg["prompt_mode"] = st.sidebar.selectbox(
+        "Prompt Mode", list(dict_promptmode_to_prompt), index=0
     )
-    temperature = st.slider("Temperature", 0.0, 1.0, 0.1)
-    max_tokens = st.number_input("Max completion tokens", value=16384, step=1024)
+    cfg["ip"] = st.sidebar.text_input("Server IP", "localhost")
+    cfg["port"] = st.sidebar.number_input(
+        "Port", min_value=1, max_value=65535, value=8000
+    )
+    st.sidebar.subheader("Image Configuration")
+    cfg["min_pixels"] = st.sidebar.number_input("Min Pixels", value=MIN_PIXELS)
+    cfg["max_pixels"] = st.sidebar.number_input("Max Pixels", value=MAX_PIXELS)
+    cfg["temperature"] = st.sidebar.slider("Temperature", 0.0, 1.0, 0.1)
+    cfg["max_tokens"] = st.sidebar.number_input(
+        "Max completion tokens", value=16384, step=1024
+    )
+    st.sidebar.info(
+        f"Current Prompt: {dict_promptmode_to_prompt[cfg['prompt_mode']][:160]}…"
+    )
+    return cfg
 
-uploaded = st.file_uploader("Image", type=["jpg", "jpeg", "png"])
-if uploaded and st.button("Parse", type="primary"):
-    origin = Image.open(uploaded).convert("RGB")
-    resized = fetch_image(origin, min_pixels=None, max_pixels=None)
-    model_input = fetch_image(origin, min_pixels=3136, max_pixels=11289600)
-    with st.spinner("running inference..."):
+
+def image_input():
+    st.markdown("#### Image Input")
+    mode = st.radio(
+        "Select input method",
+        ["Upload Image", "Enter Image URL/Path", "Select Test Image"],
+        horizontal=True,
+        label_visibility="collapsed",
+    )
+    uploaded = url = test = None
+    if mode == "Upload Image":
+        uploaded = st.file_uploader("Upload Image", type=["png", "jpg", "jpeg"])
+    elif mode == "Enter Image URL/Path":
+        url = st.text_input("Enter Image URL/Path")
+    else:
+        tests = sorted(glob.glob(os.path.join("demo", "assets", "*.jpg"))) + sorted(
+            glob.glob(os.path.join("demo", "assets", "*.png"))
+        )
+        test = st.selectbox("Select Test Image", [""] + tests)
+    return resolve_image_input(uploaded, url or "", test or "")
+
+
+cfg = config_sidebar()
+origin, source = image_input()
+if origin is not None:
+    st.write(f"Original Dimensions: {origin.width} x {origin.height}")
+
+if st.button("🚀 Start Inference", type="primary"):
+    if origin is None:
+        st.info(source if source else "Please select an image first")
+        st.stop()
+    model_input = fetch_image(
+        origin, min_pixels=int(cfg["min_pixels"]), max_pixels=int(cfg["max_pixels"])
+    )
+    st.write(f"Input Dimensions: {model_input.width} x {model_input.height}")
+    with st.spinner(f"Inferring... Server: {cfg['ip']}:{cfg['port']}"):
         response = inference_with_server(
             model_input,
-            dict_promptmode_to_prompt[prompt_mode],
-            ip=ip,
-            port=int(port),
-            temperature=float(temperature),
-            max_completion_tokens=int(max_tokens),
+            dict_promptmode_to_prompt[cfg["prompt_mode"]],
+            ip=cfg["ip"],
+            port=int(cfg["port"]),
+            temperature=float(cfg["temperature"]),
+            max_completion_tokens=int(cfg["max_tokens"]),
         )
-    if response is None:
-        st.error("request failed — is the server running?")
-    elif prompt_mode in ("prompt_layout_all_en", "prompt_layout_only_en"):
-        try:
-            cells = json.loads(response)
-            cells = post_process_cells(
-                origin, cells, model_input.width, model_input.height
-            )
-            col1, col2 = st.columns(2)
-            with col1:
-                st.image(draw_layout_on_image(origin, cells), caption="Layout")
-            with col2:
-                if prompt_mode == "prompt_layout_all_en":
-                    md = layoutjson2md(origin, cells)
-                    st.markdown(fix_streamlit_formulas(md), unsafe_allow_html=True)
-                else:
-                    st.json(cells)
-        except Exception as e:  # noqa: BLE001
-            st.warning(f"output was not valid layout JSON ({e}); raw response:")
-            st.text(response)
+    view = process_layout_response(
+        origin, response, cfg["prompt_mode"], model_input.width, model_input.height
+    )
+    if view["kind"] == "error":
+        st.error(view["message"])
+    elif view["kind"] == "invalid":
+        st.error(f"Model output is not a valid JSON format ({view['message']})")
+        st.text_area("Original Model Output", view["raw"], height=200)
+    elif view["kind"] == "text":
+        st.markdown(view["markdown"], unsafe_allow_html=True)
     else:
-        st.markdown(fix_streamlit_formulas(response), unsafe_allow_html=True)
+        col1, col2 = st.columns(2)
+        with col1:
+            st.markdown("##### Visualization Result")
+            st.image(view["image"], width=view["image"].width)
+        with col2:
+            if view["markdown"] is not None:
+                st.markdown("##### Markdown Format")
+                st.markdown(view["markdown"], unsafe_allow_html=True)
+            else:
+                st.json(view["cells"])
+        st.markdown("---")
+        st.text_area("Original Model Output", view["raw"], height=200)
+        st.text_area("Post-processed Result", str(view["cells"]), height=200)

@@ -203,6 +203,53 @@ def parse_with_bbox(
     return md, f"bbox={bbox}"
 
 
+def validate_annotation(annotation: Optional[dict]) -> Tuple[Optional[List[int]], str]:
+    """Reference semantics (demo_gradio_annotion.py:167-197): at most ONE
+    box; zero boxes means a full-page parse. Returns (bbox | None, error)."""
+    boxes = (annotation or {}).get("boxes") or []
+    if len(boxes) > 1:
+        return None, f"draw exactly one box ({len(boxes)} drawn)"
+    bbox = annotation_to_bbox(annotation)
+    if boxes and bbox is None:
+        return None, "malformed box payload"
+    if bbox is not None and (bbox[2] <= bbox[0] or bbox[3] <= bbox[1]):
+        return None, f"invalid box {bbox}: xmax/ymax must exceed xmin/ymin"
+    return bbox, ""
+
+
+def parse_annotation_flow(
+    image_path: Optional[str],
+    annotation: Optional[dict],
+    prompt_mode: str,
+    ip: str,
+    port,
+    min_pixels=None,
+    max_pixels=None,
+    parser: Optional[DotsOCRParser] = None,
+) -> Tuple:
+    """The annotation app's single entry point, mirroring the reference's
+    process_image_inference_with_annotation (:199-356): a drawn box forces
+    prompt_grounding_ocr on that region; no box runs the selected prompt on
+    the full page. Returns (layout_image_path|None, markdown, raw, status).
+    """
+    if not image_path:
+        return None, "", "", "upload an image first"
+    bbox, err = validate_annotation(annotation)
+    if err:
+        return None, "", "", err
+    parser = parser or get_parser(ip, port, min_pixels, max_pixels)
+    if bbox is not None:
+        md, status = parse_with_bbox(
+            image_path, annotation, ip, port, parser=parser
+        )
+        return None, md, md, f"grounded OCR, {status}"
+    image, md, js, _zip, _slider, _pages = parse_document(
+        image_path, prompt_mode, "", ip, port,
+        min_pixels=min_pixels, max_pixels=max_pixels, parser=parser,
+    )
+    return image, md, js, f"full-page parse ({prompt_mode})"
+
+
 # ---------------------------------------------------------------------------
 # Batch console callbacks (over batch.jobs.BatchJobManager)
 # ---------------------------------------------------------------------------
@@ -262,3 +309,75 @@ def save_result_edits(
             return "json not saved: invalid JSON (markdown saved)" if saved \
                 else "invalid JSON"
     return f"saved: {', '.join(saved)}"
+
+
+# ---------------------------------------------------------------------------
+# Streamlit app callbacks (reference demo_streamlit.py:112-170)
+# ---------------------------------------------------------------------------
+
+
+def process_layout_response(
+    origin_image,
+    response: Optional[str],
+    prompt_mode: str,
+    model_width: int,
+    model_height: int,
+) -> Dict[str, Any]:
+    """Turn a raw server response into render-ready parts.
+
+    Returns a dict with ``kind`` one of:
+      * ``error``   — request failed (response None),
+      * ``layout``  — parsed cells: ``cells``, ``image`` (layout drawn on the
+        original), ``markdown`` (None for layout-only mode), ``raw``,
+      * ``invalid`` — layout prompt but unparseable JSON: ``raw`` to show,
+      * ``text``    — non-layout prompt: ``markdown`` of the raw response.
+
+    Pure: no streamlit/gradio imports (headless-testable); the reference
+    kept this inline in the page script with zero coverage.
+    """
+    from dots_ocr_tpu.utils.boxes import post_process_cells
+    from dots_ocr_tpu.utils.markdown import fix_streamlit_formulas, layoutjson2md
+
+    if response is None:
+        return {"kind": "error", "message": "request failed — is the server running?"}
+    if prompt_mode not in ("prompt_layout_all_en", "prompt_layout_only_en"):
+        return {"kind": "text", "markdown": fix_streamlit_formulas(response)}
+    try:
+        cells = json.loads(response)
+        cells = post_process_cells(
+            origin_image, cells, model_width, model_height
+        )
+    except Exception as e:  # noqa: BLE001 — any malformed output shows raw
+        return {"kind": "invalid", "raw": response, "message": str(e)}
+    from dots_ocr_tpu.utils.visualize import draw_layout_on_image
+
+    md = None
+    if prompt_mode == "prompt_layout_all_en":
+        md = fix_streamlit_formulas(layoutjson2md(origin_image, cells))
+    return {
+        "kind": "layout",
+        "cells": cells,
+        "image": draw_layout_on_image(origin_image, cells),
+        "markdown": md,
+        "raw": response,
+    }
+
+
+def resolve_image_input(
+    uploaded=None, url_or_path: str = "", test_image: str = ""
+):
+    """Pick the active image source (upload > URL/path > test image) and
+    load it; returns (PIL image | None, source description | error)."""
+    from dots_ocr_tpu.utils.image_io import fetch_image
+
+    if uploaded is not None:
+        from PIL import Image
+
+        return Image.open(uploaded).convert("RGB"), "upload"
+    target = (url_or_path or "").strip() or (test_image or "").strip()
+    if not target:
+        return None, "no image selected"
+    try:
+        return fetch_image(target), target
+    except Exception as e:  # noqa: BLE001
+        return None, f"failed to read image: {e}"

@@ -210,3 +210,118 @@ def test_progress_and_rows(done_manager):
     rows = cb.result_rows(mgr)
     assert rows and rows[0][0] == rid and rows[0][2] == "done"
     assert "done 1" in cb.progress_text(mgr)
+
+
+# ---------------------------------------------------------------------------
+# Streamlit callbacks
+# ---------------------------------------------------------------------------
+
+
+def _layout_response(w, h):
+    import json
+
+    return json.dumps([
+        {"bbox": [0, 0, w // 2, h // 2], "category": "Text", "text": "hello"},
+    ])
+
+
+def test_process_layout_response_layout_mode():
+    import numpy as np
+    from PIL import Image
+
+    from dots_ocr_tpu.ui.callbacks import process_layout_response
+
+    img = Image.fromarray(np.zeros((56, 84, 3), np.uint8))
+    view = process_layout_response(
+        img, _layout_response(84, 56), "prompt_layout_all_en", 84, 56
+    )
+    assert view["kind"] == "layout"
+    assert view["markdown"] is not None
+    assert view["image"].size == img.size
+    assert view["cells"][0]["category"] == "Text"
+
+
+def test_process_layout_response_layout_only_has_no_md():
+    import numpy as np
+    from PIL import Image
+
+    from dots_ocr_tpu.ui.callbacks import process_layout_response
+
+    img = Image.fromarray(np.zeros((56, 84, 3), np.uint8))
+    view = process_layout_response(
+        img, _layout_response(84, 56), "prompt_layout_only_en", 84, 56
+    )
+    assert view["kind"] == "layout" and view["markdown"] is None
+
+
+def test_process_layout_response_error_and_invalid():
+    import numpy as np
+    from PIL import Image
+
+    from dots_ocr_tpu.ui.callbacks import process_layout_response
+
+    img = Image.fromarray(np.zeros((56, 84, 3), np.uint8))
+    assert process_layout_response(img, None, "prompt_layout_all_en", 84, 56)[
+        "kind"
+    ] == "error"
+    view = process_layout_response(
+        img, "not json {", "prompt_layout_all_en", 84, 56
+    )
+    assert view["kind"] == "invalid" and view["raw"] == "not json {"
+    # Non-layout prompts pass raw text through as markdown.
+    assert process_layout_response(img, "plain *md*", "prompt_ocr", 84, 56)[
+        "kind"
+    ] == "text"
+
+
+def test_resolve_image_input_precedence(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    from dots_ocr_tpu.ui.callbacks import resolve_image_input
+
+    p = tmp_path / "x.png"
+    Image.fromarray(np.zeros((30, 40, 3), np.uint8)).save(p)
+    img, src = resolve_image_input(None, str(p), "")
+    assert img is not None and src == str(p)
+    img, src = resolve_image_input(None, "", "")
+    assert img is None and "no image" in src
+    img, src = resolve_image_input(None, str(tmp_path / "missing.png"), "")
+    assert img is None and "failed" in src
+
+
+# ---------------------------------------------------------------------------
+# Annotation flow
+# ---------------------------------------------------------------------------
+
+
+def test_validate_annotation():
+    from dots_ocr_tpu.ui.callbacks import validate_annotation
+
+    assert validate_annotation(None) == (None, "")
+    assert validate_annotation({"boxes": []}) == (None, "")
+    bbox, err = validate_annotation(
+        {"boxes": [{"xmin": 1, "ymin": 2, "xmax": 30, "ymax": 40}]}
+    )
+    assert bbox == [1, 2, 30, 40] and err == ""
+    _, err = validate_annotation(
+        {"boxes": [{"xmin": 0, "ymin": 0, "xmax": 1, "ymax": 1}] * 2}
+    )
+    assert "exactly one" in err
+    _, err = validate_annotation(
+        {"boxes": [{"xmin": 30, "ymin": 2, "xmax": 1, "ymax": 40}]}
+    )
+    assert "invalid box" in err
+
+
+def test_parse_annotation_flow_guards():
+    from dots_ocr_tpu.ui.callbacks import parse_annotation_flow
+
+    out = parse_annotation_flow(None, None, "prompt_ocr", "localhost", 8000)
+    assert out[3] == "upload an image first"
+    out = parse_annotation_flow(
+        "/tmp/x.png",
+        {"boxes": [{"xmin": 0, "ymin": 0, "xmax": 1, "ymax": 1}] * 2},
+        "prompt_ocr", "localhost", 8000,
+    )
+    assert "exactly one" in out[3]
