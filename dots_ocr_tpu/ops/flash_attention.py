@@ -54,6 +54,7 @@ def _flash_kernel(
     num_k_blocks: int,
     block_q: int,
     block_k: int,
+    k_splits: int,
     num_heads: int,
 ):
     # Segment-id blocks carry all B rows (TPU tiling forbids (1, T) blocks
@@ -61,6 +62,12 @@ def _flash_kernel(
     b = pl.program_id(0) // num_heads
     qi = pl.program_id(1)
     ki = pl.program_id(2)
+    # Two-level K tiling: block_k is the DMA block (what the pipeline
+    # fetches per grid step); compute runs over k_splits sub-tiles of
+    # sub_k tokens so the f32 score tile stays [block_q, sub_k] in VMEM.
+    # Fewer grid steps = less per-step fixed cost (the measured flash
+    # ceiling) at unchanged score-tile memory.
+    sub_k = block_k // k_splits
 
     @pl.when(ki == 0)
     def _init():
@@ -68,96 +75,116 @@ def _flash_kernel(
         l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
         acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
 
-    # Tile-level skips:
-    #  * causal: whole KV tile above the diagonal contributes nothing,
-    #  * segments: segment ids are nondecreasing in token order (packing
-    #    order), so a tile is dead when the q block's id range and the kv
-    #    block's id range don't overlap. With window-major packed vision
-    #    tokens this turns block-diagonal window attention near-linear.
-    #    Padding id -1 makes the check conservative (tile still runs).
     q_seg_blk = q_seg_ref[b]  # [block_q]
-    kv_seg_blk = kv_seg_ref[b]  # [block_k]
+    kv_seg_row = kv_seg_ref[b]  # [block_k] — one whole-row dynamic load;
+    # per-sub-tile slices happen on the VALUE (Mosaic rejects a dynamic row
+    # index combined with a column slice as a ref load).
     q_lo, q_hi = jnp.min(q_seg_blk), jnp.max(q_seg_blk)
-    k_lo, k_hi = jnp.min(kv_seg_blk), jnp.max(kv_seg_blk)
-    segments_overlap = (q_lo <= k_hi) & (k_lo <= q_hi) & (q_hi >= 0) & (k_hi >= 0)
-    if causal:
-        should_run = (
-            (qi + 1) * block_q - 1 + q_offset >= ki * block_k
-        ) & segments_overlap
-    else:
-        should_run = segments_overlap
 
-    # Fast path: a tile fully inside ONE segment (and, for causal, strictly
-    # below the diagonal) needs no mask at all — skips the iota/compare/
-    # select VPU passes over the scores tile. Most tiles of window-major
-    # packed vision and of long causal prefills qualify.
-    uniform_segment = (q_lo == q_hi) & (k_lo == k_hi) & (q_lo == k_lo) & (q_lo >= 0)
-    if causal:
-        no_mask_needed = uniform_segment & (
-            qi * block_q + q_offset >= (ki + 1) * block_k
-        )
-    else:
-        no_mask_needed = uniform_segment
-
-    def _update(s, mask):
+    def _update(s, mask, sub):
         m_prev = m_scratch[...]  # [block_q, NUM_LANES]
         l_prev = l_scratch[...]
         m_curr = jnp.max(s, axis=1)[:, None]  # [block_q, 1]
         m_next = jnp.maximum(m_prev, m_curr)  # lane-broadcasted
 
-        p = jnp.exp(s - m_next[:, :1])  # [block_q, block_k]
+        p = jnp.exp2(s - m_next[:, :1])  # [block_q, sub_k]
         if mask is not None:
             # Zero masked entries explicitly: a fully-masked row (all at
             # DEFAULT_MASK_VALUE) would otherwise get uniform weights. With
             # p=0 its l stays 0 and the final store zeroes the output row.
             p = jnp.where(mask, p, 0.0)
-        alpha = jnp.exp(m_prev - m_next)  # [block_q, NUM_LANES]
+        alpha = jnp.exp2(m_prev - m_next)  # [block_q, NUM_LANES]
         alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)  # -inf - -inf case
 
         l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
         m_scratch[...] = m_next
         l_scratch[...] = l_next
 
-        v = v_ref[0]  # [block_k, head_dim]
+        v = v_ref[0, sub * sub_k : (sub + 1) * sub_k]  # [sub_k, head_dim]
         acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
 
-    def _scores():
-        s = jax.lax.dot_general(
-            q_ref[0],
-            k_ref[0],
+    # Scores live in a BASE-2 exponent domain: sm_scale * log2(e) is folded
+    # into the [block_q, head_dim] q tile (128x smaller than the score
+    # tile) and the softmax uses exp2 — this removes the full
+    # [block_q, sub_k] scale pass per tile, one of the VPU passes that
+    # bound the kernel (the MXU dots are only ~half the runtime).
+    qs = (q_ref[0] * (sm_scale * 1.4426950408889634)).astype(q_ref.dtype)
+
+    def _scores(sub):
+        return jax.lax.dot_general(
+            qs,
+            k_ref[0, sub * sub_k : (sub + 1) * sub_k],
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [block_q, block_k]
-        if sm_scale != 1.0:
-            s = s * sm_scale
-        return s
+        )  # [block_q, sub_k]
 
-    @pl.when(should_run & no_mask_needed)
-    def _run_unmasked():
-        _update(_scores(), None)
+    for sub in range(k_splits):
+        # Sub-tile base position along the KV axis (static per unrolled sub).
+        kv_seg_sub = kv_seg_row[sub * sub_k : (sub + 1) * sub_k]
+        k_lo, k_hi = jnp.min(kv_seg_sub), jnp.max(kv_seg_sub)
 
-    @pl.when(should_run & ~no_mask_needed)
-    def _run_masked():
-        s = _scores()
-        # Segment mask (padding = -1 never matches, and -1 q rows match
-        # nothing — their l stays 0 and the output row is zeroed at the end).
-        mask = (q_seg_blk[:, None] == kv_seg_blk[None, :]) & (
-            q_seg_blk[:, None] >= 0
+        # Tile-level skips:
+        #  * causal: whole KV sub-tile above the diagonal contributes
+        #    nothing,
+        #  * segments: segment ids are nondecreasing in token order
+        #    (packing order), so a tile is dead when the q block's id range
+        #    and the kv tile's id range don't overlap. With window-major
+        #    packed vision tokens this turns block-diagonal window
+        #    attention near-linear. Padding id -1 is conservative (runs).
+        segments_overlap = (
+            (q_lo <= k_hi) & (k_lo <= q_hi) & (q_hi >= 0) & (k_hi >= 0)
         )
         if causal:
-            row_ids = (
-                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-                + qi * block_q
-                + q_offset
+            should_run = (
+                (qi + 1) * block_q - 1 + q_offset
+                >= ki * block_k + sub * sub_k
+            ) & segments_overlap
+        else:
+            should_run = segments_overlap
+
+        # Fast path: a tile fully inside ONE segment (and, for causal,
+        # strictly below the diagonal) needs no mask at all — skips the
+        # iota/compare/select VPU passes over the scores tile. Most tiles
+        # of window-major packed vision and long causal prefills qualify.
+        uniform_segment = (
+            (q_lo == q_hi) & (k_lo == k_hi) & (q_lo == k_lo) & (q_lo >= 0)
+        )
+        if causal:
+            no_mask_needed = uniform_segment & (
+                qi * block_q + q_offset
+                >= ki * block_k + (sub + 1) * sub_k
             )
-            col_ids = (
-                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-                + ki * block_k
+        else:
+            no_mask_needed = uniform_segment
+
+        @pl.when(should_run & no_mask_needed)
+        def _run_unmasked(sub=sub):
+            _update(_scores(sub), None, sub)
+
+        @pl.when(should_run & ~no_mask_needed)
+        def _run_masked(sub=sub, kv_seg_sub=kv_seg_sub):
+            s = _scores(sub)
+            # Segment mask (padding = -1 never matches, and -1 q rows match
+            # nothing — their l stays 0; the output row is zeroed at the
+            # end).
+            mask = (q_seg_blk[:, None] == kv_seg_sub[None, :]) & (
+                q_seg_blk[:, None] >= 0
             )
-            mask = mask & (col_ids <= row_ids)
-        _update(jnp.where(mask, s, DEFAULT_MASK_VALUE), mask)
+            if causal:
+                row_ids = (
+                    jax.lax.broadcasted_iota(jnp.int32, (block_q, sub_k), 0)
+                    + qi * block_q
+                    + q_offset
+                )
+                col_ids = (
+                    jax.lax.broadcasted_iota(jnp.int32, (block_q, sub_k), 1)
+                    + ki * block_k
+                    + sub * sub_k
+                )
+                mask = mask & (col_ids <= row_ids)
+            _update(jnp.where(mask, s, DEFAULT_MASK_VALUE), mask, sub)
 
     @pl.when(ki == num_k_blocks - 1)
     def _store():
@@ -169,7 +196,8 @@ def _flash_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "causal", "q_offset", "sm_scale", "block_q", "block_k", "interpret"
+        "causal", "q_offset", "sm_scale", "block_q", "block_k", "k_splits",
+        "interpret",
     ),
 )
 def flash_attention(
@@ -182,7 +210,8 @@ def flash_attention(
     q_offset: int = 0,
     sm_scale: Optional[float] = None,
     block_q: int = 1024,
-    block_k: int = 1024,
+    block_k: int = 2048,
+    k_splits: int = 2,
     interpret: bool = False,
     mask: Optional[jnp.ndarray] = None,  # unsupported; use segment ids
 ) -> jnp.ndarray:
@@ -197,13 +226,14 @@ def flash_attention(
     sequence whose first q_offset tokens are already cached (kv covers
     positions [0, S)).
 
-    Block defaults (1024x1024) are tuned on v5e at the flagship shapes:
-    vs 128x128 tiles they measure 8.7x faster image-wide (88 vs 10
-    TFLOP/s at 14.3k tokens), 4.1x faster causal prefill, 7x faster on
-    256-token window segments — per-tile fixed cost (mask VPU passes,
-    grid overhead) amortizes over a larger MXU dot, at ~7 MB VMEM
-    (1024x2048 overflows). Shorter sequences clamp blocks to the padded
-    length automatically.
+    Block defaults (block_q 1024, block_k 2048 DMA with k_splits=2 compute
+    sub-tiles) are tuned on v5e at the flagship shapes: 101 TFLOP/s
+    image-wide at 14.3k tokens (vs 10 at the original 128x128 tiles and 96
+    at 1024x1024 single-level), causal prefill 9.2 ms (3 stacked wins:
+    big tiles, the dead-tile DMA clamp in kv_index, and the exp2/base-2
+    score domain that deletes the per-tile scale pass). The f32 score
+    tile stays [block_q, block_k / k_splits] so VMEM holds. Shorter
+    sequences clamp blocks to the padded length automatically.
 
     Returns [B, Tq, H, D] in q.dtype.
     """
@@ -244,6 +274,11 @@ def flash_attention(
 
     block_q = min(block_q, q_len)
     block_k = min(block_k, kv_len)
+    # Two-level K tiling: block_k is the DMA block; compute runs in
+    # block_k / k_splits sub-tiles (see _flash_kernel). Degrade gracefully
+    # when the clamped block no longer splits evenly.
+    if k_splits > 1 and block_k % k_splits != 0:
+        k_splits = 1
     num_q_blocks = q_len // block_q
     num_k_blocks = kv_len // block_k
 
@@ -252,18 +287,32 @@ def flash_attention(
     kr = k.transpose(0, 2, 1, 3).reshape(batch * kv_heads, kv_len, head_dim)
     vr = v.transpose(0, 2, 1, 3).reshape(batch * kv_heads, kv_len, head_dim)
 
+    def _clamp_dead(ki, qi):
+        # Causal DMA skip: every KV tile fully above the diagonal is clamped
+        # to the row's LAST LIVE block index. The Pallas pipeline only issues
+        # a copy when a block's mapped index changes between grid steps, so
+        # the dead tiles' K/V (and segment) fetches vanish — the kernel body
+        # still runs (and skips compute via should_run). At 14k-token causal
+        # prefill this halves HBM traffic for K/V.
+        last_live = ((qi + 1) * block_q - 1 + q_offset) // block_k
+        return jnp.minimum(ki, last_live)
+
     def q_index(bh, qi, ki):
         return (bh, qi, 0)
 
     def kv_index(bh, qi, ki):
         b = bh // num_heads
         h = bh % num_heads
+        if causal:
+            ki = _clamp_dead(ki, qi)
         return (b * kv_heads + h // group, ki, 0)
 
     def q_seg_index(bh, qi, ki):
         return (0, qi)
 
     def kv_seg_index(bh, qi, ki):
+        if causal:
+            ki = _clamp_dead(ki, qi)
         return (0, ki)
 
     kernel = functools.partial(
@@ -274,6 +323,7 @@ def flash_attention(
         num_k_blocks=num_k_blocks,
         block_q=block_q,
         block_k=block_k,
+        k_splits=k_splits,
         num_heads=num_heads,
     )
 

@@ -7,7 +7,11 @@ shape (packed NaViT, windowed segment ids) and at causal-prefill shape.
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -52,8 +56,8 @@ def main():
     # FLOPs: 2 matmuls of 2*T*T*D each per head (x0.5 if causal).
     flops = 4 * T * T * D * H * (0.5 if args.causal else 1.0)
 
-    for bq in (128, 256, 512):
-        for bk in (128, 256, 512, 1024):
+    for bq in (256, 512, 1024, 2048):
+        for bk in (512, 1024, 2048):
             try:
                 dt = bench(
                     lambda q=q, k=k, v=v: flash_attention(
