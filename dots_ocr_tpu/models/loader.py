@@ -48,18 +48,35 @@ def config_from_hf(config_dict: Dict[str, Any]) -> DotsOCRConfig:
     head_dim_v = vc.get("head_dim") or (
         vc.get("embed_dim", 1536) // vc.get("num_attention_heads", 12)
     )
+    patch_size = vc.get("patch_size", 14)
+    # Windowed attention, auto-detected from the checkpoint config
+    # (Qwen2.5-VL convention: vision_config.window_size in PIXELS — e.g.
+    # 112 px / 14 px patches = 8-patch windows — plus fullatt_block_indexes
+    # naming the image-wide layers). VisionConfig counts window_size in RAW
+    # PATCHES per side; values that look like pixels (multiples of
+    # patch_size above one merge cell) are converted. Absent keys mean full
+    # attention everywhere — the safe default until the checkpoint is
+    # verified (docs/windowed_vision.md has the switch-on checklist).
+    window_size = vc.get("window_size", 0) or 0
+    if window_size and window_size % patch_size == 0 and window_size >= 4 * patch_size:
+        window_size //= patch_size  # pixels -> raw patches
+    full_layers = vc.get(
+        "fullatt_block_indexes", vc.get("full_attn_layers", ())
+    ) or ()
     vision = VisionConfig(
         hidden_size=vc.get("embed_dim", vc.get("hidden_size", 1536)),
         num_layers=vc.get("num_hidden_layers", vc.get("depth", 42)),
         num_heads=vc.get("num_attention_heads", vc.get("num_heads", 12)),
         head_dim=head_dim_v,
         intermediate_size=vc.get("intermediate_size", 4224),
-        patch_size=vc.get("patch_size", 14),
+        patch_size=patch_size,
         temporal_patch_size=vc.get("temporal_patch_size", 1),
         spatial_merge_size=vc.get("spatial_merge_size", 2),
         rms_norm_eps=vc.get("rms_norm_eps", 1e-5),
         post_norm=vc.get("post_norm", True),
         qkv_bias=vc.get("use_bias", vc.get("qkv_bias", True)),
+        window_size=int(window_size),
+        full_attn_layers=tuple(int(i) for i in full_layers),
     )
     dc = config_dict
     head_dim_d = dc.get("head_dim") or (

@@ -565,6 +565,26 @@ def main(argv=None):
         help="weight-only quantization of the decoder (int8 per-channel "
         "scales; halves decode-time parameter HBM reads)",
     )
+    parser.add_argument(
+        "--vision-attn", choices=["config", "full", "windowed"],
+        default="config",
+        help="vision-encoder attention policy: 'config' honors the "
+        "checkpoint's config.json (window_size / fullatt_block_indexes, "
+        "auto-detected); 'full' forces image-wide attention everywhere "
+        "(safe, ~2x slower encoder); 'windowed' forces windowed layers on "
+        "(--vision-window-patches / --vision-full-layers) — flip it only "
+        "after the docs/windowed_vision.md checklist passes",
+    )
+    parser.add_argument(
+        "--vision-window-patches", type=int, default=16,
+        help="window side in RAW patches for --vision-attn windowed "
+        "(16 patches = 224 px; must be a multiple of spatial_merge_size)",
+    )
+    parser.add_argument(
+        "--vision-full-layers", type=str, default="",
+        help="comma-separated layer indices that stay image-wide under "
+        "--vision-attn windowed (e.g. '7,15,23,31'); empty = all windowed",
+    )
     args = parser.parse_args(argv)
 
     if args.compile_cache:
@@ -592,6 +612,29 @@ def main(argv=None):
 
         config, params = load_checkpoint(args.weights)
         tokenizer = load_tokenizer(args.weights)
+
+    if args.vision_attn != "config":
+        import dataclasses as _dc
+
+        if args.vision_attn == "full":
+            vision = _dc.replace(
+                config.vision, window_size=0, full_attn_layers=()
+            )
+        else:  # windowed
+            full = tuple(
+                int(i) for i in args.vision_full_layers.split(",") if i.strip()
+            )
+            vision = _dc.replace(
+                config.vision,
+                window_size=args.vision_window_patches,
+                full_attn_layers=full,
+            )
+        config = config.replace(vision=vision)
+        logging.getLogger(__name__).info(
+            "vision attention override: %s (window_size=%d patches, "
+            "full layers=%s)", args.vision_attn, vision.window_size,
+            vision.full_attn_layers,
+        )
 
     if args.quantize == "int8":
         from dots_ocr_tpu.models.quantize import (

@@ -120,3 +120,30 @@ def test_config_from_hf_defaults():
     assert cfg.decoder.num_layers == 28
     assert cfg.vision.num_layers == 42
     assert cfg.decoder.num_kv_heads == 2
+    # No window keys -> full attention (the safe default; see
+    # docs/windowed_vision.md).
+    assert cfg.vision.window_size == 0
+    assert cfg.vision.full_attn_layers == ()
+
+
+def test_config_from_hf_window_autodetect_qwen_pixels():
+    """Qwen2.5-VL convention: window_size in PIXELS + fullatt_block_indexes."""
+    cfg = config_from_hf(
+        {
+            "vision_config": {
+                "patch_size": 14,
+                "window_size": 112,  # px -> 8 raw patches
+                "fullatt_block_indexes": [7, 15, 23, 31],
+            }
+        }
+    )
+    assert cfg.vision.window_size == 8
+    assert cfg.vision.full_attn_layers == (7, 15, 23, 31)
+
+
+def test_config_from_hf_window_patch_units():
+    """Small values (< 4 patches' worth of px) are taken as patch units."""
+    cfg = config_from_hf(
+        {"vision_config": {"patch_size": 14, "window_size": 16}}
+    )
+    assert cfg.vision.window_size == 16

@@ -424,7 +424,12 @@ def vision_parity(weights_dir: str, config, params) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 
-def run_all(weights_dir: str, f32: bool = True) -> Dict[str, Any]:
+def run_all(
+    weights_dir: str,
+    f32: bool = True,
+    windowed: int = 0,
+    full_layers: str = "",
+) -> Dict[str, Any]:
     report: Dict[str, Any] = {"weights_dir": weights_dir}
     loader = loader_report(weights_dir, f32=f32)
     config = loader.pop("_config", None)
@@ -435,6 +440,25 @@ def run_all(weights_dir: str, f32: bool = True) -> Dict[str, Any]:
         report["decoder"] = _result("SKIP", reason="loader failed")
         report["vision"] = _result("SKIP", reason="loader failed")
         return report
+    if windowed:
+        # Force windowed mode on OUR side (docs/windowed_vision.md step 3):
+        # the HF side keeps its own modeling code's policy, so a PASS here
+        # means our window packing + reshape attention reproduces it.
+        import dataclasses as _dc
+
+        config = config.replace(
+            vision=_dc.replace(
+                config.vision,
+                window_size=windowed,
+                full_attn_layers=tuple(
+                    int(i) for i in full_layers.split(",") if i.strip()
+                ),
+            )
+        )
+        report["vision_attn"] = {
+            "window_size_patches": windowed,
+            "full_attn_layers": config.vision.full_attn_layers,
+        }
     report["tokenizer"] = tokenizer_report(weights_dir, config)
     report["decoder"] = decoder_parity(config, params)
     report["vision"] = vision_parity(weights_dir, config, params)
@@ -449,9 +473,21 @@ def main(argv=None) -> int:
         "--bf16", action="store_true",
         help="load params in bf16 (default f32 for tight activation diffs)",
     )
+    ap.add_argument(
+        "--windowed", type=int, default=0, metavar="PATCHES",
+        help="force windowed vision attention on our side (window side in "
+        "raw patches) for the encoder activation diff",
+    )
+    ap.add_argument(
+        "--full-layers", default="",
+        help="comma-separated image-wide layer indices with --windowed",
+    )
     args = ap.parse_args(argv)
 
-    report = run_all(args.weights_dir, f32=not args.bf16)
+    report = run_all(
+        args.weights_dir, f32=not args.bf16,
+        windowed=args.windowed, full_layers=args.full_layers,
+    )
     failed = [k for k, v in report.items()
               if isinstance(v, dict) and v.get("status") == "FAIL"]
     print(json.dumps(report, indent=2, default=str))
