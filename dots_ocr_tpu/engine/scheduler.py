@@ -119,8 +119,10 @@ def embed_program(
     the request and splice its tokens into the prompt embeddings. The result
     stays on device; decoder chunks slice it (see prefill_extend_program).
 
-    input_ids: [1, T] with T a multiple of prefill_chunk_tokens so every
-    chunk slice is exact. Returns [T, D].
+    input_ids: [B, T] (B padded to max_prefill_batch, T a multiple of
+    prefill_chunk_tokens so every chunk slice is exact). Batching the
+    admission runs the encoder ONCE for every long request queued together
+    — the wave scenario's prefill bottleneck. Returns [B, T, D].
     """
     return vlm_embed(
         params,
@@ -134,7 +136,7 @@ def embed_program(
         scatter_pos=scatter_pos,
         window_ids=window_ids,
         attn_impl=attn_impl,
-    )[0]
+    )
 
 
 @partial(
@@ -340,6 +342,16 @@ class SchedulerConfig:
     # Requests prefilled per dispatch. The batch is always padded to this
     # size (inert rows) so each (t_bucket, v_bucket) compiles once.
     max_prefill_batch: int = 4
+    # Adaptive chunk deepening: when EVERY live request still has at least
+    # this many tokens of budget left and none needs per-chunk host checks
+    # (stream callbacks / stop strings), decode dispatches use this chunk
+    # depth instead of steps_per_sync. Per-dispatch cost (host RTT — ~50 to
+    # 150 ms through a tunneled host — plus XLA dispatch) is the dominant
+    # cost of LOW-OCCUPANCY long decodes: the 1,024-token single-stream SVG
+    # run spends ~3/4 of its wall clock on it at depth 8. Set equal to
+    # steps_per_sync to disable. Rows that hit EOS mid-chunk exit the
+    # on-device loop early, so deep chunks waste no device work.
+    max_steps_per_sync: int = 64
     # Decode-degeneration guard: stop a sequence whose tail is a periodic
     # token loop (period <= repetition_max_period repeating >=
     # repetition_min_repeats times). 0 disables.
@@ -445,6 +457,13 @@ class ContinuousBatchingEngine:
                 self.sched = dataclasses.replace(
                     self.sched, prefill_chunk_tokens=rounded
                 )
+        if self.sched.kv_cache_dtype == "int8" and self.sched.page_size % 128:
+            logger.warning(
+                "int8 KV with page_size %d: the multi-page decode kernel "
+                "needs 128-aligned pages for the f32 scale DMAs and will "
+                "fall back to the slower v1 kernel — prefer page_size 128+",
+                self.sched.page_size,
+            )
         self.default_max_new_tokens = default_max_new_tokens
         if attn_impl == "auto":
             on_tpu = jax.default_backend() == "tpu"
@@ -691,28 +710,32 @@ class ContinuousBatchingEngine:
         positions = self._put(jnp.zeros(s, jnp.int32))
         temps = self._put(self._temps)
         top_ps = self._put(self._top_ps)
+        depths = [self.sched.steps_per_sync]
+        if self.sched.max_steps_per_sync > self.sched.steps_per_sync:
+            depths.append(self.sched.max_steps_per_sync)
         compiled = 0
         for w in widths:
             tables = self._put(jnp.zeros((s, w), jnp.int32))
             for nucleus in nucleus_variants:
-                packed, _, self.paged = decode_program(
-                    self.params,
-                    self.config,
-                    self.paged,
-                    tokens,
-                    positions,
-                    tables,
-                    idle,
-                    temps,
-                    top_ps,
-                    self._next_rng(),
-                    page_size=self.sched.page_size,
-                    num_steps=self.sched.steps_per_sync,
-                    attn_impl=self.decode_impl,
-                    nucleus=bool(nucleus),
-                )
-                np.asarray(packed)  # force compile + execute now
-                compiled += 1
+                for depth in depths:
+                    packed, _, self.paged = decode_program(
+                        self.params,
+                        self.config,
+                        self.paged,
+                        tokens,
+                        positions,
+                        tables,
+                        idle,
+                        temps,
+                        top_ps,
+                        self._next_rng(),
+                        page_size=self.sched.page_size,
+                        num_steps=depth,
+                        attn_impl=self.decode_impl,
+                        nucleus=bool(nucleus),
+                    )
+                    np.asarray(packed)  # force compile + execute now
+                    compiled += 1
         return compiled
 
     # -- admission -------------------------------------------------------
@@ -728,13 +751,25 @@ class ContinuousBatchingEngine:
             budget = self.allocator.free_pages - watermark
             head = self._waiting[0]
             if self._chunked(head):
-                # Long prompt: admit as a PREFILLING request — its decoder
-                # forward runs chunk by chunk across steps (see step()).
-                need = self.allocator.pages_needed(len(head.prompt_ids) + 1)
-                if need > budget:
+                # Long prompts: admit a contiguous run of them TOGETHER as
+                # PREFILLING requests — their embedding stage (vision
+                # encoder included) batches into one dispatch; the decoder
+                # then runs chunk by chunk across steps (see step()).
+                batch: List[ScheduledRequest] = []
+                while (
+                    self._waiting
+                    and self._chunked(self._waiting[0])
+                    and len(batch) < min(self.sched.max_prefill_batch, free_slots)
+                ):
+                    req = self._waiting[0]
+                    need = self.allocator.pages_needed(len(req.prompt_ids) + 1)
+                    if need > budget:
+                        break
+                    budget -= need
+                    batch.append(self._waiting.popleft())
+                if not batch:
                     return
-                self._waiting.popleft()
-                self._admit_chunked(head)
+                self._admit_chunked(batch)
                 continue
             batch: List[ScheduledRequest] = []
             while (
@@ -753,25 +788,30 @@ class ContinuousBatchingEngine:
                 return
             self._admit_batch(batch)
 
-    def _admit_chunked(self, req: ScheduledRequest) -> None:
-        """Run the embedding stage (vision encoder included) ONCE and park
-        the request in a slot as PREFILLING. The prompt bucket is a multiple
-        of the chunk size so every decoder chunk is an exact static slice."""
+    def _admit_chunked(self, reqs: List[ScheduledRequest]) -> None:
+        """Run the embedding stage (vision encoder included) ONCE for a
+        batch of long requests and park each in a slot as PREFILLING. The
+        prompt bucket is a multiple of the chunk size so every decoder
+        chunk is an exact static slice; the batch dim pads to
+        max_prefill_batch so each (t_bucket, v_bucket) compiles once."""
         from dots_ocr_tpu.models.preprocess import merge_packed
 
         ct = self.sched.prefill_chunk_tokens
-        plen = len(req.prompt_ids)
-        slot = self._free_slots()[0]
-        t_bucket = -(-plen // ct) * ct
+        b_fixed = self.sched.max_prefill_batch
         pad_id = self.config.special.pad_token_id
-        input_ids = np.full((1, t_bucket), pad_id, np.int32)
-        input_ids[0, :plen] = req.prompt_ids
-        self.allocator.allocate(req.req_id, plen + 1)
+        t_bucket = max(
+            -(-len(r.prompt_ids) // ct) * ct for r in reqs
+        )
+        input_ids = np.full((b_fixed, t_bucket), pad_id, np.int32)
+        for j, req in enumerate(reqs):
+            input_ids[j, : len(req.prompt_ids)] = req.prompt_ids
+            self.allocator.allocate(req.req_id, len(req.prompt_ids) + 1)
 
         kwargs = {}
-        if req.packed is not None:
+        packs = [r.packed for r in reqs if r.packed is not None]
+        if packs:
             merged = merge_packed(
-                [req.packed],
+                packs,
                 self.config.vision,
                 bucket_step=self.sched.vision_bucket_step,
             )
@@ -793,22 +833,29 @@ class ContinuousBatchingEngine:
             if merged.window_ids is not None:
                 kwargs["window_ids"] = self._put(merged.window_ids)
 
-        req.embeds = embed_program(
+        embeds = embed_program(
             self.params,
             self.config,
             self._put(input_ids),
             attn_impl=self.prefill_impl,
             **kwargs,
         )
-        req.state = PREFILLING
-        req.slot = slot
-        req.prefill_pos = 0
-        self._slot_req[slot] = req
-        self._lengths[slot] = 0
-        self._temps[slot] = req.temperature
-        self._top_ps[slot] = req.top_p
+        self.metrics["chunk_embeds"] = self.metrics.get("chunk_embeds", 0) + 1
+
+        slots = self._free_slots()[: len(reqs)]
+        for j, req in enumerate(reqs):
+            slot = slots[j]
+            req.embeds = embeds[j]  # [t_bucket, D] row (own buffer: the
+            # full batch array must not outlive the longest request)
+            req.state = PREFILLING
+            req.slot = slot
+            req.prefill_pos = 0
+            self._slot_req[slot] = req
+            self._lengths[slot] = 0
+            self._temps[slot] = req.temperature
+            self._top_ps[slot] = req.top_p
         # NOTE: self._dev stays valid — the decode active set (RUNNING slots)
-        # is unchanged until the last chunk completes.
+        # is unchanged until each request's last chunk completes.
 
     def _run_prefill_chunk(self) -> None:
         """One decoder chunk for the oldest PREFILLING request. On the final
@@ -1067,6 +1114,29 @@ class ContinuousBatchingEngine:
         if active:
             s = self.sched.max_slots
             chunk = self.sched.steps_per_sync
+            deep = self.sched.max_steps_per_sync
+            if deep > chunk:
+                live = [self._slot_req[i] for i in active]
+                remaining = min(
+                    r.max_new_tokens - len(r.output_ids) for r in live
+                )
+                prefilling = any(
+                    r is not None and r.state == PREFILLING
+                    for r in self._slot_req
+                )
+                if (
+                    remaining >= deep
+                    and not self._waiting
+                    and not prefilling  # don't starve an in-flight prefill
+                    and not any(
+                        r.stream_cb is not None or r.stop for r in live
+                    )
+                ):
+                    # Deep chunk: nothing needs a host sync for `deep`
+                    # tokens — amortize the dispatch RTT further. The budget
+                    # gate guarantees no request can overshoot
+                    # max_new_tokens inside the chunk.
+                    chunk = deep
             # Pass 1: reserve chunk pages per slot; preemption may clear any
             # slot (including ones already reserved), so state is re-read in
             # pass 2. Any page allocation changes a table row, so the cached

@@ -358,6 +358,19 @@ def _multipage_kernel(
     l0 = jnp.zeros((rows, 1), jnp.float32)
     acc0 = jnp.zeros((rows, q_ref.shape[-1]), jnp.float32)
 
+    # int8 path: quantize Q per query row ONCE (tiny [G, D] work) so the
+    # score dots run int8 x int8 on the MXU and the K tiles are never
+    # dequantized — the round-1 int8 throughput tax was exactly the
+    # [blk, D] dequant passes (cast + scale mul over every fetched byte).
+    q_i8, q_qscale = [], []
+    if quantized:
+        for h in range(kv_heads):
+            qh = q_ref[0, h].astype(jnp.float32)  # [G, D]
+            amax = jnp.max(jnp.abs(qh), axis=1, keepdims=True)
+            qs = jnp.where(amax > 0, amax / 127.0, 1.0)
+            q_i8.append(jnp.round(qh / qs).astype(jnp.int8))
+            q_qscale.append(qs)  # [G, 1] f32
+
     def body(i, carry):
         m_prev, l_prev, acc = carry
         slot = jax.lax.rem(i, 2)
@@ -377,16 +390,27 @@ def _multipage_kernel(
 
         s_parts = []
         for h in range(kv_heads):
-            qh = q_ref[0, h].astype(jnp.float32)  # [G, D]
             k = k_buf[slot, h]  # [blk, D]
             if quantized:
-                k = k.astype(jnp.float32) * ks_buf[slot, h][:, None]
-            s_parts.append(
-                jax.lax.dot_general(
-                    qh, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                # int8 x int8 -> int32 MXU dot; scales applied on the
+                # [G, blk] result (D-fold smaller than dequantizing K).
+                s_i32 = jax.lax.dot_general(
+                    q_i8[h], k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
                 )
-            )
+                s_parts.append(
+                    s_i32.astype(jnp.float32)
+                    * q_qscale[h]
+                    * ks_buf[slot, h][None, :]
+                )
+            else:
+                qh = q_ref[0, h].astype(jnp.float32)  # [G, D]
+                s_parts.append(
+                    jax.lax.dot_general(
+                        qh, k, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
         s = jnp.concatenate(s_parts, axis=0) * sm_scale  # [rows, blk]
         s = jnp.where(valid, s, mask_value)
 
@@ -402,13 +426,25 @@ def _multipage_kernel(
         for h in range(kv_heads):
             v = v_buf[slot, h]  # [blk, D]
             if quantized:
-                v = (
-                    v.astype(jnp.float32) * vs_buf[slot, h][:, None]
-                ).astype(jnp.bfloat16)
-            ph = p[h * group : (h + 1) * group].astype(v.dtype)
-            accs.append(
-                jax.lax.dot(ph, v, preferred_element_type=jnp.float32)
-            )
+                # Fold the per-token V scales into the [G, blk] probability
+                # rows, re-quantize those rows to int8, and run the PV dot
+                # int8 x int8 too — V bytes also go straight from DMA to
+                # MXU. The 1/127 weight granularity sits below the int8
+                # cache's own quantization noise.
+                pp = p[h * group : (h + 1) * group] * vs_buf[slot, h][None, :]
+                amax = jnp.max(jnp.abs(pp), axis=1, keepdims=True)
+                pscale = jnp.where(amax > 0, amax / 127.0, 1.0)
+                p_i8 = jnp.round(pp / pscale).astype(jnp.int8)
+                pv_i32 = jax.lax.dot_general(
+                    p_i8, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                accs.append(pv_i32.astype(jnp.float32) * pscale)
+            else:
+                ph = p[h * group : (h + 1) * group].astype(v.dtype)
+                accs.append(
+                    jax.lax.dot(ph, v, preferred_element_type=jnp.float32)
+                )
         pv = jnp.concatenate(accs, axis=0)
         acc = acc * alpha + pv
         return m_next, l_next, acc
@@ -451,11 +487,15 @@ def paged_attention_multipage(
     group = num_heads // kv_heads
     scale = sm_scale if sm_scale is not None else head_dim**-0.5
     quantized = k_scales is not None
-    if not interpret and head_dim % 128 != 0:
-        # The manual HBM->VMEM page DMAs slice the minor (head_dim) axis,
-        # and Mosaic requires those slices 128-lane aligned — real
-        # checkpoints have head_dim 128, but tiny test configs don't.
-        # Fall back to the v1 (BlockSpec auto-pipelined) kernel there.
+    if not interpret and (
+        head_dim % 128 != 0 or (quantized and page_size % 128 != 0)
+    ):
+        # The manual HBM->VMEM DMAs slice 128-lane tiled minor axes:
+        # the K/V payload along head_dim, and (when quantized) the f32
+        # SCALE buffers along page_size — Mosaic requires those slices
+        # 128-aligned. Real checkpoints have head_dim 128; int8 mode wants
+        # page_size a multiple of 128 (the engine should allocate such).
+        # Fall back to the v1 (BlockSpec auto-pipelined) kernel otherwise.
         return paged_attention(
             q, k_pages, v_pages, lengths, page_indices,
             sm_scale=scale, k_scales=k_scales, v_scales=v_scales,

@@ -159,3 +159,29 @@ def test_preempted_prefilling_request_recovers(setup):
     assert eng.request_text(req_id) == mono.generate_one(
         LONG, temperature=0.0, max_new_tokens=4
     )
+
+
+def test_batched_chunked_admission(setup):
+    """Multiple queued long prompts admit in ONE embed dispatch and still
+    match the monolithic engine's outputs."""
+    rng = np.random.RandomState(3)
+    imgs = [
+        Image.fromarray(rng.randint(0, 255, (64, 80, 3), np.uint8))
+        for _ in range(2)
+    ]
+    prompts = [LONG + " alpha", LONG + " beta"]
+    mono = build_engine(setup, chunk=0)
+    want = [
+        mono.generate_one(prompts[i], images=[imgs[i]], temperature=0.0,
+                          max_new_tokens=5)
+        for i in range(2)
+    ]
+    eng = build_engine(setup, chunk=16)
+    ids = [
+        eng.submit(prompts[i], images=[imgs[i]], temperature=0.0,
+                   max_new_tokens=5)
+        for i in range(2)
+    ]
+    eng.run()
+    assert [eng.request_text(r) for r in ids] == want
+    assert eng.metrics["chunk_embeds"] == 1  # one dispatch for both

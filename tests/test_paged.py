@@ -334,7 +334,9 @@ def test_warmup_decode_precompiles_and_is_inert(cb_engine):
     changing subsequent greedy output or leaking pages/slots."""
     before = cb_engine.generate_one("warmup probe", temperature=0.0, max_new_tokens=6)
     n = cb_engine.warmup_decode(nucleus_variants=(False,))
-    assert n == 5  # widths 1,2,4,8,16 for max_pages_per_seq=16
+    # widths 1,2,4,8,16 for max_pages_per_seq=16, x2 chunk depths
+    # (steps_per_sync + max_steps_per_sync)
+    assert n == 10
     assert cb_engine.allocator.free_pages == 63
     assert all(r is None for r in cb_engine._slot_req)
     after = cb_engine.generate_one("warmup probe", temperature=0.0, max_new_tokens=6)
@@ -373,8 +375,8 @@ def test_event_free_chunks_reuse_device_inputs():
 
 
 def test_warmup_decode_max_len_bounds_widths(cb_engine):
-    # 3 tokens + page_size 8 -> 1 page -> single width
-    assert cb_engine.warmup_decode(max_len=3, nucleus_variants=(False,)) == 1
+    # 3 tokens + page_size 8 -> 1 page -> single width (x2 chunk depths)
+    assert cb_engine.warmup_decode(max_len=3, nucleus_variants=(False,)) == 2
 
 
 def test_scheduler_concurrent_requests(cb_engine):
@@ -461,3 +463,59 @@ def test_scheduler_preemption_under_page_pressure():
         prompts, [[], [], []], temperature=0.0, max_new_tokens=16
     )
     assert outs == expected
+
+
+def test_adaptive_deep_chunks_match_shallow():
+    """With max_steps_per_sync > steps_per_sync, long-budget decodes run
+    deeper chunks (fewer dispatches) and produce identical greedy output."""
+    from dots_ocr_tpu.engine.scheduler import ContinuousBatchingEngine, SchedulerConfig
+    from dots_ocr_tpu.models.init import init_params
+
+    cfg = DotsOCRConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    def build(deep):
+        return ContinuousBatchingEngine(
+            params, cfg,
+            sched=SchedulerConfig(
+                num_pages=64, page_size=8, max_slots=2, max_pages_per_seq=16,
+                prompt_bucket_step=32, vision_bucket_step=16,
+                steps_per_sync=2, max_steps_per_sync=deep,
+                repetition_min_repeats=0,
+            ),
+        )
+
+    shallow = build(2)
+    a = shallow.generate_one("deep chunk probe", temperature=0.0, max_new_tokens=24)
+    deep = build(8)
+    b = deep.generate_one("deep chunk probe", temperature=0.0, max_new_tokens=24)
+    assert a == b
+    assert deep.metrics["steps"] < shallow.metrics["steps"]
+
+
+def test_deep_chunks_stay_shallow_with_stop_strings():
+    """Stop strings need per-chunk host checks: the deepening gate must not
+    engage, and stop semantics stay exact."""
+    from dots_ocr_tpu.engine.scheduler import ContinuousBatchingEngine, SchedulerConfig
+    from dots_ocr_tpu.models.init import init_params
+
+    cfg = DotsOCRConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    eng = ContinuousBatchingEngine(
+        params, cfg,
+        sched=SchedulerConfig(
+            num_pages=64, page_size=8, max_slots=2, max_pages_per_seq=16,
+            prompt_bucket_step=32, vision_bucket_step=16,
+            steps_per_sync=2, max_steps_per_sync=16,
+            repetition_min_repeats=0,
+        ),
+    )
+    ref = eng.generate_one("stop probe", temperature=0.0, max_new_tokens=24)
+    if len(ref) < 4:
+        return  # random tiny model emitted EOS immediately; nothing to stop on
+    needle = ref[2:4]
+    out = eng.generate_one(
+        "stop probe", temperature=0.0, max_new_tokens=24, stop=[needle]
+    )
+    assert needle not in out
+    assert out == ref.split(needle)[0]

@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--windowed", action="store_true",
                     help="windowed vision attention (encoder fast path)")
     ap.add_argument("--quant", action="store_true", help="int8 weights")
+    ap.add_argument("--kv-int8", action="store_true",
+                    help="int8 paged KV cache (halves decode attention "
+                    "bytes; int8 MXU dots in-kernel)")
     args = ap.parse_args()
 
     import numpy as np
@@ -76,6 +79,9 @@ def main():
     # Page budget: merged vision tokens = (side/28)^2 (patch 14 + 2x2
     # merge) + prompt + max_new.
     ps = args.page_size
+    if args.kv_int8 and ps % 128 != 0:
+        ps = 128  # int8 scale DMA needs 128-lane-aligned pages (v2 kernel)
+        log(f"--kv-int8: page size bumped {args.page_size} -> {ps}")
     vis_tokens = (args.side // 28 + 1) ** 2
     seq_cap = vis_tokens + 512 + args.max_new
     pages_per_seq = -(-seq_cap // ps) + 1
@@ -89,6 +95,7 @@ def main():
         steps_per_sync=args.steps_per_sync,
         prefill_chunk_tokens=args.chunk,
         repetition_min_repeats=0,
+        kv_cache_dtype="int8" if args.kv_int8 else "bf16",
     )
     eng = ContinuousBatchingEngine(
         params, config, sched=sched, default_max_new_tokens=args.max_new
@@ -155,6 +162,7 @@ def main():
         "side_px": args.side,
         "prefill_chunk_tokens": args.chunk,
         "windowed": bool(args.windowed),
+        "kv_int8": bool(args.kv_int8),
         "wall_s": round(wall, 2),
         "gen_tok_s": round(gen / wall, 1),
         "ttft_p50_s": round(pct(ttft, 50), 2),

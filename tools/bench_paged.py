@@ -20,6 +20,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--page-size", type=int, default=64)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--int8", action="store_true",
+                    help="int8-quantized KV payloads + per-vector scales")
     args = ap.parse_args()
 
     import jax
@@ -58,7 +60,7 @@ def main():
     except ImportError:
         pass
 
-    def make_run(impl):
+    def make_run(impl, scale_kwargs):
         @jax.jit
         def run(q, k_pages, v_pages, lengths, tables):
             # Chain kernel calls in-program: a single dispatch/fetch costs a
@@ -66,7 +68,7 @@ def main():
             # q bump defeats CSE; the output feeds the next q so XLA cannot
             # reorder or elide iterations.
             def body(i, q):
-                out = impl(q, k_pages, v_pages, lengths, tables)
+                out = impl(q, k_pages, v_pages, lengths, tables, **scale_kwargs)
                 return q + out.astype(q.dtype) * jnp.bfloat16(1e-6)
 
             return jax.lax.fori_loop(0, iters, body, q)
@@ -91,10 +93,23 @@ def main():
             ) - 1
             lengths = jnp.full((slots,), ctx, jnp.int32)
             q0 = jnp.asarray(rng.randn(slots, q_heads, head_dim), jnp.bfloat16)
-            kv_bytes = 2 * slots * pages_per_seq * ps * kv_heads * head_dim * 2
+            bytes_per_elem = 1 if args.int8 else 2
+            kv_bytes = (
+                2 * slots * pages_per_seq * ps * kv_heads * head_dim
+                * bytes_per_elem
+            )
+            scale_kwargs = {}
+            if args.int8:
+                from dots_ocr_tpu.engine.kv_cache import quantize_kv
+
+                k_pages, ks = quantize_kv(k_pages)
+                v_pages, vs = quantize_kv(v_pages)
+                scale_kwargs = dict(k_scales=ks, v_scales=vs)
 
             for name, impl in impls.items():
-                run = make_run(impl)
+                if args.int8 and name == "jaxlib":
+                    continue  # library kernel takes no scale payloads
+                run = make_run(impl, scale_kwargs)
                 try:
                     out = run(q0, k_pages, v_pages, lengths, tables)
                     np.asarray(out[0, 0, :1])  # compile + settle
