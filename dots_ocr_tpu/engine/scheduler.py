@@ -38,7 +38,7 @@ from dots_ocr_tpu.engine.tokenizer import TokenizerLike
 from dots_ocr_tpu.models.config import DotsOCRConfig
 from dots_ocr_tpu.models.decoder import (
     decoder_decode_step_paged,
-    decoder_prefill_extend,
+    decoder_prefill_extend_batched,
     embed_tokens,
     logits_from_hidden,
 )
@@ -161,25 +161,28 @@ def prefill_extend_program(
     attn_impl: str = "flash",
     nucleus: bool = False,
 ):
-    """ONE chunk of a chunked prefill (vLLM-parity scheduling: long prefills
-    no longer monopolize the chip — decode chunks for running sequences
-    schedule between these).
+    """ONE LOCKSTEP chunk of a chunked prefill for a BATCH of requests
+    (vLLM-parity scheduling: long prefills no longer monopolize the chip —
+    decode chunks for running sequences schedule between these, and
+    requests admitted together share one dispatch per chunk).
 
-    embeds_chunk: [C, D] (slice of embed_program's output; rows past the
-    prompt are padding); prompt_len: scalar total prompt tokens; page_table:
-    [kv_hi / page_size] this sequence's table (null-page padded); slots: [C]
-    physical write slots (padding rows -> the reserved null page). Static
-    (kv_hi, q_offset) are both multiples of the chunk size, so the program
-    compiles once per chunk INDEX, not per request.
+    embeds_chunk: [B, C, D] (stacked slices of embed_program's output; rows
+    past each prompt are padding); prompt_len: [B] total prompt tokens
+    (0 = inert pad row); page_table: [B, kv_hi / page_size] per-row tables
+    (null-page padded); slots: [B, C] physical write slots (padding rows ->
+    the reserved null page). Static (kv_hi, q_offset) are both multiples of
+    the chunk size, so the program compiles once per (chunk INDEX, batch
+    bucket), not per request.
 
-    Always samples a candidate first token from the last valid row — on the
-    final chunk that row is the prompt's last position and the host uses the
-    sample; earlier chunks ignore it (the [1, V] logit matmul is noise next
-    to the chunk forward). Returns (first_token [1], paged).
+    Always samples a candidate first token from each row's last valid
+    position — on a row's final chunk that is the prompt's last position
+    and the host uses the sample; earlier chunks ignore it (the [B, V]
+    logit matmul is noise next to the chunk forward). Returns
+    (first_tokens [B], paged).
     """
-    c = embeds_chunk.shape[0]
+    b, c, _ = embeds_chunk.shape
     positions = q_offset + jnp.arange(c, dtype=jnp.int32)
-    hidden, k, v, ks, vs = decoder_prefill_extend(
+    hidden, k, v, ks, vs = decoder_prefill_extend_batched(
         params["decoder"],
         config.decoder,
         embeds_chunk,
@@ -196,9 +199,9 @@ def prefill_extend_program(
         k_scales=paged.k_scale,
         v_scales=paged.v_scale,
     )
-    last_row = jnp.clip(prompt_len - 1 - q_offset, 0, c - 1)
+    last_row = jnp.clip(prompt_len - 1 - q_offset, 0, c - 1)  # [B]
     logits = logits_from_hidden(
-        params["decoder"], config.decoder, hidden[last_row][None]
+        params["decoder"], config.decoder, hidden[jnp.arange(b), last_row]
     )
     first = sample_logits(rng, logits, temperature, top_p, nucleus=nucleus)
     return first, PagedKV(k, v, ks, vs)
@@ -858,64 +861,90 @@ class ContinuousBatchingEngine:
         # is unchanged until each request's last chunk completes.
 
     def _run_prefill_chunk(self) -> None:
-        """One decoder chunk for the oldest PREFILLING request. On the final
-        chunk, sample the first token and promote the request to RUNNING."""
-        slot = next(
-            (
-                i
-                for i, r in enumerate(self._slot_req)
-                if r is not None and r.state == PREFILLING
-            ),
-            None,
-        )
-        if slot is None:
+        """One decoder chunk for the LOCKSTEP GROUP of PREFILLING requests
+        at the smallest chunk offset (requests admitted together stay in
+        step, so one dispatch advances all of them). On each row's final
+        chunk, sample its first token and promote it to RUNNING."""
+        prefilling = [
+            (i, r)
+            for i, r in enumerate(self._slot_req)
+            if r is not None and r.state == PREFILLING
+        ]
+        if not prefilling:
             return
-        req = self._slot_req[slot]
+        start = min(r.prefill_pos for _, r in prefilling)
+        group = [(i, r) for i, r in prefilling if r.prefill_pos == start]
+        group = group[: self.sched.max_prefill_batch]
+        # Batch bucket: one compiled program per (chunk index, power-of-two
+        # batch) — padding straight to max_prefill_batch would make a lone
+        # long request pay the whole batch's dense chunk compute.
+        b_bucket = 1
+        while b_bucket < len(group):
+            b_bucket *= 2
+        b_bucket = min(b_bucket, self.sched.max_prefill_batch)
+
         ct = self.sched.prefill_chunk_tokens
-        plen = len(req.prompt_ids)
-        start = req.prefill_pos
+        ps = self.sched.page_size
         kv_hi = start + ct  # both multiples of page_size
-        width = kv_hi // self.sched.page_size
-        table = np.zeros(width, np.int32)
-        full = self.allocator.padded_table(req.req_id)
-        n = min(width, len(full))
-        table[:n] = full[:n]
-        n_valid = min(ct, plen - start)
-        slots = np.zeros(ct, np.int32)  # padding rows -> null page slot 0
-        slots[:n_valid] = self.allocator.slot_mapping(req.req_id, start, n_valid)
-        # Static slice (python ints): one tiny device op, no host round trip.
-        embeds_chunk = req.embeds[start : start + ct]
+        width = kv_hi // ps
+        tables = np.zeros((b_bucket, width), np.int32)
+        slots = np.zeros((b_bucket, ct), np.int32)  # pad -> null page slot 0
+        plens = np.zeros(b_bucket, np.int32)
+        temps = np.zeros(b_bucket, np.float32)
+        tps = np.ones(b_bucket, np.float32)
+        chunks = []
+        for j, (slot, req) in enumerate(group):
+            plen = len(req.prompt_ids)
+            plens[j] = plen
+            full = self.allocator.padded_table(req.req_id)
+            n = min(width, len(full))
+            tables[j, :n] = full[:n]
+            n_valid = min(ct, plen - start)
+            slots[j, :n_valid] = self.allocator.slot_mapping(
+                req.req_id, start, n_valid
+            )
+            temps[j] = req.temperature
+            tps[j] = req.top_p
+            # Static slice (python ints): tiny device op, no host round trip.
+            chunks.append(req.embeds[start : start + ct])
+        while len(chunks) < b_bucket:  # inert pad rows (prompt_len 0)
+            chunks.append(jnp.zeros_like(chunks[0]))
+        embeds_chunk = jnp.stack(chunks)
 
         first, self.paged = prefill_extend_program(
             self.params,
             self.config,
             self.paged,
             embeds_chunk,
-            self._put(np.int32(plen)),
-            self._put(table),
+            self._put(plens),
+            self._put(tables),
             self._put(slots),
             self._next_rng(),
-            self._put(np.asarray([req.temperature], np.float32)),
-            self._put(np.asarray([req.top_p], np.float32)),
-            page_size=self.sched.page_size,
+            self._put(temps),
+            self._put(tps),
+            page_size=ps,
             kv_hi=kv_hi,
             q_offset=start,
             attn_impl=self.prefill_impl,
-            nucleus=req.top_p < 1.0,
+            nucleus=bool(any(r.top_p < 1.0 for _, r in group)),
         )
-        req.prefill_pos += ct
         self.metrics["prefill_chunks"] += 1
-        if req.prefill_pos >= plen:
-            token = int(np.asarray(first)[0])
-            req.embeds = None
-            req.state = RUNNING
-            req.output_ids = [token]
-            self._tokens[slot] = token
-            self._lengths[slot] = plen
-            self.metrics["prefills"] += 1
-            self._dev = None  # active set grows; re-upload next decode chunk
-            self._update_text(slot)
-            self._maybe_finish(slot)
+        first_host = None
+        for j, (slot, req) in enumerate(group):
+            req.prefill_pos += ct
+            if req.prefill_pos >= len(req.prompt_ids):
+                if first_host is None:
+                    first_host = np.asarray(first)  # one fetch per chunk
+                token = int(first_host[j])
+                req.embeds = None
+                req.state = RUNNING
+                req.output_ids = [token]
+                self._tokens[slot] = token
+                self._lengths[slot] = len(req.prompt_ids)
+                self.metrics["prefills"] += 1
+                self._dev = None  # active set grows; re-upload next chunk
+                self._update_text(slot)
+                self._maybe_finish(slot)
 
     def _admit_batch(self, reqs: List[ScheduledRequest]) -> None:
         """Prefill up to max_prefill_batch requests in one dispatch. The

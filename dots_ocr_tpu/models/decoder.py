@@ -350,46 +350,100 @@ def decoder_prefill_extend(
     k_scales=None,
     v_scales=None,
 ):
-    """One CHUNK of a chunked prefill, writing straight into the paged cache.
+    """One CHUNK of a chunked prefill for ONE sequence (see the batched
+    variant below — this wraps it with a unit batch dim).
+
+    inputs_embeds: [C, D]; positions: [C]; prompt_len: scalar;
+    page_table: [W]; slots: [C]. Returns (hidden [C, D], k, v, ks, vs).
+    """
+    out = decoder_prefill_extend_batched(
+        params,
+        cfg,
+        inputs_embeds[None],
+        positions,
+        prompt_len[None] if jnp.ndim(prompt_len) == 0 else prompt_len,
+        k_pages,
+        v_pages,
+        page_table[None],
+        slots[None],
+        page_size=page_size,
+        kv_hi=kv_hi,
+        q_offset=q_offset,
+        attn_impl=attn_impl,
+        k_scales=k_scales,
+        v_scales=v_scales,
+    )
+    hidden, k, v, ks, vs = out
+    return hidden[0], k, v, ks, vs
+
+
+def decoder_prefill_extend_batched(
+    params: dict,
+    cfg: DecoderConfig,
+    inputs_embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    prompt_len: jnp.ndarray,
+    k_pages,
+    v_pages,
+    page_table: jnp.ndarray,
+    slots: jnp.ndarray,
+    page_size: int,
+    kv_hi: int,
+    q_offset: int,
+    attn_impl: str = "flash",
+    k_scales=None,
+    v_scales=None,
+):
+    """One LOCKSTEP chunk of a chunked prefill for a BATCH of sequences,
+    writing straight into the paged cache.
 
     The vLLM-parity scheduling move (SURVEY §2.2: continuous batching):
     long vision+prompt prefills are split into fixed-size token chunks so
     decode steps for running sequences schedule between them instead of
-    stalling for the whole multi-second prefill.
+    stalling for the whole multi-second prefill. Requests admitted together
+    advance their chunks in LOCKSTEP, so one dispatch carries all of them —
+    the same (kv_hi, q_offset) statics apply to every row.
 
-    inputs_embeds: [C, D] chunk embeddings (rows past the prompt are
-    padding); positions: [C] absolute positions (= q_offset + arange(C));
-    prompt_len: scalar — total prompt tokens (valid rows of earlier+this
-    chunk); k_pages/v_pages: per-layer tuples [KV, N_slots, D];
-    page_table: [W] THIS sequence's padded table with W * page_size >=
-    kv_hi; slots: [C] physical flat slots for the chunk's positions
-    (padding rows -> the reserved null page); kv_hi: static gather bound
-    (>= q_offset + C, a multiple of page_size).
+    inputs_embeds: [B, C, D] chunk embeddings (rows past each prompt are
+    padding); positions: [C] absolute positions (= q_offset + arange(C),
+    shared); prompt_len: [B] total prompt tokens per row (0 = inert pad
+    row); k_pages/v_pages: per-layer tuples [KV, N_slots, D]; page_table:
+    [B, W] per-row padded tables with W * page_size >= kv_hi; slots:
+    [B, C] physical flat slots (padding rows -> the reserved null page);
+    kv_hi: static gather bound (>= q_offset + C, a multiple of page_size).
 
-    Attention per chunk: the [0, kv_hi) prefix is GATHERED from pages into
-    contiguous KV (one take per layer — the same bytes flash reads anyway),
-    the chunk's fresh K/V are scattered in first so the gather sees them,
-    and flash attention runs causally with q_offset (queries at absolute
-    positions attend keys <= their position; keys beyond prompt_len are
-    segment-masked).
+    Attention per chunk: each row's [0, kv_hi) prefix is GATHERED from
+    pages into contiguous KV (one take per layer — the same bytes flash
+    reads anyway), the chunk's fresh K/V are scattered in first so the
+    gather sees them, and flash attention runs causally with q_offset
+    (queries at absolute positions attend keys <= their position; keys
+    beyond each row's prompt_len are segment-masked).
 
-    Returns (hidden [C, D] post-final-norm, k_pages, v_pages, ks, vs).
+    Returns (hidden [B, C, D] post-final-norm, k_pages, v_pages, ks, vs).
     """
     from dots_ocr_tpu.engine.kv_cache import quantize_kv
     from dots_ocr_tpu.ops.flash_attention import flash_attention
 
-    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
-    c = inputs_embeds.shape[0]
+    b, c, _ = inputs_embeds.shape
+    pos2d = jnp.broadcast_to(positions, (b, c))
+    cos, sin = rope_table(pos2d, cfg.head_dim, cfg.rope_theta)  # [B, C, hd]
     kv_heads, head_dim = cfg.num_kv_heads, cfg.head_dim
     quantized = k_scales is not None
 
-    # Gather slots for the [0, kv_hi) prefix — shared by every layer.
+    # Gather slots for each row's [0, kv_hi) prefix — shared by every layer.
     gather_pos = jnp.arange(kv_hi)
     gather_slots = (
-        page_table[gather_pos // page_size] * page_size + gather_pos % page_size
-    )
-    q_seg = jnp.where(positions < prompt_len, 0, -1).astype(jnp.int32)[None]
-    kv_seg = jnp.where(gather_pos < prompt_len, 0, -1).astype(jnp.int32)[None]
+        page_table[:, gather_pos // page_size] * page_size
+        + gather_pos % page_size
+    )  # [B, kv_hi]
+    flat_gather = gather_slots.reshape(-1)
+    q_seg = jnp.where(
+        positions[None, :] < prompt_len[:, None], 0, -1
+    ).astype(jnp.int32)  # [B, C]
+    kv_seg = jnp.where(
+        gather_pos[None, :] < prompt_len[:, None], 0, -1
+    ).astype(jnp.int32)  # [B, kv_hi]
+    flat_slots = slots.reshape(-1)  # [B*C]
 
     x = inputs_embeds
     k_out, v_out, ks_out, vs_out = [], [], [], []
@@ -398,28 +452,30 @@ def decoder_prefill_extend(
         k_layer, v_layer = k_pages[layer], v_pages[layer]
         attn_p = block_params["attn"]
         h = rms_norm(x, block_params["input_norm"], cfg.rms_norm_eps)
-        q, k, v = _project_qkv(h, attn_p, cfg)  # q [C,H,hd], k/v [C,KV,hd]
+        q, k, v = _project_qkv(h, attn_p, cfg)  # q [B,C,H,hd], k/v [B,C,KV,hd]
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+        k_flat = k.reshape(b * c, kv_heads, head_dim)
+        v_flat = v.reshape(b * c, kv_heads, head_dim)
 
         if quantized:
-            qk, sk = quantize_kv(k)  # [C, KV, hd], [C, KV]
-            qv, sv = quantize_kv(v)
-            k_layer = k_layer.at[:, slots].set(qk.transpose(1, 0, 2))
-            v_layer = v_layer.at[:, slots].set(qv.transpose(1, 0, 2))
+            qk, sk = quantize_kv(k_flat)  # [B*C, KV, hd], [B*C, KV]
+            qv, sv = quantize_kv(v_flat)
+            k_layer = k_layer.at[:, flat_slots].set(qk.transpose(1, 0, 2))
+            v_layer = v_layer.at[:, flat_slots].set(qv.transpose(1, 0, 2))
             n_slots = k_layer.shape[1]
             flat_idx = (
-                jnp.arange(kv_heads)[:, None] * n_slots + slots[None, :]
+                jnp.arange(kv_heads)[:, None] * n_slots + flat_slots[None, :]
             ).reshape(-1)
             ks_layer = k_scales[layer].at[flat_idx].set(sk.T.reshape(-1))
             vs_layer = v_scales[layer].at[flat_idx].set(sv.T.reshape(-1))
             ks_out.append(ks_layer)
             vs_out.append(vs_layer)
             scale_idx = (
-                jnp.arange(kv_heads)[:, None] * n_slots + gather_slots[None, :]
-            )
-            k_full = jnp.take(k_layer, gather_slots, axis=1).astype(jnp.float32)
-            v_full = jnp.take(v_layer, gather_slots, axis=1).astype(jnp.float32)
+                jnp.arange(kv_heads)[:, None] * n_slots + flat_gather[None, :]
+            )  # [KV, B*kv_hi]
+            k_full = jnp.take(k_layer, flat_gather, axis=1).astype(jnp.float32)
+            v_full = jnp.take(v_layer, flat_gather, axis=1).astype(jnp.float32)
             k_full = (k_full * jnp.take(ks_layer, scale_idx)[..., None]).astype(
                 jnp.bfloat16
             )
@@ -427,22 +483,23 @@ def decoder_prefill_extend(
                 jnp.bfloat16
             )
         else:
-            k_layer = k_layer.at[:, slots].set(
-                k.transpose(1, 0, 2).astype(k_layer.dtype)
+            k_layer = k_layer.at[:, flat_slots].set(
+                k_flat.transpose(1, 0, 2).astype(k_layer.dtype)
             )
-            v_layer = v_layer.at[:, slots].set(
-                v.transpose(1, 0, 2).astype(v_layer.dtype)
+            v_layer = v_layer.at[:, flat_slots].set(
+                v_flat.transpose(1, 0, 2).astype(v_layer.dtype)
             )
-            k_full = jnp.take(k_layer, gather_slots, axis=1)  # [KV, kv_hi, D]
-            v_full = jnp.take(v_layer, gather_slots, axis=1)
+            k_full = jnp.take(k_layer, flat_gather, axis=1)  # [KV, B*kv_hi, D]
+            v_full = jnp.take(v_layer, flat_gather, axis=1)
         k_out.append(k_layer)
         v_out.append(v_layer)
 
-        kc = k_full.transpose(1, 0, 2)[None]  # [1, kv_hi, KV, D]
-        vc = v_full.transpose(1, 0, 2)[None]
+        # [KV, B*kv_hi, D] -> [B, kv_hi, KV, D]
+        kc = k_full.reshape(kv_heads, b, kv_hi, head_dim).transpose(1, 2, 0, 3)
+        vc = v_full.reshape(kv_heads, b, kv_hi, head_dim).transpose(1, 2, 0, 3)
         if attn_impl in ("flash", "flash_interpret"):
             out = flash_attention(
-                q.astype(kc.dtype)[None],
+                q.astype(kc.dtype),
                 kc,
                 vc,
                 q_segment_ids=q_seg,
@@ -450,16 +507,14 @@ def decoder_prefill_extend(
                 causal=True,
                 q_offset=q_offset,
                 interpret=attn_impl == "flash_interpret",
-            )[0]
+            )
         else:  # XLA fallback (CPU tests / tiny chunks)
             causal = gather_pos[None, :] <= positions[:, None]  # [C, kv_hi]
-            valid = (gather_pos[None, :] < prompt_len) & (
-                positions[:, None] < prompt_len
-            )
-            out = mha_reference(
-                q[None], kc, vc, mask=(causal & valid)[None]
-            )[0]
-        x = x + linear(out.reshape(c, cfg.q_dim), attn_p["wo"])
+            valid = (gather_pos[None, None, :] < prompt_len[:, None, None]) & (
+                positions[None, :, None] < prompt_len[:, None, None]
+            )  # [B, C, kv_hi]
+            out = mha_reference(q, kc, vc, mask=causal[None] & valid)
+        x = x + linear(out.reshape(b, c, cfg.q_dim), attn_p["wo"])
         h = rms_norm(x, block_params["post_attn_norm"], cfg.rms_norm_eps)
         m = block_params["mlp"]
         x = x + swiglu(h, m["gate"], m["up"], m["down"])

@@ -184,4 +184,16 @@ def test_batched_chunked_admission(setup):
     ]
     eng.run()
     assert [eng.request_text(r) for r in ids] == want
-    assert eng.metrics["chunk_embeds"] == 1  # one dispatch for both
+    assert eng.metrics["chunk_embeds"] == 1  # one embed dispatch for both
+    # Lockstep extension: both requests advance per dispatch, so the chunk
+    # count is per-GROUP, not per-request (prompts here are near-equal
+    # length; a per-request loop would need ~2x the dispatches).
+    from dots_ocr_tpu.engine.request import prepare_request
+
+    plen = max(
+        len(prepare_request(eng.tokenizer, eng.config, prompts[i],
+                            [imgs[i]], vision_bucket_step=16).prompt_ids)
+        for i in range(2)
+    )
+    ct = eng.sched.prefill_chunk_tokens
+    assert eng.metrics["prefill_chunks"] <= -(-plen // ct) + 1

@@ -117,6 +117,20 @@ def main():
     eng.warmup_decode(nucleus_variants=(False,))
     log(f"  warm in {time.perf_counter() - t0:.1f}s")
 
+    # Warm the WAVE shapes too: batched embed admission + lockstep chunk
+    # groups compile at the wave's (batch bucket, vision bucket) — without
+    # this the measured wave eats those XLA compiles (tens of seconds
+    # through a remote-compile tunnel) and the numbers are meaningless.
+    log("warmup wave (batched embed + group-chunk shapes)...")
+    t0 = time.perf_counter()
+    for i in range(args.pages):
+        eng.submit(f"warm wave {i}", images=[pages[i]], temperature=0.0,
+                   max_new_tokens=args.steps_per_sync)
+    eng.run()
+    for k in eng.metrics:
+        eng.metrics[k] = 0
+    log(f"  wave warm in {time.perf_counter() - t0:.1f}s")
+
     # The measured wave: all pages submitted at once.
     ids = [
         eng.submit(f"{prompt} (page {i})", images=[pages[i]],
