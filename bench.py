@@ -93,6 +93,7 @@ def bench_serving(config, params) -> float:
         # construction; the degeneration guard would stop every request.
         repetition_min_repeats=0,
         kv_cache_dtype="int8" if os.environ.get("BENCH_KV") == "int8" else "bf16",
+        speculate_k=int(os.environ.get("BENCH_SPEC_K", 0)),
     )
     eng = ContinuousBatchingEngine(
         params, config, sched=sched, default_max_new_tokens=max_new
@@ -104,10 +105,11 @@ def bench_serving(config, params) -> float:
     eng.warmup_decode(nucleus_variants=(False,))
     log(f"  warm in {time.perf_counter() - t0:.1f}s")
 
+    temp = float(os.environ.get("BENCH_TEMP", 0.0))
     for i in range(slots):
         eng.submit(
             f"document page {i} content analysis request",
-            temperature=0.0, max_new_tokens=max_new,
+            temperature=temp, max_new_tokens=max_new,
         )
     decode_t = 0.0
     decode_gen = 0

@@ -39,6 +39,7 @@ from dots_ocr_tpu.models.config import DotsOCRConfig
 from dots_ocr_tpu.models.decoder import (
     decoder_decode_step_paged,
     decoder_prefill_extend_batched,
+    decoder_spec_step_paged,
     embed_tokens,
     logits_from_hidden,
 )
@@ -209,6 +210,201 @@ def prefill_extend_program(
 
 @partial(
     jax.jit,
+    static_argnames=("config", "page_size", "num_steps", "spec_k", "attn_impl"),
+    donate_argnames=("paged", "tokens_buf"),
+)
+def spec_decode_program(
+    params,
+    config: DotsOCRConfig,
+    paged: PagedKV,
+    tokens_buf,
+    tokens,
+    positions,
+    gen_start,
+    page_tables,
+    active,
+    temperature,
+    rng,
+    page_size: int,
+    num_steps: int = 1,
+    spec_k: int = 4,
+    attn_impl: str = "paged",
+):
+    """Speculative multi-step decode: n-gram drafting + multi-token verify,
+    all ON DEVICE (vLLM's ngram/prompt-lookup speculator, rebuilt for the
+    chunked-dispatch TPU loop — host-side drafting would cap speculation at
+    one verify per RTT).
+
+    Per iteration, per live slot: (1) DRAFT — find the most recent position
+    in the slot's own GENERATED token history whose bigram matches
+    (prev, current) and propose the spec_k tokens that followed it (repeat
+    `current` when no match — catches degenerate loops); (2) VERIFY — one
+    decoder forward over the 1 + spec_k tokens through the multi-query
+    paged-attention kernel (their K/V scattered first; rejected drafts
+    leave dead slots that later writes overwrite, reads mask by length);
+    (3) ACCEPT — greedy rows take the leading run where argmax reproduces
+    the drafts; sampled rows use exact delta-proposal rejection (accept
+    draft d with prob p_j(d); on reject sample from p_j with d masked —
+    distribution-preserving). Requires top_p >= 1 rows (the layout/OCR
+    default; the scheduler gates).
+
+    tokens_buf: [S, L] generated-token history by LOGICAL position (L =
+    max_pages_per_seq * page_size rows of the page table's coverage);
+    gen_start: [S] first generated position (= prompt length). Emits
+    BETWEEN 1 and spec_k + 1 tokens per live slot per iteration. Returns
+    (packed [S, num_steps*(spec_k+1) + 1], (tokens, positions, rng) carry,
+    paged, tokens_buf).
+    """
+    eos = config.special.eos_token_id
+    pad = config.special.pad_token_id
+    s = tokens.shape[0]
+    nq = spec_k + 1
+    length_buf = tokens_buf.shape[1]
+    cap = num_steps * nq
+    rows = jnp.arange(s)
+    offs = jnp.arange(nq)
+
+    def slot_of(pos_mat):
+        page = jnp.take_along_axis(page_tables, pos_mat // page_size, axis=1)
+        return page * page_size + pos_mat % page_size
+
+    out0 = jnp.full((s, cap), pad, jnp.int32)
+    n0 = jnp.zeros((s,), jnp.int32)
+    done0 = ~active
+
+    def body(state):
+        i, current, buf, caches, pos, done, out, n_out, rng = state
+        k_list, v_list, ks_list, vs_list = caches
+        live = ~done
+        # Record the current token at its position (idempotent for frozen
+        # rows: same value rewritten).
+        buf = buf.at[rows, jnp.clip(pos, 0, length_buf - 1)].set(current)
+
+        # ---- draft: last bigram (prev, current) matched over generated
+        # history; propose the spec_k tokens that followed the match.
+        prev = buf[rows, jnp.clip(pos - 1, 0, length_buf - 1)]
+        tpos = jnp.arange(length_buf)
+        b_prev = jnp.pad(buf[:, :-1], ((0, 0), (1, 0)))  # b_prev[:, t] = buf[:, t-1]
+        match = (
+            (b_prev == prev[:, None])
+            & (buf == current[:, None])
+            & (tpos[None, :] >= gen_start[:, None] + 1)
+            & (tpos[None, :] <= pos[:, None] - 1)
+        )
+        t_star = jnp.max(jnp.where(match, tpos[None, :], -1), axis=1)  # [S]
+        has_match = t_star >= 0
+        didx = t_star[:, None] + offs[None, 1:]  # [S, spec_k]
+        draft = jnp.take_along_axis(
+            buf, jnp.clip(didx, 0, length_buf - 1), axis=1
+        )
+        draft = jnp.where(
+            has_match[:, None] & (didx <= pos[:, None]),
+            draft,
+            current[:, None],  # fallback: repeat (catches period-1 loops)
+        )
+        x_all = jnp.concatenate([current[:, None], draft], axis=1)  # [S, nq]
+
+        pos_all = pos[:, None] + offs[None, :]
+        write_pos = jnp.where(live[:, None], pos_all, 0)
+        slots = jnp.where(live[:, None], slot_of(write_pos), 0)
+        seq_lens = jnp.where(live, pos + 1, 0)
+
+        x = embed_tokens(params["decoder"], x_all)  # [S, nq, D]
+        hidden, k_list, v_list, ks_list, vs_list = decoder_spec_step_paged(
+            params["decoder"],
+            config.decoder,
+            x,
+            write_pos,
+            k_list,
+            v_list,
+            page_tables,
+            seq_lens,
+            slots,
+            page_size,
+            attn_impl=attn_impl,
+            k_scales=ks_list,
+            v_scales=vs_list,
+        )
+        logits = logits_from_hidden(
+            params["decoder"], config.decoder, hidden
+        )  # [S, nq, V] f32
+
+        # ---- acceptance
+        greedy = temperature <= 0.0
+        argmax = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [S, nq]
+        t_safe = jnp.maximum(temperature, 1e-6)[:, None, None]
+        logp = jax.nn.log_softmax(logits / t_safe, axis=-1)
+        rng, r_acc, r_cor = jax.random.split(rng, 3)
+        u = jax.random.uniform(r_acc, (s, nq - 1), minval=1e-20)
+        logp_draft = jnp.take_along_axis(
+            logp[:, : nq - 1], x_all[:, 1:, None], axis=2
+        )[..., 0]
+        acc_sampled = jnp.log(u) < logp_draft
+        acc_greedy = argmax[:, : nq - 1] == x_all[:, 1:]
+        acc = jnp.where(greedy[:, None], acc_greedy, acc_sampled)
+        a = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1), axis=1)  # [S]
+
+        # Corrective/bonus token at column a: rejection masks the draft
+        # (for greedy the argmax already differs, so the mask is inert).
+        la = jnp.take_along_axis(logits, a[:, None, None], axis=1)[:, 0]
+        d_a = jnp.take_along_axis(x_all, jnp.minimum(a + 1, nq - 1)[:, None], axis=1)[:, 0]
+        la = la.at[rows, d_a].add(jnp.where(a < nq - 1, -1e30, 0.0))
+        corrective = sample_logits(
+            r_cor, la, temperature, jnp.ones_like(temperature), nucleus=False
+        )
+
+        y = jnp.concatenate(
+            [x_all[:, 1:], jnp.full((s, 1), pad, jnp.int32)], axis=1
+        )
+        y = y.at[rows, a].set(corrective)
+        m = a + 1
+        is_eos = (y == eos) & (offs[None, :] <= a[:, None])
+        eos_idx = jnp.min(jnp.where(is_eos, offs[None, :], nq), axis=1)
+        m = jnp.minimum(m, eos_idx + 1)
+        m = jnp.where(live, m, 0)
+        val = offs[None, :] < m[:, None]
+
+        # Append emitted tokens to the output buffer and the history
+        # (masked writes via OOB drop).
+        cols = jnp.where(val, n_out[:, None] + offs[None, :], cap)
+        out = out.at[rows[:, None], cols].set(y, mode="drop")
+        bpos = jnp.where(
+            val & live[:, None], pos[:, None] + 1 + offs[None, :], length_buf
+        )
+        buf = buf.at[rows[:, None], bpos].set(y, mode="drop")
+
+        n_out = n_out + m
+        row_done = eos_idx < nq
+        new_current = jnp.take_along_axis(
+            y, jnp.clip(m - 1, 0, nq - 1)[:, None], axis=1
+        )[:, 0]
+        current = jnp.where(live & (m > 0), new_current, current)
+        pos = pos + m
+        done = done | (live & row_done)
+        return (i + 1, current, buf,
+                (k_list, v_list, ks_list, vs_list), pos, done, out, n_out, rng)
+
+    def cond(state):
+        return (state[0] < num_steps) & ~jnp.all(state[5])
+
+    state = (
+        jnp.int32(0), tokens, tokens_buf,
+        (paged.k, paged.v, paged.k_scale, paged.v_scale),
+        positions, done0, out0, n0, rng,
+    )
+    (_, current, buf, (k_list, v_list, ks_list, vs_list),
+     pos, _, out, n_out, rng) = jax.lax.while_loop(cond, body, state)
+    packed = jnp.concatenate([out, n_out[:, None]], axis=1)
+    return (
+        packed,
+        (current, pos, rng),
+        PagedKV(k_list, v_list, ks_list, vs_list),
+        buf,
+    )
+
+
+@partial(
+    jax.jit,
     static_argnames=("config", "page_size", "num_steps", "attn_impl", "nucleus"),
     donate_argnames=("paged",),
 )
@@ -367,6 +563,15 @@ class SchedulerConfig:
     # batching; the 8-concurrent-pages scenario is prefill-bound without
     # it). 0 = monolithic prefill only. Rounded up to a page multiple.
     prefill_chunk_tokens: int = 0
+    # n-gram speculative decoding: >0 verifies this many device-drafted
+    # tokens per decode iteration (see spec_decode_program) — the parameter
+    # HBM read amortizes over accepted tokens, which beats the
+    # weight-bandwidth bound on repetitive outputs (HTML tables, layout
+    # JSON scaffolding). Greedy rows are exactly greedy; sampled rows use
+    # exact delta-proposal rejection. Engages only for chunks where every
+    # live row has top_p >= 1 (the layout/OCR default) and no stop
+    # strings / stream callbacks need per-token host checks. 0 = off.
+    speculate_k: int = 0
     # "bf16" or "int8". int8 halves cache HBM — the capacity lever for the
     # full workload envelope (14.4k-vision + 24k-decode sequences at high
     # slot counts exceed HBM in bf16). At SHORT contexts the per-page
@@ -738,6 +943,32 @@ class ContinuousBatchingEngine:
                         nucleus=bool(nucleus),
                     )
                     np.asarray(packed)  # force compile + execute now
+                    compiled += 1
+            if self.sched.speculate_k > 0:
+                buf = self._put(jnp.zeros(
+                    (s, self.sched.max_pages_per_seq * self.sched.page_size),
+                    jnp.int32,
+                ))
+                for depth in depths:
+                    # buf is donated — rebind it each iteration.
+                    packed, _, self.paged, buf = spec_decode_program(
+                        self.params,
+                        self.config,
+                        self.paged,
+                        buf,
+                        tokens,
+                        positions,
+                        self._put(jnp.zeros(s, jnp.int32)),
+                        tables,
+                        idle,
+                        temps,
+                        self._next_rng(),
+                        page_size=self.sched.page_size,
+                        num_steps=depth,
+                        spec_k=self.sched.speculate_k,
+                        attn_impl=self.decode_impl,
+                    )
+                    np.asarray(packed)
                     compiled += 1
         return compiled
 
@@ -1143,6 +1374,14 @@ class ContinuousBatchingEngine:
         if active:
             s = self.sched.max_slots
             chunk = self.sched.steps_per_sync
+            # Speculation: engages when every live row runs top_p >= 1
+            # (exact acceptance math; the layout/OCR default) — greedy rows
+            # stay exactly greedy, sampled rows are distribution-preserving.
+            spec_k = self.sched.speculate_k
+            use_spec = spec_k > 0 and all(
+                self._slot_req[i].top_p >= 1.0 for i in active
+            )
+            tokens_per_iter = (spec_k + 1) if use_spec else 1
             deep = self.sched.max_steps_per_sync
             if deep > chunk:
                 live = [self._slot_req[i] for i in active]
@@ -1178,7 +1417,9 @@ class ContinuousBatchingEngine:
                 pos = int(self._lengths[i])  # write position of current token
                 while True:
                     try:
-                        self.allocator.extend(req.req_id, pos + chunk)
+                        self.allocator.extend(
+                            req.req_id, pos + chunk * tokens_per_iter
+                        )
                         break
                     except OutOfPages:
                         self._preempt_youngest()
@@ -1197,6 +1438,8 @@ class ContinuousBatchingEngine:
             # paged kernel's S x table_width grid shrinks at short
             # contexts (one compile per width bucket, see warmup_decode).
             active = [i for i in active if self._slot_req[i] is not None]
+            if self._dev is not None and self._dev.get("spec") != use_spec:
+                self._dev = None  # decode mode flipped; rebuild inputs
             if active and self._dev is None:
                 positions = np.zeros(s, np.int32)
                 active_mask = np.zeros(s, bool)
@@ -1206,7 +1449,9 @@ class ContinuousBatchingEngine:
                     active_mask[i] = True
                     max_pages_now = max(
                         max_pages_now,
-                        self.allocator.pages_needed(int(self._lengths[i]) + chunk),
+                        self.allocator.pages_needed(
+                            int(self._lengths[i]) + chunk * tokens_per_iter
+                        ),
                     )
                 mp_bucket = 1
                 while mp_bucket < max_pages_now:
@@ -1225,26 +1470,67 @@ class ContinuousBatchingEngine:
                     "top_ps": self._put(self._top_ps),
                     "rng": self._next_rng(),
                     "nucleus": bool(np.any(self._top_ps[active] < 1.0)),
+                    "spec": use_spec,
                 }
+                if use_spec:
+                    # Generated-token history by logical position + each
+                    # row's first generated position (the n-gram draft
+                    # source). Rebuilt from host state on events only.
+                    length_buf = (
+                        self.sched.max_pages_per_seq * self.sched.page_size
+                    )
+                    buf = np.zeros((s, length_buf), np.int32)
+                    gen_start = np.zeros(s, np.int32)
+                    for i in active:
+                        req = self._slot_req[i]
+                        plen = len(req.prompt_ids)
+                        gen_start[i] = plen
+                        toks = req.output_ids
+                        end = min(plen + len(toks), length_buf)
+                        buf[i, plen:end] = toks[: end - plen]
+                    self._dev["buf"] = self._put(buf)
+                    self._dev["gen_start"] = self._put(gen_start)
                 self.metrics["chunk_input_rebuilds"] += 1
             if active:
                 dev = self._dev
-                packed, carry, self.paged = decode_program(
-                    self.params,
-                    self.config,
-                    self.paged,
-                    dev["tokens"],
-                    dev["positions"],
-                    dev["tables"],
-                    dev["active"],
-                    dev["temps"],
-                    dev["top_ps"],
-                    dev["rng"],
-                    page_size=self.sched.page_size,
-                    num_steps=chunk,
-                    attn_impl=self.decode_impl,
-                    nucleus=dev["nucleus"],
-                )
+                if use_spec:
+                    packed, carry, self.paged, dev["buf"] = spec_decode_program(
+                        self.params,
+                        self.config,
+                        self.paged,
+                        dev["buf"],
+                        dev["tokens"],
+                        dev["positions"],
+                        dev["gen_start"],
+                        dev["tables"],
+                        dev["active"],
+                        dev["temps"],
+                        dev["rng"],
+                        page_size=self.sched.page_size,
+                        num_steps=chunk,
+                        spec_k=spec_k,
+                        attn_impl=self.decode_impl,
+                    )
+                    self.metrics["spec_chunks"] = (
+                        self.metrics.get("spec_chunks", 0) + 1
+                    )
+                else:
+                    packed, carry, self.paged = decode_program(
+                        self.params,
+                        self.config,
+                        self.paged,
+                        dev["tokens"],
+                        dev["positions"],
+                        dev["tables"],
+                        dev["active"],
+                        dev["temps"],
+                        dev["top_ps"],
+                        dev["rng"],
+                        page_size=self.sched.page_size,
+                        num_steps=chunk,
+                        attn_impl=self.decode_impl,
+                        nucleus=dev["nucleus"],
+                    )
                 # Chain the device-side carry BEFORE host accounting: a
                 # finish/preempt below just resets self._dev to None.
                 dev["tokens"], dev["positions"], dev["rng"] = carry

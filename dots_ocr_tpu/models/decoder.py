@@ -333,6 +333,116 @@ def decoder_decode_step_paged(
     return x, tuple(k_out), tuple(v_out), None, None
 
 
+def decoder_spec_step_paged(
+    params: dict,
+    cfg: DecoderConfig,
+    inputs_embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    k_pages,
+    v_pages,
+    page_tables: jnp.ndarray,
+    seq_lens: jnp.ndarray,
+    slots: jnp.ndarray,
+    page_size: int,
+    attn_impl: str = "paged",
+    k_scales=None,
+    v_scales=None,
+):
+    """One SPECULATIVE-VERIFY decode step over the paged cache: nq tokens
+    per slot (the current token + nq-1 n-gram draft tokens) forwarded in
+    ONE pass — the parameter HBM read (the per-iteration floor) amortizes
+    over every accepted token, which is how decode beats the
+    weight-bandwidth bound on repetitive outputs (vLLM's ngram speculator
+    role, SURVEY §2.2).
+
+    inputs_embeds: [S, nq, D]; positions: [S, nq] (= base_pos + j);
+    k_pages/v_pages: per-layer tuples [KV, N_slots, D]; page_tables:
+    [S, max_pages]; seq_lens: [S] BASE lengths (pos+1; 0 = inactive);
+    slots: [S, nq] physical write slots (inactive -> null page). Draft
+    K/V are scattered before attention, so query j sees tokens < len + j
+    including the earlier drafts; rejected drafts' K/V become dead slots
+    that later writes overwrite (reads always mask by length).
+
+    Returns (hidden [S, nq, D], k, v, ks, vs).
+    """
+    from dots_ocr_tpu.engine.kv_cache import quantize_kv
+    from dots_ocr_tpu.ops.paged_attention import (
+        paged_attention_multiquery,
+        paged_attention_multiquery_reference,
+    )
+
+    s, nq, _ = inputs_embeds.shape
+    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)  # [S,nq,hd]
+    kv_heads, head_dim = cfg.num_kv_heads, cfg.head_dim
+    quantized = k_scales is not None
+    flat_slots = slots.reshape(-1)  # [S*nq]
+
+    x = inputs_embeds
+    k_out, v_out, ks_out, vs_out = [], [], [], []
+    for layer in range(cfg.num_layers):
+        block_params = jax.tree.map(lambda a: a[layer], params["blocks"])
+        k_layer, v_layer = k_pages[layer], v_pages[layer]
+        attn_p = block_params["attn"]
+        h = rms_norm(x, block_params["input_norm"], cfg.rms_norm_eps)
+        q, k, v = _project_qkv(h, attn_p, cfg)  # q [S,nq,H,hd]
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        k_flat = k.reshape(s * nq, kv_heads, head_dim)
+        v_flat = v.reshape(s * nq, kv_heads, head_dim)
+        if quantized:
+            qk, sk = quantize_kv(k_flat)
+            qv, sv = quantize_kv(v_flat)
+            k_layer = k_layer.at[:, flat_slots].set(qk.transpose(1, 0, 2))
+            v_layer = v_layer.at[:, flat_slots].set(qv.transpose(1, 0, 2))
+            n_slots = k_layer.shape[1]
+            flat_idx = (
+                jnp.arange(kv_heads)[:, None] * n_slots + flat_slots[None, :]
+            ).reshape(-1)
+            ks_layer = k_scales[layer].at[flat_idx].set(sk.T.reshape(-1))
+            vs_layer = v_scales[layer].at[flat_idx].set(sv.T.reshape(-1))
+            ks_out.append(ks_layer)
+            vs_out.append(vs_layer)
+            scale_kwargs = dict(
+                k_scales=ks_layer.reshape(kv_heads, -1, page_size),
+                v_scales=vs_layer.reshape(kv_heads, -1, page_size),
+            )
+        else:
+            k_layer = k_layer.at[:, flat_slots].set(
+                k_flat.transpose(1, 0, 2).astype(k_layer.dtype)
+            )
+            v_layer = v_layer.at[:, flat_slots].set(
+                v_flat.transpose(1, 0, 2).astype(v_layer.dtype)
+            )
+            scale_kwargs = {}
+        k_out.append(k_layer)
+        v_out.append(v_layer)
+
+        paged_k = k_layer.reshape(kv_heads, -1, page_size, head_dim)
+        paged_v = v_layer.reshape(kv_heads, -1, page_size, head_dim)
+        if attn_impl == "paged":
+            out = paged_attention_multiquery(
+                q, paged_k, paged_v, seq_lens, page_tables, **scale_kwargs
+            )
+        elif attn_impl == "paged_interpret":
+            out = paged_attention_multiquery(
+                q, paged_k, paged_v, seq_lens, page_tables, interpret=True,
+                **scale_kwargs,
+            )
+        else:  # reference (XLA gather; CPU test path)
+            out = paged_attention_multiquery_reference(
+                q, paged_k, paged_v, seq_lens, page_tables, **scale_kwargs
+            )
+        x = x + linear(out.reshape(s, nq, cfg.q_dim), attn_p["wo"])
+        h = rms_norm(x, block_params["post_attn_norm"], cfg.rms_norm_eps)
+        m = block_params["mlp"]
+        x = x + swiglu(h, m["gate"], m["up"], m["down"])
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    if quantized:
+        return x, tuple(k_out), tuple(v_out), tuple(ks_out), tuple(vs_out)
+    return x, tuple(k_out), tuple(v_out), None, None
+
+
 def decoder_prefill_extend(
     params: dict,
     cfg: DecoderConfig,

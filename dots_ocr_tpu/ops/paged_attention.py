@@ -300,6 +300,7 @@ def _multipage_kernel(
     kv_heads: int,
     group: int,
     quantized: bool,
+    nq: int = 1,
 ):
     if quantized:
         (q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref,
@@ -309,7 +310,14 @@ def _multipage_kernel(
         ks_buf = vs_buf = None
     b = pl.program_id(0)
     length = lengths_ref[b]
-    n_pages = jax.lax.div(length + page_size - 1, page_size)
+    # Multi-query (speculative verify): nq tokens per sequence at positions
+    # [length-1, length-1+nq); query j attends tokens < length + j. Pages
+    # must cover the furthest query's keys.
+    n_pages = jnp.where(
+        length > 0,
+        jax.lax.div(length + (nq - 1) + page_size - 1, page_size),
+        0,
+    )
     fpb = pages_per_block
     n_blocks = jax.lax.div(n_pages + fpb - 1, fpb)
     blk = fpb * page_size
@@ -353,7 +361,7 @@ def _multipage_kernel(
         for c in copies(0, 0):
             c.start()
 
-    rows = kv_heads * group
+    rows = kv_heads * group * nq
     m0 = jnp.full((rows, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((rows, 1), jnp.float32)
     acc0 = jnp.zeros((rows, q_ref.shape[-1]), jnp.float32)
@@ -365,7 +373,7 @@ def _multipage_kernel(
     q_i8, q_qscale = [], []
     if quantized:
         for h in range(kv_heads):
-            qh = q_ref[0, h].astype(jnp.float32)  # [G, D]
+            qh = q_ref[0, h].astype(jnp.float32)  # [G * nq, D]
             amax = jnp.max(jnp.abs(qh), axis=1, keepdims=True)
             qs = jnp.where(amax > 0, amax / 127.0, 1.0)
             q_i8.append(jnp.round(qh / qs).astype(jnp.int8))
@@ -386,7 +394,15 @@ def _multipage_kernel(
         token_pos = i * blk + jax.lax.broadcasted_iota(
             jnp.int32, (1, blk), 1
         )
-        valid = token_pos < length  # [1, blk]
+        if nq == 1:
+            valid = token_pos < length  # [1, blk]
+        else:
+            # Row r within a head is (g, j) with j = r % nq: query j sees
+            # tokens < length + j (its own position is length - 1 + j).
+            j_col = jax.lax.rem(
+                jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0), nq
+            )
+            valid = (token_pos < length + j_col) & (length > 0)
 
         s_parts = []
         for h in range(kv_heads):
@@ -431,7 +447,10 @@ def _multipage_kernel(
                 # int8 x int8 too — V bytes also go straight from DMA to
                 # MXU. The 1/127 weight granularity sits below the int8
                 # cache's own quantization noise.
-                pp = p[h * group : (h + 1) * group] * vs_buf[slot, h][None, :]
+                pp = (
+                    p[h * group * nq : (h + 1) * group * nq]
+                    * vs_buf[slot, h][None, :]
+                )
                 amax = jnp.max(jnp.abs(pp), axis=1, keepdims=True)
                 pscale = jnp.where(amax > 0, amax / 127.0, 1.0)
                 p_i8 = jnp.round(pp / pscale).astype(jnp.int8)
@@ -441,7 +460,7 @@ def _multipage_kernel(
                 )
                 accs.append(pv_i32.astype(jnp.float32) * pscale)
             else:
-                ph = p[h * group : (h + 1) * group].astype(v.dtype)
+                ph = p[h * group * nq : (h + 1) * group * nq].astype(v.dtype)
                 accs.append(
                     jax.lax.dot(ph, v, preferred_element_type=jnp.float32)
                 )
@@ -453,7 +472,7 @@ def _multipage_kernel(
     l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
     o_ref[0] = (
         (acc * l_inv)
-        .reshape(kv_heads, group, acc.shape[-1])
+        .reshape(kv_heads, group * nq, acc.shape[-1])
         .astype(o_ref.dtype)
     )
 
@@ -482,6 +501,46 @@ def paged_attention_multipage(
     by the table width).
     """
     batch, num_heads, head_dim = q.shape
+    out = paged_attention_multiquery(
+        q[:, None],
+        k_pages,
+        v_pages,
+        lengths,
+        page_indices,
+        sm_scale=sm_scale,
+        k_scales=k_scales,
+        v_scales=v_scales,
+        pages_per_block=pages_per_block,
+        interpret=interpret,
+    )
+    return out.reshape(batch, num_heads, head_dim)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "interpret", "pages_per_block")
+)
+def paged_attention_multiquery(
+    q: jnp.ndarray,
+    k_pages: jnp.ndarray,
+    v_pages: jnp.ndarray,
+    lengths: jnp.ndarray,
+    page_indices: jnp.ndarray,
+    sm_scale: Optional[float] = None,
+    k_scales: Optional[jnp.ndarray] = None,
+    v_scales: Optional[jnp.ndarray] = None,
+    pages_per_block: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Multi-query paged decode attention (speculative-verify step).
+
+    q: [B, nq, H, D] — nq tokens per sequence at positions
+    [length-1, length-1+nq); query j attends tokens < length + j (its draft
+    predecessors' K/V must already be scattered into the pages). nq=1 is
+    exactly classic paged decode. lengths: [B] BASE lengths (tokens valid
+    for query 0, i.e. up to and including the current real token).
+    Returns [B, nq, H, D].
+    """
+    batch, nq, num_heads, head_dim = q.shape
     kv_heads, _, page_size, _ = k_pages.shape
     max_pages = page_indices.shape[1]
     group = num_heads // kv_heads
@@ -495,8 +554,13 @@ def paged_attention_multipage(
         # SCALE buffers along page_size — Mosaic requires those slices
         # 128-aligned. Real checkpoints have head_dim 128; int8 mode wants
         # page_size a multiple of 128 (the engine should allocate such).
-        # Fall back to the v1 (BlockSpec auto-pipelined) kernel otherwise.
-        return paged_attention(
+        # Fall back to the v1 kernel (nq=1) / XLA reference (multi-query).
+        if nq == 1:
+            return paged_attention(
+                q[:, 0], k_pages, v_pages, lengths, page_indices,
+                sm_scale=scale, k_scales=k_scales, v_scales=v_scales,
+            )[:, None]
+        return paged_attention_multiquery_reference(
             q, k_pages, v_pages, lengths, page_indices,
             sm_scale=scale, k_scales=k_scales, v_scales=v_scales,
         )
@@ -505,13 +569,19 @@ def paged_attention_multipage(
     fpb = min(pages_per_block, max_pages)
     blk = fpb * page_size
 
-    qg = q.reshape(batch, kv_heads, group, head_dim)
+    # Row order per KV head: (g, j) — j = row % nq (the kernel's validity
+    # pattern depends on it).
+    qg = (
+        q.reshape(batch, nq, kv_heads, group, head_dim)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(batch, kv_heads, group * nq, head_dim)
+    )
 
     def q_index(b, *_):
         return (b, 0, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, kv_heads, group, head_dim), q_index),
+        pl.BlockSpec((1, kv_heads, group * nq, head_dim), q_index),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
@@ -545,7 +615,7 @@ def paged_attention_multipage(
         num_scalar_prefetch=2,
         grid=(batch,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, kv_heads, group, head_dim), q_index),
+        out_specs=pl.BlockSpec((1, kv_heads, group * nq, head_dim), q_index),
         scratch_shapes=scratch_shapes,
     )
     kernel = functools.partial(
@@ -558,6 +628,7 @@ def paged_attention_multipage(
         kv_heads=kv_heads,
         group=group,
         quantized=quantized,
+        nq=nq,
     )
     out = pl.pallas_call(
         kernel,
@@ -568,7 +639,63 @@ def paged_attention_multipage(
         ),
         interpret=interpret,
     )(*inputs)
-    return out.reshape(batch, num_heads, head_dim)
+    return (
+        out.reshape(batch, kv_heads, group, nq, head_dim)
+        .transpose(0, 3, 1, 2, 4)
+        .reshape(batch, nq, num_heads, head_dim)
+    )
+
+
+def paged_attention_multiquery_reference(
+    q: jnp.ndarray,
+    k_pages: jnp.ndarray,
+    v_pages: jnp.ndarray,
+    lengths: jnp.ndarray,
+    page_indices: jnp.ndarray,
+    sm_scale: Optional[float] = None,
+    k_scales: Optional[jnp.ndarray] = None,
+    v_scales: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """XLA reference for the multi-query (speculative verify) decode step.
+
+    q: [B, nq, H, D]; query j of row b attends tokens < lengths[b] + j
+    (rows with lengths 0 output zeros). Returns [B, nq, H, D].
+    """
+    kv_heads, _, page_size, head_dim = k_pages.shape
+    batch, nq, num_heads, _ = q.shape
+    max_pages = page_indices.shape[1]
+    s_max = max_pages * page_size
+    sm_scale = sm_scale if sm_scale is not None else head_dim**-0.5
+
+    flat_k = k_pages.reshape(kv_heads, -1, head_dim)
+    flat_v = v_pages.reshape(kv_heads, -1, head_dim)
+    pos = jnp.arange(s_max)
+    slots = page_indices[:, pos // page_size] * page_size + pos % page_size
+    k = jnp.take(flat_k, slots, axis=1)  # [KV, B, S, D]
+    v = jnp.take(flat_v, slots, axis=1)
+    if k_scales is not None:
+        ks = jnp.take(k_scales.reshape(kv_heads, -1), slots, axis=1)
+        vs = jnp.take(v_scales.reshape(kv_heads, -1), slots, axis=1)
+        k = (k.astype(jnp.float32) * ks[..., None]).astype(jnp.bfloat16)
+        v = (v.astype(jnp.float32) * vs[..., None]).astype(jnp.bfloat16)
+
+    group = num_heads // kv_heads
+    qg = q.reshape(batch, nq, kv_heads, group, head_dim)
+    scores = jnp.einsum(
+        "bjkgd,kbsd->bjkgs", qg, k, preferred_element_type=jnp.float32
+    ) * sm_scale
+    j = jnp.arange(nq)
+    mask = (pos[None, None, :] < lengths[:, None, None] + j[None, :, None]) & (
+        lengths[:, None, None] > 0
+    )  # [B, nq, S]
+    scores = jnp.where(mask[:, :, None, None, :], scores, DEFAULT_MASK_VALUE)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    probs = jnp.where(mask[:, :, None, None, :], probs, 0.0)
+    out = jnp.einsum(
+        "bjkgs,kbsd->bjkgd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(batch, nq, num_heads, head_dim).astype(q.dtype)
 
 
 def paged_attention(

@@ -566,6 +566,13 @@ def main(argv=None):
         "scales; halves decode-time parameter HBM reads)",
     )
     parser.add_argument(
+        "--speculate-k", type=int, default=0,
+        help="n-gram speculative decoding: verify this many device-drafted "
+        "tokens per decode iteration (big win on repetitive outputs like "
+        "HTML tables / layout JSON; exact for greedy and temp-sampled "
+        "top_p>=1 requests, auto-disabled per chunk otherwise); 0 = off",
+    )
+    parser.add_argument(
         "--vision-attn", choices=["config", "full", "windowed"],
         default="config",
         help="vision-encoder attention policy: 'config' honors the "
@@ -669,6 +676,7 @@ def main(argv=None):
                 ),
                 kv_cache_dtype=args.kv_cache_dtype,
                 prefill_chunk_tokens=args.prefill_chunk_tokens,
+                speculate_k=args.speculate_k,
             ),
         )
     else:

@@ -1,0 +1,177 @@
+"""n-gram speculative decoding: device drafting + multi-token verify.
+
+Greedy speculation must be EXACT (the accepted prefix reproduces what
+sequential greedy decode would emit, and the corrective token is the
+argmax at the first mismatch), so spec engines must produce byte-identical
+output to non-spec engines at temperature 0. The multi-query verify kernel
+is covered in tests/test_paged.py-style unit tests here as well.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dots_ocr_tpu.models.config import DotsOCRConfig
+from dots_ocr_tpu.models.init import init_params
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = DotsOCRConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def build(setup, spec_k=0, **overrides):
+    from dots_ocr_tpu.engine.scheduler import (
+        ContinuousBatchingEngine,
+        SchedulerConfig,
+    )
+
+    cfg, params = setup
+    kw = dict(
+        num_pages=64,
+        page_size=8,
+        max_slots=4,
+        max_pages_per_seq=16,
+        prompt_bucket_step=32,
+        vision_bucket_step=16,
+        steps_per_sync=2,
+        max_steps_per_sync=2,  # isolate speculation from deep chunks
+        speculate_k=spec_k,
+        repetition_min_repeats=0,
+    )
+    kw.update(overrides)
+    return ContinuousBatchingEngine(
+        params, cfg, sched=SchedulerConfig(**kw), default_max_new_tokens=8
+    )
+
+
+def test_spec_greedy_identical(setup):
+    base = build(setup)
+    want = base.generate_one("speculate on this", temperature=0.0,
+                             max_new_tokens=40)
+    for k in (2, 4):
+        eng = build(setup, spec_k=k)
+        got = eng.generate_one("speculate on this", temperature=0.0,
+                               max_new_tokens=40)
+        assert got == want, f"spec_k={k}"
+        assert eng.metrics.get("spec_chunks", 0) >= 1
+
+
+def test_spec_accepts_degenerate_loop(setup):
+    """A random tiny model greedy-loops quickly; the repeat-current fallback
+    and n-gram matches must then accept multiple tokens per iteration —
+    strictly fewer decode dispatches than sequential decode."""
+    base = build(setup)
+    a = base.generate_one("loop probe xyz", temperature=0.0, max_new_tokens=48)
+    base_steps = base.metrics["steps"]
+    eng = build(setup, spec_k=4)
+    b = eng.generate_one("loop probe xyz", temperature=0.0, max_new_tokens=48)
+    assert a == b
+    assert eng.metrics["steps"] < base_steps
+
+
+def test_spec_batch_mixed_lengths(setup):
+    base = build(setup)
+    prompts = ["alpha doc", "a much longer beta document prompt here", "g"]
+    want = base.generate_batch(prompts, temperature=0.0, max_new_tokens=24)
+    eng = build(setup, spec_k=3)
+    got = eng.generate_batch(prompts, temperature=0.0, max_new_tokens=24)
+    assert got == want
+
+
+def test_spec_int8_cache_greedy(setup):
+    a = build(setup, kv_cache_dtype="int8").generate_one(
+        "int8 spec", temperature=0.0, max_new_tokens=24
+    )
+    b = build(setup, spec_k=4, kv_cache_dtype="int8").generate_one(
+        "int8 spec", temperature=0.0, max_new_tokens=24
+    )
+    assert a == b
+
+
+def test_spec_sampled_runs_and_nucleus_gates_off(setup):
+    eng = build(setup, spec_k=4)
+    out = eng.generate_one("sampled spec", temperature=0.8, max_new_tokens=16,
+                           seed=7)
+    assert isinstance(out, str)
+    assert eng.metrics.get("spec_chunks", 0) >= 1
+    # top_p < 1 rows must fall back to the non-spec program.
+    before = eng.metrics.get("spec_chunks", 0)
+    eng.generate_one("nucleus off", temperature=0.8, top_p=0.9,
+                     max_new_tokens=8, seed=3)
+    assert eng.metrics.get("spec_chunks", 0) == before
+
+
+def test_spec_eos_and_stop_semantics(setup):
+    """EOS inside an accepted run truncates exactly; stop strings still
+    apply (host-side) with speculation on."""
+    base = build(setup)
+    ref = base.generate_one("stop spec probe", temperature=0.0,
+                            max_new_tokens=40)
+    eng = build(setup, spec_k=4)
+    assert eng.generate_one("stop spec probe", temperature=0.0,
+                            max_new_tokens=40) == ref
+    if len(ref) >= 4:
+        needle = ref[1:3]
+        got = eng.generate_one("stop spec probe", temperature=0.0,
+                               max_new_tokens=40, stop=[needle])
+        assert needle not in got
+        assert got == ref.split(needle)[0]
+
+
+def test_multiquery_attention_matches_reference():
+    from dots_ocr_tpu.ops.paged_attention import (
+        paged_attention_multiquery,
+        paged_attention_multiquery_reference,
+    )
+
+    rng = np.random.RandomState(0)
+    kv, ps, d, B, H, mp, nq = 2, 8, 32, 4, 8, 6, 4
+    npages = B * mp + 1
+    kp = jnp.asarray(rng.randn(kv, npages, ps, d), jnp.float32)
+    vp = jnp.asarray(rng.randn(kv, npages, ps, d), jnp.float32)
+    tables = jnp.asarray(
+        rng.permutation(npages - 1)[: B * mp].reshape(B, mp) + 1, jnp.int32
+    ) - 1
+    lengths = jnp.asarray([10, 0, 30, 45], jnp.int32)
+    q = jnp.asarray(rng.randn(B, nq, H, d), jnp.float32)
+    ref = np.asarray(
+        paged_attention_multiquery_reference(q, kp, vp, lengths, tables)
+    )
+    out = np.asarray(
+        paged_attention_multiquery(q, kp, vp, lengths, tables, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+    assert np.abs(out[1]).max() == 0  # zero-length row outputs zeros
+
+
+def test_multiquery_int8_matches_reference():
+    from dots_ocr_tpu.engine.kv_cache import quantize_kv
+    from dots_ocr_tpu.ops.paged_attention import (
+        paged_attention_multiquery,
+        paged_attention_multiquery_reference,
+    )
+
+    rng = np.random.RandomState(1)
+    kv, ps, d, B, H, mp, nq = 2, 8, 32, 3, 8, 4, 3
+    npages = B * mp + 1
+    kp = jnp.asarray(rng.randn(kv, npages, ps, d), jnp.float32)
+    vp = jnp.asarray(rng.randn(kv, npages, ps, d), jnp.float32)
+    qk, sk = quantize_kv(kp)
+    qv, sv = quantize_kv(vp)
+    tables = jnp.asarray(
+        rng.permutation(npages - 1)[: B * mp].reshape(B, mp) + 1, jnp.int32
+    ) - 1
+    # NB: lengths + nq - 1 must stay within the tables' coverage (the
+    # scheduler reserves pages for every draft position before dispatch).
+    lengths = jnp.asarray([9, 20, 30], jnp.int32)
+    q = jnp.asarray(rng.randn(B, nq, H, d), jnp.float32)
+    ref = np.asarray(paged_attention_multiquery_reference(
+        q, qk, qv, lengths, tables, k_scales=sk, v_scales=sv), np.float32)
+    out = np.asarray(paged_attention_multiquery(
+        q, qk, qv, lengths, tables, k_scales=sk, v_scales=sv, interpret=True),
+        np.float32)
+    np.testing.assert_allclose(out, ref, rtol=3e-2, atol=3e-2)

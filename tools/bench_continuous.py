@@ -35,6 +35,11 @@ def main():
                     help="KV page size: bigger pages -> fewer, larger "
                     "paged-attention tiles (less per-tile overhead), "
                     "coarser allocation")
+    ap.add_argument("--speculate-k", type=int, default=0,
+                    help="n-gram speculative decode depth (NB: zeros-params "
+                    "greedy output is a period-1 loop, so acceptance here is "
+                    "~100%% — this measures the verify-kernel ceiling, not a "
+                    "realistic acceptance mix)")
     args = ap.parse_args()
 
     import jax
@@ -70,6 +75,7 @@ def main():
         # construction; the degeneration guard would stop every request
         # early and distort the measurement.
         repetition_min_repeats=0,
+        speculate_k=args.speculate_k,
     )
     eng = ContinuousBatchingEngine(
         params, config, sched=sched, default_max_new_tokens=args.max_new
@@ -122,7 +128,9 @@ def main():
         '{"metric": "continuous_decode_tok_s", "value": %.1f, '
         '"wave_tok_s": %.1f, "slots": %d, "rebuild_frac": %.3f%s}'
         % (steady, gen / dt, args.slots, rebuilds / max(1, steps),
-           ', "quant": "int8"' if args.quant else "")
+           (', "quant": "int8"' if args.quant else "")
+           + (', "speculate_k": %d' % args.speculate_k
+              if args.speculate_k else ""))
     )
 
 
