@@ -685,6 +685,23 @@ class ContinuousBatchingEngine:
                 "flash_interpret": "paged_interpret",
             }.get(attn_impl, attn_impl)
 
+        # Static page-table width: the v2 multi-page kernel grids over
+        # sequences only and bounds its page loop by each row's LIVE length,
+        # so a max-width (padded) table costs nothing at runtime — while
+        # width BUCKETING costs a full XLA compile per power-of-two bucket
+        # (minutes each through a remote-compile tunnel) plus mid-serving
+        # recompiles when a long decode crosses a bucket. Only the v1
+        # fallback kernel (head_dim not 128-aligned, or int8 with unaligned
+        # pages) has a grid that scales with table width; keep bucketing
+        # there and on the CPU reference path.
+        self._static_width = (
+            self.decode_impl == "paged"
+            and config.decoder.head_dim % 128 == 0
+            and not (
+                self.sched.kv_cache_dtype == "int8"
+                and self.sched.page_size % 128 != 0
+            )
+        )
         kv_dtype = kv_dtype or config.jax_dtype
         self.paged = PagedKV.create(
             config.decoder,
@@ -737,6 +754,13 @@ class ContinuousBatchingEngine:
             "generated_tokens": 0,
             "preemptions": 0,
             "chunk_input_rebuilds": 0,  # host->device upload chunks
+            # Wall-clock attribution (host-side; async dispatches charge
+            # their section when it blocks on the fetch). For perf triage:
+            # where does a wave's wall actually go?
+            "t_submit_s": 0.0,   # tokenize + image preprocessing
+            "t_admit_s": 0.0,    # admission incl. batched embed dispatch
+            "t_prefill_s": 0.0,  # lockstep prefill chunk dispatches
+            "t_decode_s": 0.0,   # decode chunk dispatch + packed fetch
         }
 
     # -- submission ----------------------------------------------------
@@ -757,6 +781,7 @@ class ContinuousBatchingEngine:
     ) -> int:
         from dots_ocr_tpu.engine.tokenizer import IncrementalDetokenizer
 
+        t_sub = time.perf_counter()
         prepared = prepare_request(
             self.tokenizer,
             self.config,
@@ -767,6 +792,7 @@ class ContinuousBatchingEngine:
             max_pixels=max_pixels,
             vision_bucket_step=self.sched.vision_bucket_step,
         )
+        self.metrics["t_submit_s"] += time.perf_counter() - t_sub
         stop = [s for s in (stop or []) if s]
         req = ScheduledRequest(
             req_id=self._next_id,
@@ -884,32 +910,37 @@ class ContinuousBatchingEngine:
         max_len: Optional[int] = None,
         nucleus_variants: Sequence[bool] = (False, True),
     ) -> int:
-        """Precompile the decode program at every page-table width bucket.
+        """Precompile every decode program ``step()`` can dispatch.
 
-        ``step()`` buckets the page-table width to the live maximum (one
-        compiled program per power-of-two width), so a long decode that
-        crosses a bucket boundary mid-flight would otherwise pay an XLA
-        compile inside the hot path. Run this once on an idle engine (server
-        startup / before timing) to move those compiles out of serving
-        latency. ``max_len`` bounds the longest sequence (prompt + new
-        tokens) to warm for; default covers max_pages_per_seq. Returns the
-        number of programs compiled/executed.
+        On the production path (v2 multi-page kernel) the page-table width
+        is STATIC at max_pages_per_seq, so this compiles one program per
+        (depth, nucleus, spec) combination. On fallback paths ``step()``
+        buckets the table width to the live maximum (one compiled program
+        per power-of-two width) and every bucket is warmed — a long decode
+        crossing a bucket boundary mid-flight would otherwise pay an XLA
+        compile inside the hot path (minutes through a remote-compile
+        tunnel). Run once on an idle engine (server startup / before
+        timing). ``max_len`` bounds the longest sequence to warm for on
+        the bucketed path. Returns the number of programs compiled.
         """
         assert not any(r is not None for r in self._slot_req), (
             "warmup_decode must run on an idle engine"
         )
         cap = self.sched.max_pages_per_seq
-        if max_len is None:
-            top = cap
+        if self._static_width:
+            widths = [cap]
         else:
-            top = min(self.allocator.pages_needed(max_len), cap)
-        widths = []
-        w = 1
-        while True:
-            widths.append(min(w, cap))
-            if w >= top:
-                break
-            w *= 2
+            if max_len is None:
+                top = cap
+            else:
+                top = min(self.allocator.pages_needed(max_len), cap)
+            widths = []
+            w = 1
+            while True:
+                widths.append(min(w, cap))
+                if w >= top:
+                    break
+                w *= 2
         s = self.sched.max_slots
         # All-inactive mask: identical compiled program, zero-iteration
         # execution, and no KV pages are touched.
@@ -949,7 +980,17 @@ class ContinuousBatchingEngine:
                     (s, self.sched.max_pages_per_seq * self.sched.page_size),
                     jnp.int32,
                 ))
-                for depth in depths:
+                # step() scales the deep depth by tokens-per-iteration in
+                # spec mode; warm the depths it will actually dispatch.
+                spec_deep = max(
+                    self.sched.steps_per_sync,
+                    self.sched.max_steps_per_sync
+                    // (self.sched.speculate_k + 1),
+                )
+                spec_depths = [self.sched.steps_per_sync]
+                if spec_deep != self.sched.steps_per_sync:
+                    spec_depths.append(spec_deep)
+                for depth in spec_depths:
                     # buf is donated — rebind it each iteration.
                     packed, _, self.paged, buf = spec_decode_program(
                         self.params,
@@ -1362,10 +1403,15 @@ class ContinuousBatchingEngine:
         """Admit + at most one prefill chunk + one multi-step decode chunk.
         Returns newly finished requests."""
         before = set(self._finished)
+        t0 = time.perf_counter()
         self._try_admit()
+        t1 = time.perf_counter()
+        self.metrics["t_admit_s"] += t1 - t0
         # ONE chunk of ONE chunked prefill per step: decode latency during a
         # long prefill is bounded by a chunk's forward, not the whole prompt.
         self._run_prefill_chunk()
+        t2 = time.perf_counter()
+        self.metrics["t_prefill_s"] += t2 - t1
 
         active = [
             i for i, r in enumerate(self._slot_req)
@@ -1382,7 +1428,14 @@ class ContinuousBatchingEngine:
                 self._slot_req[i].top_p >= 1.0 for i in active
             )
             tokens_per_iter = (spec_k + 1) if use_spec else 1
-            deep = self.sched.max_steps_per_sync
+            # Deep chunks are counted in ITERATIONS; with speculation each
+            # iteration emits up to tokens_per_iter tokens, so scale the
+            # depth down — otherwise a request's final chunk runs up to
+            # (spec_k+1)x past its budget (harmless but wasted verifies).
+            deep = max(
+                self.sched.steps_per_sync,
+                self.sched.max_steps_per_sync // tokens_per_iter,
+            )
             if deep > chunk:
                 live = [self._slot_req[i] for i in active]
                 remaining = min(
@@ -1453,10 +1506,13 @@ class ContinuousBatchingEngine:
                             int(self._lengths[i]) + chunk * tokens_per_iter
                         ),
                     )
-                mp_bucket = 1
-                while mp_bucket < max_pages_now:
-                    mp_bucket *= 2
-                mp_bucket = min(mp_bucket, self.sched.max_pages_per_seq)
+                if self._static_width:
+                    mp_bucket = self.sched.max_pages_per_seq
+                else:
+                    mp_bucket = 1
+                    while mp_bucket < max_pages_now:
+                        mp_bucket *= 2
+                    mp_bucket = min(mp_bucket, self.sched.max_pages_per_seq)
                 tables = np.zeros((s, mp_bucket), np.int32)
                 for i in active:
                     full = self.allocator.padded_table(self._slot_req[i].req_id)
@@ -1554,6 +1610,7 @@ class ContinuousBatchingEngine:
                         self._tokens[i] = req.output_ids[-1]
                         self._update_text(i)  # may finish on stop string
                         self._maybe_finish(i)
+            self.metrics["t_decode_s"] += time.perf_counter() - t2
 
         return [self._finished[rid] for rid in set(self._finished) - before]
 

@@ -519,3 +519,43 @@ def test_deep_chunks_stay_shallow_with_stop_strings():
     )
     assert needle not in out
     assert out == ref.split(needle)[0]
+
+
+def test_static_table_width_gating():
+    """The production decode path (v2 multi-page kernel: head_dim
+    128-aligned) pins the page-table width at max_pages_per_seq — one
+    compiled program per (depth, nucleus, spec) instead of one per
+    power-of-two width bucket. Fallback paths keep bucketing."""
+    from dots_ocr_tpu.engine.scheduler import (
+        ContinuousBatchingEngine,
+        SchedulerConfig,
+    )
+    from dots_ocr_tpu.models.init import init_params
+
+    sched = SchedulerConfig(
+        num_pages=16, page_size=64, max_slots=2, max_pages_per_seq=4,
+        prompt_bucket_step=32, vision_bucket_step=16,
+    )
+    tiny = DotsOCRConfig.tiny()  # head_dim 16 -> always bucketed
+    tiny_params = init_params(jax.random.PRNGKey(0), tiny)
+    e1 = ContinuousBatchingEngine(tiny_params, tiny, sched=sched,
+                                  attn_impl="flash")
+    assert e1.decode_impl == "paged" and not e1._static_width
+    e2 = ContinuousBatchingEngine(tiny_params, tiny, sched=sched)  # cpu auto
+    assert e2.decode_impl == "reference" and not e2._static_width
+    # Flagship (head_dim 128) on the paged impl -> static width; int8 KV
+    # with non-128-aligned pages falls back to v1 -> bucketed again.
+    flag = DotsOCRConfig.flagship()
+    assert flag.decoder.head_dim % 128 == 0
+    e3 = ContinuousBatchingEngine(
+        init_params(jax.random.PRNGKey(0), tiny), tiny,
+        sched=sched, attn_impl="flash",
+    )
+    e3.config = flag  # gating uses config.decoder.head_dim at __init__ only
+    # Re-evaluate the gate exactly as __init__ does:
+    static = (
+        e3.decode_impl == "paged"
+        and flag.decoder.head_dim % 128 == 0
+        and not (sched.kv_cache_dtype == "int8" and sched.page_size % 128)
+    )
+    assert static

@@ -131,16 +131,18 @@ def main():
         eng.metrics[k] = 0
     log(f"  wave warm in {time.perf_counter() - t0:.1f}s")
 
-    # The measured wave: all pages submitted at once.
+    # The measured wave: all pages submitted at once. The clock starts
+    # BEFORE the submits — host-side image preprocessing is part of the
+    # page-parse cost (t_submit_s in the breakdown shows its share).
+    first_token_at = {}
+    decode_with_prefill, decode_alone = [], []
+    g0 = eng.metrics["generated_tokens"]
+    t0 = time.perf_counter()
     ids = [
         eng.submit(f"{prompt} (page {i})", images=[pages[i]],
                    temperature=0.0, max_new_tokens=args.max_new)
         for i in range(args.pages)
     ]
-    first_token_at = {}
-    decode_with_prefill, decode_alone = [], []
-    g0 = eng.metrics["generated_tokens"]
-    t0 = time.perf_counter()
     while eng.has_work():
         pc0 = eng.metrics.get("prefill_chunks", 0)
         p0 = eng.metrics["prefills"]
@@ -187,6 +189,12 @@ def main():
             1e3 * pct(decode_with_prefill, 99), 1
         ),
         "prefill_chunks": eng.metrics.get("prefill_chunks", 0),
+        # Wall attribution (engine phase timers): where the wave's time
+        # actually goes. t_* are host wall incl. the blocking fetches.
+        "t_submit_s": round(eng.metrics.get("t_submit_s", 0.0), 2),
+        "t_admit_s": round(eng.metrics.get("t_admit_s", 0.0), 2),
+        "t_prefill_s": round(eng.metrics.get("t_prefill_s", 0.0), 2),
+        "t_decode_s": round(eng.metrics.get("t_decode_s", 0.0), 2),
     }
     import json
 
