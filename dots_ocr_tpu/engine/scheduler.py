@@ -778,21 +778,25 @@ class ContinuousBatchingEngine:
         stop: Optional[Sequence[str]] = None,
         stop_token_ids: Optional[Sequence[int]] = None,
         stream_cb=None,
+        prepared=None,
     ) -> int:
+        """``prepared``: a ``prepare_request`` result built ahead of time
+        (e.g. on a preprocessing thread pool via :meth:`prepare`) — submit
+        itself must stay on the single engine thread, but tokenization +
+        image preprocessing are pure host work that shouldn't serialize
+        with device stepping."""
         from dots_ocr_tpu.engine.tokenizer import IncrementalDetokenizer
 
-        t_sub = time.perf_counter()
-        prepared = prepare_request(
-            self.tokenizer,
-            self.config,
-            prompt,
-            images,
-            system_prompt=system_prompt,
-            min_pixels=min_pixels,
-            max_pixels=max_pixels,
-            vision_bucket_step=self.sched.vision_bucket_step,
-        )
-        self.metrics["t_submit_s"] += time.perf_counter() - t_sub
+        if prepared is None:
+            t_sub = time.perf_counter()
+            prepared = self.prepare(
+                prompt,
+                images,
+                system_prompt=system_prompt,
+                min_pixels=min_pixels,
+                max_pixels=max_pixels,
+            )
+            self.metrics["t_submit_s"] += time.perf_counter() - t_sub
         stop = [s for s in (stop or []) if s]
         req = ScheduledRequest(
             req_id=self._next_id,
@@ -828,6 +832,27 @@ class ContinuousBatchingEngine:
             return req.req_id
         self._waiting.append(req)
         return req.req_id
+
+    def prepare(
+        self,
+        prompt: str,
+        images: Sequence = (),
+        system_prompt: Optional[str] = None,
+        min_pixels: Optional[int] = None,
+        max_pixels: Optional[int] = None,
+    ):
+        """Tokenize + preprocess a request OFF the engine thread (pure host
+        work, thread-safe). Pass the result to ``submit(prepared=...)``."""
+        return prepare_request(
+            self.tokenizer,
+            self.config,
+            prompt,
+            images,
+            system_prompt=system_prompt,
+            min_pixels=min_pixels,
+            max_pixels=max_pixels,
+            vision_bucket_step=self.sched.vision_bucket_step,
+        )
 
     # -- stop strings / streaming ------------------------------------------
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import logging
 import queue
 import threading
-from concurrent.futures import Future
+from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Dict, Optional, Sequence
 
@@ -38,31 +38,70 @@ class Submission:
     # (text_delta, finish_reason|None); the HTTP layer must trampoline into
     # its own event loop (e.g. loop.call_soon_threadsafe).
     stream_cb: Optional[object] = None
+    # Filled by the preprocessing pool before the engine thread sees the
+    # submission (tokenization + image patching off the stepping thread).
+    prepared: Optional[object] = None
+    # Set by cancel() — checked before the engine ever sees the submission
+    # (a streaming client can disconnect while preprocessing is in flight).
+    cancelled: bool = False
 
 
 class EngineWorker:
     """Engine thread around a ContinuousBatchingEngine."""
 
-    def __init__(self, engine):
+    def __init__(self, engine, prep_workers: int = 1):
         self.engine = engine
         self._queue: "queue.Queue[Submission]" = queue.Queue()
         self._cancels: "queue.Queue[Submission]" = queue.Queue()
         self._futures: Dict[int, Submission] = {}
         self._stop = threading.Event()
+        # Tokenization + image preprocessing run off the ENGINE thread so a
+        # ~140 ms/page patcher never stalls device stepping (decode p99
+        # during admission bursts). ONE worker by default: measured A/B
+        # showed concurrent preps contend (allocator/bandwidth — 8 pages:
+        # 3.4 s on 4 threads vs 1.1 s serial), so parallel prep loses;
+        # off-thread serial prep keeps the overlap without the contention.
+        self._prep_pool = (
+            ThreadPoolExecutor(
+                max_workers=prep_workers, thread_name_prefix="prep"
+            )
+            if prep_workers > 0 and hasattr(engine, "prepare")
+            else None
+        )
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def submit(self, submission: Submission) -> Future:
-        self._queue.put(submission)
+        if self._prep_pool is not None and submission.prepared is None:
+            self._prep_pool.submit(self._prep_and_enqueue, submission)
+        else:
+            self._queue.put(submission)
         return submission.future
+
+    def _prep_and_enqueue(self, sub: Submission) -> None:
+        try:
+            sub.prepared = self.engine.prepare(
+                sub.prompt,
+                sub.images,
+                system_prompt=sub.system_prompt,
+                min_pixels=sub.min_pixels,
+                max_pixels=sub.max_pixels,
+            )
+        except Exception as e:  # noqa: BLE001 - bad request (e.g. aspect)
+            self._fail(sub, e)
+            return
+        self._queue.put(sub)
 
     def cancel(self, submission: Submission) -> None:
         """Abort a submission (e.g. the streaming client disconnected). The
         engine thread frees its slot/pages on its next loop iteration."""
+        submission.cancelled = True
         self._cancels.put(submission)
 
     def shutdown(self):
         self._stop.set()
+        if self._prep_pool is not None:
+            self._prep_pool.shutdown(wait=False)
         self._thread.join(timeout=5)
 
     # ------------------------------------------------------------------
@@ -74,6 +113,13 @@ class EngineWorker:
             return
         while True:
             try:
+                if sub.cancelled:
+                    self._fail(sub, RuntimeError("cancelled"))
+                    try:
+                        sub = self._queue.get_nowait()
+                    except queue.Empty:
+                        return
+                    continue
                 rid = self.engine.submit(
                     sub.prompt,
                     images=sub.images,
@@ -86,6 +132,7 @@ class EngineWorker:
                     stop=list(sub.stop),
                     stop_token_ids=list(sub.stop_token_ids),
                     stream_cb=sub.stream_cb,
+                    prepared=sub.prepared,
                 )
                 self._futures[rid] = sub
                 # Requests rejected at submit time (e.g. prompt_too_long)

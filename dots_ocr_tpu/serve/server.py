@@ -21,6 +21,7 @@ from __future__ import annotations
 import asyncio
 import json
 import logging
+import os
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -523,6 +524,12 @@ def main(argv=None):
         )
 
     parser = argparse.ArgumentParser(description="dots_ocr_tpu OpenAI-compatible server")
+    parser.add_argument(
+        "--platform", type=str, default=os.environ.get("DOTS_OCR_PLATFORM"),
+        help="force a JAX platform (e.g. 'cpu' for a dev server on a host "
+        "whose site config force-registers a TPU plugin and overrides "
+        "JAX_PLATFORMS). Must be set before the first device use.",
+    )
     parser.add_argument("--weights", type=str, default=None, help="checkpoint dir")
     parser.add_argument("--host", type=str, default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
@@ -593,6 +600,11 @@ def main(argv=None):
         "--vision-attn windowed (e.g. '7,15,23,31'); empty = all windowed",
     )
     args = parser.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     if args.compile_cache:
         import jax

@@ -559,3 +559,22 @@ def test_static_table_width_gating():
         and not (sched.kv_cache_dtype == "int8" and sched.page_size % 128)
     )
     assert static
+
+
+def test_prepared_submit_equals_inline(cb_engine):
+    """submit(prepared=engine.prepare(...)) — the preprocessing-pool path
+    the server's EngineWorker uses — must produce identical output to the
+    inline submit, including with images."""
+    from PIL import Image
+
+    rng = np.random.RandomState(3)
+    img = Image.fromarray(rng.randint(0, 255, (64, 80, 3), np.uint8))
+    rid_a = cb_engine.submit("prep parity", images=[img],
+                             temperature=0.0, max_new_tokens=6)
+    cb_engine.run()
+    a = cb_engine.request_text(rid_a)
+    prepared = cb_engine.prepare("prep parity", [img])
+    rid_b = cb_engine.submit("prep parity", temperature=0.0,
+                             max_new_tokens=6, prepared=prepared)
+    cb_engine.run()
+    assert cb_engine.request_text(rid_b) == a

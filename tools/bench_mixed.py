@@ -48,6 +48,11 @@ def main():
     ap.add_argument("--kv-int8", action="store_true",
                     help="int8 paged KV cache (halves decode attention "
                     "bytes; int8 MXU dots in-kernel)")
+    ap.add_argument("--speculate-k", type=int, default=0,
+                    help="n-gram speculative decode depth (exact for this "
+                    "bench's greedy requests; zeros-weights output is "
+                    "maximally repetitive -> acceptance is near the "
+                    "ceiling, real pages sit lower)")
     args = ap.parse_args()
 
     import numpy as np
@@ -96,6 +101,7 @@ def main():
         prefill_chunk_tokens=args.chunk,
         repetition_min_repeats=0,
         kv_cache_dtype="int8" if args.kv_int8 else "bf16",
+        speculate_k=args.speculate_k,
     )
     eng = ContinuousBatchingEngine(
         params, config, sched=sched, default_max_new_tokens=args.max_new
@@ -134,6 +140,9 @@ def main():
     # The measured wave: all pages submitted at once. The clock starts
     # BEFORE the submits — host-side image preprocessing is part of the
     # page-parse cost (t_submit_s in the breakdown shows its share).
+    # NB: measured A/B — parallel prep on a thread pool is SLOWER here
+    # (3.4s on 4 threads vs 1.1s serial for 8 pages: GIL + allocator
+    # contention in the numpy-heavy patcher); serial submit it is.
     first_token_at = {}
     decode_with_prefill, decode_alone = [], []
     g0 = eng.metrics["generated_tokens"]
@@ -179,6 +188,8 @@ def main():
         "prefill_chunk_tokens": args.chunk,
         "windowed": bool(args.windowed),
         "kv_int8": bool(args.kv_int8),
+        "speculate_k": args.speculate_k,
+        "quant": bool(args.quant),
         "wall_s": round(wall, 2),
         "gen_tok_s": round(gen / wall, 1),
         "ttft_p50_s": round(pct(ttft, 50), 2),
