@@ -194,8 +194,7 @@ class InferenceEngine:
             )
             kwargs = dict(
                 patches=jnp.asarray(packed.patches),
-                rope_cos=jnp.asarray(packed.rope_cos),
-                rope_sin=jnp.asarray(packed.rope_sin),
+                pos2d=jnp.asarray(packed.pos2d),
                 segment_ids=jnp.asarray(packed.segment_ids),
                 scatter_batch=jnp.asarray(sb),
                 scatter_pos=jnp.asarray(sp_idx),

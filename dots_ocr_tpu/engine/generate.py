@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from dots_ocr_tpu.engine.sampling import sample_logits
 from dots_ocr_tpu.models.config import DotsOCRConfig
 from dots_ocr_tpu.models.decoder import KVCache
+from dots_ocr_tpu.models.rope import vision_rope_device
 from dots_ocr_tpu.models.vlm import vlm_decode_step, vlm_prefill
 
 
@@ -44,8 +45,7 @@ def generate(
     top_p: jnp.ndarray,
     max_new_tokens: int,
     patches: Optional[jnp.ndarray] = None,
-    rope_cos: Optional[jnp.ndarray] = None,
-    rope_sin: Optional[jnp.ndarray] = None,
+    pos2d: Optional[jnp.ndarray] = None,
     segment_ids: Optional[jnp.ndarray] = None,
     scatter_batch: Optional[jnp.ndarray] = None,
     scatter_pos: Optional[jnp.ndarray] = None,
@@ -67,6 +67,13 @@ def generate(
     batch, t_bucket = input_ids.shape
     eos = config.special.eos_token_id
     pad = config.special.pad_token_id
+    rope_cos = rope_sin = None
+    if pos2d is not None:
+        # 2D-RoPE tables computed on device from compact positions (the
+        # host upload is [T, 2] int32, not 2 x [T, head_dim] f32).
+        rope_cos, rope_sin = vision_rope_device(
+            pos2d, config.vision.head_dim, config.vision.rope_theta
+        )
     positions = jnp.broadcast_to(jnp.arange(t_bucket), (batch, t_bucket))
 
     logits, prefill_cache = vlm_prefill(

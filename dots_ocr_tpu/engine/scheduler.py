@@ -43,6 +43,7 @@ from dots_ocr_tpu.models.decoder import (
     embed_tokens,
     logits_from_hidden,
 )
+from dots_ocr_tpu.models.rope import vision_rope_device
 from dots_ocr_tpu.models.vlm import build_scatter_indices, vlm_embed, vlm_prefill
 
 logger = logging.getLogger(__name__)
@@ -69,8 +70,7 @@ def prefill_program(
     temperature,
     top_p,
     patches=None,
-    rope_cos=None,
-    rope_sin=None,
+    pos2d=None,
     segment_ids=None,
     scatter_batch=None,
     scatter_pos=None,
@@ -78,8 +78,17 @@ def prefill_program(
     attn_impl: str = "xla",
     nucleus: bool = False,
 ):
-    """Prefill one (bucketed) request batch into the paged cache."""
+    """Prefill one (bucketed) request batch into the paged cache.
+
+    ``pos2d``: [T_vis, 2] int32 vision patch positions — the 2D-RoPE
+    cos/sin tables are computed ON DEVICE (64x less upload than shipping
+    the f32 tables; see rope.vision_rope_device)."""
     b, t = input_ids.shape
+    rope_cos = rope_sin = None
+    if pos2d is not None:
+        rope_cos, rope_sin = vision_rope_device(
+            pos2d, config.vision.head_dim, config.vision.rope_theta
+        )
     positions = jnp.broadcast_to(jnp.arange(t), (b, t))
     logits, cache = vlm_prefill(
         params,
@@ -108,8 +117,7 @@ def embed_program(
     config: DotsOCRConfig,
     input_ids,
     patches=None,
-    rope_cos=None,
-    rope_sin=None,
+    pos2d=None,
     segment_ids=None,
     scatter_batch=None,
     scatter_pos=None,
@@ -124,7 +132,14 @@ def embed_program(
     prefill_chunk_tokens so every chunk slice is exact). Batching the
     admission runs the encoder ONCE for every long request queued together
     — the wave scenario's prefill bottleneck. Returns [B, T, D].
+    2D-RoPE tables are computed on device from ``pos2d`` (see
+    prefill_program).
     """
+    rope_cos = rope_sin = None
+    if pos2d is not None:
+        rope_cos, rope_sin = vision_rope_device(
+            pos2d, config.vision.head_dim, config.vision.rope_theta
+        )
     return vlm_embed(
         params,
         config,
@@ -1124,8 +1139,7 @@ class ContinuousBatchingEngine:
             )
             kwargs = dict(
                 patches=self._put(merged.patches),
-                rope_cos=self._put(merged.rope_cos),
-                rope_sin=self._put(merged.rope_sin),
+                pos2d=self._put(merged.pos2d),
                 segment_ids=self._put(merged.segment_ids),
                 scatter_batch=self._put(sb),
                 scatter_pos=self._put(sp),
@@ -1285,8 +1299,7 @@ class ContinuousBatchingEngine:
             )
             kwargs = dict(
                 patches=self._put(merged.patches),
-                rope_cos=self._put(merged.rope_cos),
-                rope_sin=self._put(merged.rope_sin),
+                pos2d=self._put(merged.pos2d),
                 segment_ids=self._put(merged.segment_ids),
                 scatter_batch=self._put(sb),
                 scatter_pos=self._put(sp),

@@ -18,7 +18,7 @@ import numpy as np
 from PIL import Image
 
 from dots_ocr_tpu.models.config import VisionConfig
-from dots_ocr_tpu.models.rope import vision_grid_positions, vision_rope_table
+from dots_ocr_tpu.models.rope import vision_grid_positions
 
 # Normalization constants live on VisionConfig (image_mean/image_std) and
 # are applied ON DEVICE (vision_forward); the host ships raw uint8 patches.
@@ -26,18 +26,44 @@ from dots_ocr_tpu.models.rope import vision_grid_positions, vision_rope_table
 
 @dataclass
 class PackedVisionInput:
-    """Device-ready packed vision batch."""
+    """Device-ready packed vision batch.
+
+    2D-RoPE travels as the compact [T_pad, 2] int32 position pairs —
+    the serving path computes cos/sin ON DEVICE (rope.vision_rope_device)
+    so admission uploads 0.1 MB of positions instead of 12.6 MB of f32
+    tables per 12k-patch page. ``rope_cos``/``rope_sin`` remain available
+    as lazily-computed HOST properties for non-serving consumers (tests,
+    parity harness, training)."""
 
     patches: np.ndarray        # [T_pad, patch_dim] uint8 (normalized on device)
-    rope_cos: np.ndarray       # [T_pad, head_dim] float32
-    rope_sin: np.ndarray       # [T_pad, head_dim] float32
+    pos2d: np.ndarray          # [T_pad, 2] int32 (row, col); padding = (0, 0)
     segment_ids: np.ndarray    # [T_pad] int32, image index, -1 = padding
     grids: List[Tuple[int, int]]  # per-image (grid_h, grid_w) in raw patches
     num_tokens: int            # valid (unpadded) raw patch count
     num_merged: int            # valid merged tokens = num_tokens / merge^2
+    # RoPE geometry captured at pack time (for the host-side properties).
+    head_dim: int = 0
+    rope_theta: float = 10000.0
     # Window ids for windowed-attention layers (window-major packing);
     # None when the config runs full attention everywhere.
     window_ids: "np.ndarray | None" = None
+
+    @property
+    def rope_cos(self) -> np.ndarray:
+        return self._rope_tables()[0]
+
+    @property
+    def rope_sin(self) -> np.ndarray:
+        return self._rope_tables()[1]
+
+    def _rope_tables(self):
+        cached = getattr(self, "_rope_cache", None)
+        if cached is None:
+            from dots_ocr_tpu.models.rope import vision_rope_table
+
+            cached = vision_rope_table(self.pos2d, self.head_dim, self.rope_theta)
+            object.__setattr__(self, "_rope_cache", cached)
+        return cached
 
     def merged_valid_mask(self, merge: int = 4) -> np.ndarray:
         """Bool [T_pad / merge]: which merged rows are real tokens (merge
@@ -113,53 +139,58 @@ def merge_packed(
     matches the row-major imgpad scatter order of a batched prompt — and
     segment ids are offset so images never alias across requests.
     """
-    parts_p, parts_c, parts_s, parts_seg, parts_win = [], [], [], [], []
-    grids = []
-    seg_offset = 0
-    win_offset = 0
-    for packed in packed_list:
-        n = packed.num_tokens
-        parts_p.append(packed.patches[:n])
-        parts_c.append(packed.rope_cos[:n])
-        parts_s.append(packed.rope_sin[:n])
-        seg = packed.segment_ids[:n]
-        # preserve -1 (window padding inside the emitted region)
-        parts_seg.append(np.where(seg >= 0, seg + seg_offset, -1).astype(np.int32))
-        seg_offset += len(packed.grids)
-        if packed.window_ids is not None:
-            win = packed.window_ids[:n]
-            parts_win.append(win + win_offset)
-            win_offset += int(win.max()) + 1 if n else 0
-        grids.extend(packed.grids)
-
-    patches = np.concatenate(parts_p, axis=0) if parts_p else np.zeros((0, cfg.patch_dim), np.uint8)
-    total = patches.shape[0]
+    # Single-pass assembly straight into the padded outputs: the patch
+    # payload is tens of MB per admission group, and on slow-memcpy hosts
+    # (single-core VMs) an intermediate np.concatenate + full-array
+    # np.full doubles-to-triples the admission's host wall. Allocate once
+    # (np.empty), place each request's valid region, zero only the tail.
+    total = sum(p.num_tokens for p in packed_list)
     merge = cfg.spatial_merge_size**2
     padded = token_bucket(total, bucket_step=bucket_step)
     if cfg.window_size > 0:
         wtok = cfg.window_size**2
         padded = -(-padded // wtok) * wtok
 
-    def pad(a, fill, feature_shape):
-        out = np.full((padded,) + feature_shape, fill, a.dtype if len(a) else np.float32)
-        if len(a):
-            out[:total] = a
-        return out
+    patches = np.empty((padded, cfg.patch_dim), np.uint8)
+    pos2d = np.empty((padded, 2), np.int32)
+    segment_ids = np.empty((padded,), np.int32)
+    windowed = cfg.window_size > 0 and any(
+        p.window_ids is not None for p in packed_list
+    )
+    window_ids = np.empty((padded,), np.int32) if windowed else None
 
-    window_ids = None
-    if cfg.window_size > 0 and parts_win:
-        window_ids = pad(
-            np.concatenate(parts_win, axis=0).astype(np.int32), -1, ()
-        )
+    grids = []
+    off = seg_offset = win_offset = 0
+    for packed in packed_list:
+        n = packed.num_tokens
+        patches[off : off + n] = packed.patches[:n]
+        pos2d[off : off + n] = packed.pos2d[:n]
+        seg = packed.segment_ids[:n]
+        # preserve -1 (window padding inside the emitted region)
+        segment_ids[off : off + n] = np.where(seg >= 0, seg + seg_offset, -1)
+        seg_offset += len(packed.grids)
+        if windowed:
+            win = packed.window_ids[:n]
+            window_ids[off : off + n] = win + win_offset
+            win_offset += int(win.max()) + 1 if n else 0
+        grids.extend(packed.grids)
+        off += n
+
+    patches[total:] = 0
+    pos2d[total:] = 0
+    segment_ids[total:] = -1
+    if windowed:
+        window_ids[total:] = -1
     num_valid_merged = sum((gh * gw) // merge for gh, gw in grids)
     return PackedVisionInput(
-        patches=pad(patches, 0.0, (cfg.patch_dim,)),
-        rope_cos=pad(np.concatenate(parts_c, axis=0) if parts_c else np.ones((0, cfg.head_dim), np.float32), 1.0, (cfg.head_dim,)),
-        rope_sin=pad(np.concatenate(parts_s, axis=0) if parts_s else np.zeros((0, cfg.head_dim), np.float32), 0.0, (cfg.head_dim,)),
-        segment_ids=pad(np.concatenate(parts_seg, axis=0).astype(np.int32) if parts_seg else np.zeros((0,), np.int32), -1, ()),
+        patches=patches,
+        pos2d=pos2d,
+        segment_ids=segment_ids,
         grids=grids,
         num_tokens=total,
         num_merged=num_valid_merged,
+        head_dim=cfg.head_dim,
+        rope_theta=cfg.rope_theta,
         window_ids=window_ids,
     )
 
@@ -171,8 +202,7 @@ def pack_images(
 ) -> PackedVisionInput:
     """Pack N smart-resized images into one padded token axis."""
     all_patches = []
-    all_cos = []
-    all_sin = []
+    all_pos = []
     all_seg = []
     all_win = []
     grids = []
@@ -184,20 +214,15 @@ def pack_images(
             gh, gw, merge=cfg.spatial_merge_size, window=cfg.window_size,
             pad_windows=cfg.window_size > 0,
         )
-        cos, sin = vision_rope_table(pos2d, cfg.head_dim, cfg.rope_theta)
         all_patches.append(patches)
-        all_cos.append(cos)
-        all_sin.append(sin)
+        all_pos.append(pos2d)
         all_seg.append(np.where(valid, idx, -1).astype(np.int32))
         all_win.append(window_ids + window_offset)
         window_offset += int(window_ids.max()) + 1 if len(window_ids) else 0
         grids.append((gh, gw))
         num_valid_merged += (gh * gw) // cfg.spatial_merge_size**2
 
-    patches = np.concatenate(all_patches, axis=0) if all_patches else np.zeros(
-        (0, cfg.patch_dim), np.uint8
-    )
-    total = patches.shape[0]
+    total = sum(len(p) for p in all_patches)
     merge = cfg.spatial_merge_size**2
     assert total % merge == 0
     padded = token_bucket(total, bucket_step=bucket_step)
@@ -207,25 +232,35 @@ def pack_images(
         wtok = cfg.window_size**2
         padded = -(-padded // wtok) * wtok
 
-    def pad(a: np.ndarray, fill=0.0) -> np.ndarray:
-        out_shape = (padded,) + a.shape[1:]
-        out = np.full(out_shape, fill, a.dtype)
-        out[:total] = a
-        return out
-
-    window_ids = None
-    if cfg.window_size > 0:
-        window_ids = pad(
-            np.concatenate(all_win, axis=0) if all_win else np.zeros((0,), np.int32),
-            fill=-1,
-        )
+    # Direct placement into the padded outputs (np.empty + tail fill) —
+    # see merge_packed for why the concat-then-pad shape costs real wall
+    # on slow-memcpy hosts.
+    patches = np.empty((padded, cfg.patch_dim), np.uint8)
+    pos2d = np.empty((padded, 2), np.int32)
+    segment_ids = np.empty((padded,), np.int32)
+    window_ids = np.empty((padded,), np.int32) if cfg.window_size > 0 else None
+    off = 0
+    for i, part in enumerate(all_patches):
+        n = len(part)
+        patches[off : off + n] = part
+        pos2d[off : off + n] = all_pos[i]
+        segment_ids[off : off + n] = all_seg[i]
+        if window_ids is not None:
+            window_ids[off : off + n] = all_win[i]
+        off += n
+    patches[total:] = 0
+    pos2d[total:] = 0
+    segment_ids[total:] = -1
+    if window_ids is not None:
+        window_ids[total:] = -1
     return PackedVisionInput(
-        patches=pad(patches),
-        rope_cos=pad(np.concatenate(all_cos, axis=0) if all_cos else np.ones((0, cfg.head_dim), np.float32), fill=1.0),
-        rope_sin=pad(np.concatenate(all_sin, axis=0) if all_sin else np.zeros((0, cfg.head_dim), np.float32), fill=0.0),
-        segment_ids=pad(np.concatenate(all_seg, axis=0) if all_seg else np.zeros((0,), np.int32), fill=-1),
+        patches=patches,
+        pos2d=pos2d,
+        segment_ids=segment_ids,
         grids=grids,
         num_tokens=total,
         num_merged=num_valid_merged,
+        head_dim=cfg.head_dim,
+        rope_theta=cfg.rope_theta,
         window_ids=window_ids,
     )

@@ -171,6 +171,27 @@ def vision_rope_table(
     return np.cos(angles), np.sin(angles)
 
 
+def vision_rope_device(
+    pos2d: jnp.ndarray, head_dim: int, theta: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device-side :func:`vision_rope_table` (trace inside jit).
+
+    The host used to upload the [T, head_dim] f32 cos/sin tables with every
+    vision prefill — 2 x 64 x more bytes than the [T, 2] int32 positions
+    they derive from (12.6 MB vs 0.1 MB per 12k-patch page). Computing the
+    tables on device next to the encoder makes the upload payload the
+    patches alone; the sin/cos VPU work is ~T*head_dim flops, noise.
+    """
+    inv_freq = jnp.asarray(rope_freqs(head_dim // 2, theta))  # [hd/4]
+    rows = pos2d[:, 0].astype(jnp.float32)
+    cols = pos2d[:, 1].astype(jnp.float32)
+    angles = jnp.concatenate(
+        [rows[:, None] * inv_freq, cols[:, None] * inv_freq], axis=-1
+    )  # [T, hd/2]
+    angles = jnp.concatenate([angles, angles], axis=-1)  # [T, hd]
+    return jnp.cos(angles), jnp.sin(angles)
+
+
 @partial(jax.jit, static_argnames=("head_dim", "theta"))
 def decoder_rope_table(positions: jnp.ndarray, head_dim: int, theta: float):
     return rope_table(positions, head_dim, theta)
