@@ -1608,6 +1608,14 @@ class ContinuousBatchingEngine:
                     self.metrics["spec_chunks"] = (
                         self.metrics.get("spec_chunks", 0) + 1
                     )
+                    # Acceptance observability: tokens emitted per verify
+                    # slot-iteration vs the (spec_k + 1) ceiling. Exposed
+                    # on /metrics as spec_emitted / spec_slot_iters —
+                    # acceptance = emitted / (iters * (k+1)).
+                    self.metrics["spec_slot_iters"] = (
+                        self.metrics.get("spec_slot_iters", 0)
+                        + chunk * len(active)
+                    )
                 else:
                     packed, carry, self.paged = decode_program(
                         self.params,
@@ -1630,6 +1638,10 @@ class ContinuousBatchingEngine:
                 dev["tokens"], dev["positions"], dev["rng"] = carry
                 packed = np.asarray(packed)  # the chunk's single fetch
                 tokens_out, num_decoded = packed[:, :-1], packed[:, -1]
+                if use_spec:
+                    self.metrics["spec_emitted"] = self.metrics.get(
+                        "spec_emitted", 0
+                    ) + int(num_decoded.sum())
                 self.metrics["steps"] += 1
                 for i in active:
                     req = self._slot_req[i]
