@@ -1237,7 +1237,12 @@ class ContinuousBatchingEngine:
             kv_hi=kv_hi,
             q_offset=start,
             attn_impl=self.prefill_impl,
-            nucleus=bool(any(r.top_p < 1.0 for _, r in group)),
+            # ALWAYS the nucleus sampler: prefill samples one token per
+            # request, so the top-k cost is noise — while a nucleus STATIC
+            # here would mean the first top_p<1 vision request compiles a
+            # whole fresh prefill program mid-serving (measured: ~100 s
+            # through a remote-compile tunnel on the SVG scenario).
+            nucleus=True,
         )
         self.metrics["prefill_chunks"] += 1
         first_host = None
@@ -1318,7 +1323,7 @@ class ContinuousBatchingEngine:
             self._put(temps),
             self._put(tps),
             attn_impl=self.prefill_impl,
-            nucleus=bool(any(r.top_p < 1.0 for r in reqs)),
+            nucleus=True,  # see _run_prefill_chunk — never a static trap
             **kwargs,
         )
         first = np.asarray(first)
