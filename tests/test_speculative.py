@@ -175,3 +175,18 @@ def test_multiquery_int8_matches_reference():
         q, qk, qv, lengths, tables, k_scales=sk, v_scales=sv, interpret=True),
         np.float32)
     np.testing.assert_allclose(out, ref, rtol=3e-2, atol=3e-2)
+
+
+def test_spec_with_preemption(setup):
+    """Speculation + page-pool pressure: preemption clears device carry
+    (including the spec history buffer); output must match the unpressured
+    engine exactly at temperature 0."""
+    want = build(setup, spec_k=3).generate_batch(
+        ["preempt alpha doc", "preempt beta doc", "preempt gamma"],
+        temperature=0.0, max_new_tokens=32)
+    eng = build(setup, spec_k=3, num_pages=20)  # tight pool forces preemption
+    got = eng.generate_batch(
+        ["preempt alpha doc", "preempt beta doc", "preempt gamma"],
+        temperature=0.0, max_new_tokens=32)
+    assert got == want
+    assert eng.metrics["preemptions"] >= 1  # the pressure actually bit
