@@ -68,7 +68,7 @@ def main():
 
         params = quantize_decoder_params(params)
 
-    ps = 64
+    ps = 128  # measured end-to-end sweet spot (see PERF.md); server default
     vis_big = (args.side // 28 + 1) ** 2
     seq_cap = vis_big + 512 + 1024  # covers the SVG decode budget
     pps = -(-seq_cap // ps) + 1
