@@ -99,3 +99,20 @@ def test_tp4_replicates_indivisible_kv_heads(setup):
     a = base.generate_one("four way", temperature=0.0, max_new_tokens=6)
     b = eng.generate_one("four way", temperature=0.0, max_new_tokens=6)
     assert a == b
+
+
+def test_tp2_speculative_decode_matches_single_device(setup):
+    """n-gram speculation under a model-axis mesh: the multi-query verify
+    step + draft K/V scatters must be GSPMD-shardable and token-identical
+    to the unsharded spec engine AND to the non-spec engine (greedy)."""
+    base = build(setup)
+    plain = base.generate_batch(
+        ["spec tp alpha", "spec tp beta"], temperature=0.0, max_new_tokens=12
+    )
+    mesh = make_mesh(data=1, model=2)
+    eng = build(setup, mesh=mesh, speculate_k=3)
+    got = eng.generate_batch(
+        ["spec tp alpha", "spec tp beta"], temperature=0.0, max_new_tokens=12
+    )
+    assert got == plain
+    assert eng.metrics.get("spec_chunks", 0) >= 1
