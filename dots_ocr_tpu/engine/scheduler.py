@@ -587,6 +587,15 @@ class SchedulerConfig:
     # live row has top_p >= 1 (the layout/OCR default) and no stop
     # strings / stream callbacks need per-token host checks. 0 = off.
     speculate_k: int = 0
+    # Adaptive speculation cut-off: a verify iteration costs ~1.6x a plain
+    # decode iteration (measured 19.7 vs 12.0 ms at 64 slots), so spec only
+    # pays while it emits more than ~1.6 tokens per slot-iteration. The
+    # engine tracks an EWMA of emitted tokens/slot-iteration over spec
+    # chunks and disables speculation for the rest of the current load when
+    # the EWMA sits below this for 3 consecutive chunks (re-enabled when
+    # the engine drains idle — the next workload gets a fresh probe).
+    # <= 0 disables the auto-cutoff.
+    spec_min_tokens_per_iter: float = 1.5
     # "bf16" or "int8". int8 halves cache HBM — the capacity lever for the
     # full workload envelope (14.4k-vision + 24k-decode sequences at high
     # slot counts exceed HBM in bf16). At SHORT contexts the per-page
@@ -762,6 +771,12 @@ class ContinuousBatchingEngine:
         # device). Any event sets this to None and the next chunk rebuilds
         # from host state.
         self._dev: Optional[dict] = None
+        # Adaptive speculation state (see SchedulerConfig.
+        # spec_min_tokens_per_iter): EWMA of emitted tokens per verify
+        # slot-iteration, consecutive below-threshold chunks, and the gate.
+        self._spec_ewma: Optional[float] = None
+        self._spec_low_streak = 0
+        self._spec_enabled = True
         self.metrics = {
             "steps": 0,
             "prefills": 0,
@@ -1467,8 +1482,10 @@ class ContinuousBatchingEngine:
             # (exact acceptance math; the layout/OCR default) — greedy rows
             # stay exactly greedy, sampled rows are distribution-preserving.
             spec_k = self.sched.speculate_k
-            use_spec = spec_k > 0 and all(
-                self._slot_req[i].top_p >= 1.0 for i in active
+            use_spec = (
+                spec_k > 0
+                and self._spec_enabled
+                and all(self._slot_req[i].top_p >= 1.0 for i in active)
             )
             tokens_per_iter = (spec_k + 1) if use_spec else 1
             # Deep chunks are counted in ITERATIONS; with speculation each
@@ -1489,7 +1506,9 @@ class ContinuousBatchingEngine:
                     for r in self._slot_req
                 )
                 if (
-                    remaining >= deep
+                    # remaining is in TOKENS; a deep chunk can emit up to
+                    # deep * tokens_per_iter of them.
+                    remaining >= deep * tokens_per_iter
                     and not self._waiting
                     and not prefilling  # don't starve an in-flight prefill
                     and not any(
@@ -1644,9 +1663,33 @@ class ContinuousBatchingEngine:
                 packed = np.asarray(packed)  # the chunk's single fetch
                 tokens_out, num_decoded = packed[:, :-1], packed[:, -1]
                 if use_spec:
-                    self.metrics["spec_emitted"] = self.metrics.get(
-                        "spec_emitted", 0
-                    ) + int(num_decoded.sum())
+                    emitted = int(num_decoded.sum())
+                    self.metrics["spec_emitted"] = (
+                        self.metrics.get("spec_emitted", 0) + emitted
+                    )
+                    floor = self.sched.spec_min_tokens_per_iter
+                    if floor > 0:
+                        per_iter = emitted / max(1, chunk * len(active))
+                        self._spec_ewma = (
+                            per_iter if self._spec_ewma is None
+                            else 0.7 * self._spec_ewma + 0.3 * per_iter
+                        )
+                        if self._spec_ewma < floor:
+                            self._spec_low_streak += 1
+                            if self._spec_low_streak >= 3:
+                                self._spec_enabled = False
+                                self.metrics["spec_auto_disabled"] = (
+                                    self.metrics.get("spec_auto_disabled", 0)
+                                    + 1
+                                )
+                                logger.info(
+                                    "speculation auto-disabled: %.2f tokens/"
+                                    "slot-iter below the %.2f break-even "
+                                    "(re-probes when the engine drains)",
+                                    self._spec_ewma, floor,
+                                )
+                        else:
+                            self._spec_low_streak = 0
                 self.metrics["steps"] += 1
                 for i in active:
                     req = self._slot_req[i]
@@ -1666,6 +1709,13 @@ class ContinuousBatchingEngine:
                         self._update_text(i)  # may finish on stop string
                         self._maybe_finish(i)
             self.metrics["t_decode_s"] += time.perf_counter() - t2
+
+        if not self._spec_enabled and not self.has_work():
+            # Drained idle: the workload that measured below break-even is
+            # gone; give the next one a fresh speculation probe.
+            self._spec_enabled = True
+            self._spec_ewma = None
+            self._spec_low_streak = 0
 
         return [self._finished[rid] for rid in set(self._finished) - before]
 

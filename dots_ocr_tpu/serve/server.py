@@ -586,6 +586,14 @@ def main(argv=None):
         "top_p>=1 requests, auto-disabled per chunk otherwise); 0 = off",
     )
     parser.add_argument(
+        "--spec-min-tokens-per-iter", type=float, default=1.5,
+        help="adaptive speculation cut-off: disable speculation for the "
+        "current load when the measured emitted-tokens-per-verify-iteration "
+        "EWMA stays below this break-even (a verify iteration costs ~1.6x "
+        "a plain one); re-probes when the engine drains. <= 0 disables "
+        "the cut-off",
+    )
+    parser.add_argument(
         "--vision-attn", choices=["config", "full", "windowed"],
         default="config",
         help="vision-encoder attention policy: 'config' honors the "
@@ -695,6 +703,7 @@ def main(argv=None):
                 kv_cache_dtype=args.kv_cache_dtype,
                 prefill_chunk_tokens=args.prefill_chunk_tokens,
                 speculate_k=args.speculate_k,
+                spec_min_tokens_per_iter=args.spec_min_tokens_per_iter,
             ),
         )
     else:

@@ -190,3 +190,31 @@ def test_spec_with_preemption(setup):
         temperature=0.0, max_new_tokens=32)
     assert got == want
     assert eng.metrics["preemptions"] >= 1  # the pressure actually bit
+
+
+def test_spec_auto_disable_and_reprobe(setup):
+    """With the break-even floor set impossibly high, speculation must
+    auto-disable after 3 spec chunks (output still exact) and re-probe
+    after the engine drains idle."""
+    want = build(setup).generate_one("auto disable probe", temperature=0.0,
+                                     max_new_tokens=40)
+    eng = build(setup, spec_k=3, spec_min_tokens_per_iter=100.0)
+    got = eng.generate_one("auto disable probe", temperature=0.0,
+                           max_new_tokens=40)
+    assert got == want
+    assert eng.metrics.get("spec_auto_disabled", 0) == 1
+    assert not eng._spec_enabled or not eng.has_work()
+    # generate_one drains the engine -> the gate re-probes.
+    assert eng._spec_enabled
+    before = eng.metrics.get("spec_chunks", 0)
+    eng.generate_one("fresh probe", temperature=0.0, max_new_tokens=8)
+    assert eng.metrics.get("spec_chunks", 0) > before
+
+
+def test_spec_stays_enabled_at_high_acceptance(setup):
+    """Period-1 greedy loops accept every draft: the default floor must
+    never disable speculation there."""
+    eng = build(setup, spec_k=3)
+    eng.generate_one("high acceptance", temperature=0.0, max_new_tokens=48)
+    assert eng.metrics.get("spec_auto_disabled", 0) == 0
+    assert eng._spec_enabled
