@@ -699,8 +699,30 @@ class ContinuousBatchingEngine:
         self.default_max_new_tokens = default_max_new_tokens
         if attn_impl == "auto":
             on_tpu = jax.default_backend() == "tpu"
-            self.prefill_impl = "flash" if on_tpu else "xla"
-            self.decode_impl = "paged" if on_tpu else "reference"
+            model_parallel = (
+                mesh is not None
+                and "model" in getattr(mesh, "shape", {})
+                and mesh.shape["model"] > 1
+            )
+            if on_tpu and model_parallel:
+                # Pallas kernels under GSPMD with KV-head-sharded operands
+                # have no partitioning rule registered here: lowering may
+                # fail or silently all-gather the whole paged cache per
+                # chunk. Until the kernels are shard_map-wrapped and
+                # validated on real multi-chip hardware (single-chip-only
+                # dev environment), TP>1 serving defaults to the pure-XLA
+                # paths, which GSPMD partitions correctly. Pass attn_impl
+                # explicitly to experiment with the kernels under a mesh.
+                logger.warning(
+                    "TP>1 mesh on TPU: using XLA attention paths (Pallas "
+                    "kernels are not yet shard_map-validated on hardware); "
+                    "pass attn_impl='flash' to override"
+                )
+                self.prefill_impl = "xla"
+                self.decode_impl = "reference"
+            else:
+                self.prefill_impl = "flash" if on_tpu else "xla"
+                self.decode_impl = "paged" if on_tpu else "reference"
         else:
             self.prefill_impl = attn_impl
             self.decode_impl = {
@@ -860,6 +882,33 @@ class ContinuousBatchingEngine:
             if req.stream_cb is not None:
                 req.stream_cb("", "prompt_too_long")
             return req.req_id
+        # Clamp the token budget to the per-sequence table capacity (one
+        # slack slot for the decode write-ahead): otherwise a long decode
+        # marches into its per-seq page cap mid-chunk, where the reservation
+        # OutOfPages is indistinguishable from pool pressure — the old
+        # behavior preempted unrelated requests and then livelocked
+        # re-prefilling the victim (vLLM's max-model-len clamp role).
+        cap_tokens = self.sched.max_pages_per_seq * self.sched.page_size - 1
+        budget = cap_tokens - len(req.prompt_ids)
+        if budget < 1:  # room for the prompt but not one generated token
+            req.state = FINISHED
+            req.finished_reason = "prompt_too_long"
+            logger.error(
+                "request %d rejected: prompt %d tokens leaves no generation "
+                "budget within the %d-token per-sequence capacity",
+                req.req_id, len(req.prompt_ids), cap_tokens,
+            )
+            self._finished[req.req_id] = req
+            if req.stream_cb is not None:
+                req.stream_cb("", "prompt_too_long")
+            return req.req_id
+        if req.max_new_tokens > budget:
+            logger.info(
+                "request %d: max_new_tokens %d clamped to %d (per-sequence "
+                "capacity %d tokens, prompt %d)", req.req_id,
+                req.max_new_tokens, budget, cap_tokens, len(req.prompt_ids),
+            )
+            req.max_new_tokens = budget
         self._waiting.append(req)
         return req.req_id
 
@@ -886,6 +935,38 @@ class ContinuousBatchingEngine:
 
     # -- stop strings / streaming ------------------------------------------
 
+    def _detok_limit(self, req: ScheduledRequest) -> int:
+        """Client-visible token count: a trailing EOS / stop-token id is
+        excluded (OpenAI semantics — matches the no-detok request_text
+        path, which strips it; streaming requests must not leak it)."""
+        total = len(req.prior_output) + len(req.output_ids)
+        if req.output_ids:
+            last = req.output_ids[-1]
+            if (
+                last == self.config.special.eos_token_id
+                or last in req.stop_token_ids
+            ):
+                return total - 1
+        return total
+
+    def _push_detok(self, req: ScheduledRequest) -> str:
+        """Advance the detokenizer to the client-visible limit WITHOUT
+        rebuilding prior_output + output_ids (that concatenation made
+        host-side accounting quadratic in output length)."""
+        upto = self._detok_limit(req)
+        if upto <= req.detok_count:
+            return ""
+        plen = len(req.prior_output)
+        if req.detok_count >= plen:
+            chunk = req.output_ids[req.detok_count - plen : upto - plen]
+        else:  # only right after a preemption replay
+            chunk = (
+                req.prior_output[req.detok_count :]
+                + req.output_ids[: max(0, upto - plen)]
+            )
+        req.detok_count = upto
+        return req.detok.push(chunk)
+
     def _update_text(self, slot: int) -> None:
         """Feed new tokens to the request's detokenizer, check stop strings
         (truncating + finishing on a match), and emit stream deltas.
@@ -896,9 +977,7 @@ class ContinuousBatchingEngine:
         req = self._slot_req[slot]
         if req is None or req.detok is None:
             return
-        total = req.prior_output + req.output_ids
-        new = req.detok.push(total[req.detok_count :])
-        req.detok_count = len(total)
+        new = self._push_detok(req)
         if new:
             req.text += new
             if req.stop:
@@ -1395,10 +1474,9 @@ class ContinuousBatchingEngine:
         req.finished_reason = reason
         req.embeds = None  # release chunked-prefill device memory, if any
         if req.detok is not None and req.final_text is None:
-            # Consume any tokens not yet detokenized + flush pending bytes.
-            total = req.prior_output + req.output_ids
-            req.text += req.detok.push(total[req.detok_count :])
-            req.detok_count = len(total)
+            # Consume any tokens not yet detokenized (trailing EOS / stop
+            # token excluded) + flush pending bytes.
+            req.text += self._push_detok(req)
             req.text += req.detok.flush()
             req.final_text = req.text
         if req.detok is not None:
@@ -1512,7 +1590,13 @@ class ContinuousBatchingEngine:
                     and not self._waiting
                     and not prefilling  # don't starve an in-flight prefill
                     and not any(
-                        r.stream_cb is not None or r.stop for r in live
+                        # Anything needing per-chunk host checks caps the
+                        # depth: streaming deltas, stop STRINGS, and stop
+                        # TOKEN ids (the device loop only early-exits on
+                        # the config EOS — a deep chunk would keep
+                        # decoding ~deep iterations past a fired stop id).
+                        r.stream_cb is not None or r.stop or r.stop_token_ids
+                        for r in live
                     )
                 ):
                     # Deep chunk: nothing needs a host sync for `deep`
@@ -1530,11 +1614,20 @@ class ContinuousBatchingEngine:
                 if req is None:  # preempted by an earlier iteration
                     continue
                 pos = int(self._lengths[i])  # write position of current token
+                # Reservation looks one chunk ahead; clamp it to the
+                # per-sequence capacity so the cap NEVER raises here (the
+                # submit-time budget clamp guarantees the request finishes
+                # at max_new_tokens before real writes pass the cap —
+                # chunk-tail overshoot tokens are discarded by the host).
+                # An OutOfPages below therefore always means POOL pressure,
+                # where preemption is the right answer.
+                target = min(
+                    pos + chunk * tokens_per_iter,
+                    self.sched.max_pages_per_seq * self.sched.page_size,
+                )
                 while True:
                     try:
-                        self.allocator.extend(
-                            req.req_id, pos + chunk * tokens_per_iter
-                        )
+                        self.allocator.extend(req.req_id, target)
                         break
                     except OutOfPages:
                         self._preempt_youngest()

@@ -355,3 +355,35 @@ def test_unsupported_params_rejected():
             await client.close()
 
     asyncio.run(run())
+
+
+def test_stop_token_text_parity_streaming_vs_plain(tiny_setup):
+    """A stop TOKEN's text must be excluded consistently: the detok/stream
+    path (stream_cb) and the plain request_text path must produce the same
+    final text, and no streamed delta may leak the stop token."""
+    eng = make_engine(tiny_setup)
+    eng.generate_one("parity stop probe", temperature=0.0, max_new_tokens=12)
+    toks = next(iter(eng._finished.values())).output_ids
+    assert len(toks) >= 3
+    stop_tok = toks[2]
+    stop_text = eng.tokenizer.decode([stop_tok], skip_special_tokens=True)
+
+    plain = make_engine(tiny_setup)
+    rid_a = plain.submit("parity stop probe", max_new_tokens=12,
+                         temperature=0.0, stop_token_ids=[stop_tok])
+    plain.run()
+    want = plain.request_text(rid_a)
+
+    streamed = make_engine(tiny_setup)
+    events = []
+    rid_b = streamed.submit(
+        "parity stop probe", max_new_tokens=12, temperature=0.0,
+        stop_token_ids=[stop_tok],
+        stream_cb=lambda delta, fin: events.append((delta, fin)),
+    )
+    streamed.run()
+    got = streamed.request_text(rid_b)
+    assert got == want
+    assert "".join(d for d, _ in events) == want
+    if stop_text:
+        assert not "".join(d for d, _ in events).endswith(stop_text)
