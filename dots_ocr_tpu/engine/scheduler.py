@@ -1865,6 +1865,23 @@ class ContinuousBatchingEngine:
         self.run()
         return [self.request_text(rid) for rid in ids]
 
+    def finished_request(self, req_id: int):
+        """The finished ScheduledRequest for req_id, or None (public
+        accessor — the serving layer must not reach into _finished)."""
+        return self._finished.get(req_id)
+
+    def take_finished(self, req_id: int) -> Optional[str]:
+        """Final text of a finished request, REMOVING it from the engine's
+        finished map. Long-lived callers (the serving worker) must use this
+        instead of request_text: every completed request's token lists and
+        text otherwise accumulate forever — an unbounded memory leak on a
+        production server. Returns None for unknown ids."""
+        if req_id not in self._finished:
+            return None
+        text = self.request_text(req_id)
+        del self._finished[req_id]
+        return text
+
     def request_text(self, req_id: int) -> str:
         """Final text of a finished request (stop-string truncation applied)."""
         req = self._finished[req_id]

@@ -276,7 +276,10 @@ def teds(pred_html: str, gt_html: str, structure_only: bool = False) -> float:
     if tree_size(t1) <= 1 and tree_size(t2) <= 1:
         return 1.0
     dist = tree_edit_distance(t1, t2, structure_only=structure_only)
-    return 1.0 - dist / max(tree_size(t1), tree_size(t2))
+    # Edit distance is bounded by |T1| + |T2|, not max(|T1|, |T2|): a
+    # structurally very different prediction can exceed max() and would
+    # push the similarity negative — clamp to honor the [0, 1] contract.
+    return max(0.0, 1.0 - dist / max(tree_size(t1), tree_size(t2)))
 
 
 # ---------------------------------------------------------------------------
@@ -433,10 +436,17 @@ def evaluate_layout_page(pred_cells, gt_cells):
     tables_p = [c for c in pred_cells if c.get("category") == "Table"]
     tables_g = [c for c in gt_cells if c.get("category") == "Table"]
     pairs = match_cells(tables_p, tables_g, 0.5, match_category=True)
-    teds_vals = [
-        teds(tables_p[pi].get("text") or "", tables_g[gi].get("text") or "")
-        for pi, gi, _ in pairs
-    ] + [0.0] * (len(tables_g) - len(pairs))
+    # Unmatched GT tables (missed) AND unmatched predicted tables
+    # (hallucinated) both score 0 — a model that fabricates tables must
+    # not tie with one that doesn't.
+    teds_vals = (
+        [
+            teds(tables_p[pi].get("text") or "", tables_g[gi].get("text") or "")
+            for pi, gi, _ in pairs
+        ]
+        + [0.0] * (len(tables_g) - len(pairs))
+        + [0.0] * (len(tables_p) - len(pairs))
+    )
     out["table_teds"] = float(np.mean(teds_vals)) if teds_vals else None
     return out
 

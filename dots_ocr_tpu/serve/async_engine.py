@@ -79,6 +79,9 @@ class EngineWorker:
         return submission.future
 
     def _prep_and_enqueue(self, sub: Submission) -> None:
+        if sub.cancelled:  # client gone while queued for preprocessing
+            self._fail(sub, RuntimeError("cancelled"))
+            return
         try:
             sub.prepared = self.engine.prepare(
                 sub.prompt,
@@ -137,7 +140,7 @@ class EngineWorker:
                 self._futures[rid] = sub
                 # Requests rejected at submit time (e.g. prompt_too_long)
                 # never pass through step(); resolve them immediately.
-                rejected = self.engine._finished.get(rid)
+                rejected = self.engine.finished_request(rid)
                 if rejected is not None:
                     self._resolve(rejected)
             except Exception as e:  # noqa: BLE001 - bad request (e.g. aspect)
@@ -168,7 +171,7 @@ class EngineWorker:
             for rid, pending in list(self._futures.items()):
                 if pending is sub:
                     self.engine.cancel(rid)
-                    req = self.engine._finished.get(rid)
+                    req = self.engine.finished_request(rid)
                     if req is not None:
                         self._resolve(req)
                     break
@@ -192,9 +195,14 @@ class EngineWorker:
 
     def _resolve(self, req) -> None:
         sub = self._futures.pop(req.req_id, None)
+        # take_finished (not request_text): completed requests must leave
+        # the engine's finished map, or a long-lived server leaks every
+        # request's token lists and decoded text.
+        text = self.engine.take_finished(req.req_id)
         if sub is None or sub.future.done():
             return
-        text = self.engine.request_text(req.req_id)
+        if text is None:
+            text = req.final_text or ""
         sub.future.set_result(
             {
                 "text": text,

@@ -226,6 +226,12 @@ class OpenAIServer:
             or (isinstance(stop, list) and all(isinstance(s, str) for s in stop))
         ):
             return "'stop' must be a string or a list of strings"
+        sti = body.get("stop_token_ids")
+        if sti is not None and not (
+            isinstance(sti, list)
+            and all(isinstance(t, int) and not isinstance(t, bool) for t in sti)
+        ):
+            return "'stop_token_ids' must be a list of integers"
         return None
 
     async def handle_chat_completions(self, request: web.Request) -> web.Response:
@@ -256,7 +262,10 @@ class OpenAIServer:
             temperature = float(body.get("temperature", 0.1))
             top_p = float(body.get("top_p", 1.0))
             stop = body.get("stop")
+            # Drop empty stop strings: ''.find('') == 0, so an empty stop
+            # would truncate every completion to "" on the batch path.
             stop = [stop] if isinstance(stop, str) else list(stop or [])
+            stop = [s for s in stop if s]
             stop_token_ids = [int(t) for t in body.get("stop_token_ids") or []]
 
             if body.get("stream"):
@@ -356,9 +365,6 @@ class OpenAIServer:
         rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
         created = int(time.time())
         model = body.get("model", self.model_name)
-        include_usage = bool(
-            (body.get("stream_options") or {}).get("include_usage")
-        )
 
         def sse(delta: Dict[str, Any], finish_reason=None, usage=None) -> bytes:
             payload: Dict[str, Any] = {
@@ -383,6 +389,53 @@ class OpenAIServer:
             },
         )
         await resp.prepare(request)
+        # From here on the response is COMMITTED: any failure must be
+        # reported IN-STREAM (an SSE error event + [DONE]) — letting an
+        # exception escape to the outer JSON handler would write a second
+        # HTTP response into the already-started chunked body, corrupting
+        # the stream for the client.
+        try:
+            return await self._stream_chat_body(
+                request, resp, sse, body, prompt, images, system_prompt,
+                max_new, temperature, top_p, stop, stop_token_ids,
+            )
+        except (ConnectionResetError, asyncio.CancelledError):
+            raise  # client went away; nothing more to write
+        except Exception as e:  # noqa: BLE001
+            self.metrics.requests_failed += 1
+            logger.exception("streaming chat failed mid-stream")
+            try:
+                await resp.write(
+                    b"data: "
+                    + json.dumps(
+                        {"error": {"message": str(e), "type": type(e).__name__}}
+                    ).encode()
+                    + b"\n\n"
+                )
+                await resp.write(b"data: [DONE]\n\n")
+                await resp.write_eof()
+            except Exception:  # noqa: BLE001 - stream already broken
+                pass
+            return resp
+
+    async def _stream_chat_body(
+        self,
+        request: web.Request,
+        resp: web.StreamResponse,
+        sse,
+        body: Dict[str, Any],
+        prompt: str,
+        images: list,
+        system_prompt: Optional[str],
+        max_new: int,
+        temperature: float,
+        top_p: float,
+        stop: list,
+        stop_token_ids: list,
+    ) -> web.StreamResponse:
+        include_usage = bool(
+            (body.get("stream_options") or {}).get("include_usage")
+        )
         await resp.write(sse({"role": "assistant", "content": ""}))
 
         usage = None
@@ -421,21 +474,24 @@ class OpenAIServer:
                 # Client went away: stop decoding, free the slot/pages.
                 self._cb_worker.cancel(sub)
                 raise
-            if include_usage:
-                try:
-                    result = await asyncio.wrap_future(fut)
-                    self.metrics.prompt_tokens_total += result["prompt_tokens"]
-                    self.metrics.completion_tokens_total += result[
-                        "completion_tokens"
-                    ]
+            # Token accounting happens for EVERY stream (a deployment of
+            # mostly-streaming clients must not report near-zero token
+            # totals); the usage payload is attached only when requested.
+            try:
+                result = await asyncio.wrap_future(fut)
+                self.metrics.prompt_tokens_total += result["prompt_tokens"]
+                self.metrics.completion_tokens_total += result[
+                    "completion_tokens"
+                ]
+                if include_usage:
                     usage = {
                         "prompt_tokens": result["prompt_tokens"],
                         "completion_tokens": result["completion_tokens"],
                         "total_tokens": result["prompt_tokens"]
                         + result["completion_tokens"],
                     }
-                except Exception:  # noqa: BLE001 - error path already streamed
-                    pass
+            except Exception:  # noqa: BLE001 - error already streamed as
+                self.metrics.requests_failed += 1  # the 'error' finish
         else:
             pending = _PendingRequest(
                 prompt=prompt,
@@ -452,8 +508,10 @@ class OpenAIServer:
             if text:
                 await resp.write(sse({"content": text}))
             finish_reason = "stop"
+            stats = self.engine.last_stats
+            self.metrics.prompt_tokens_total += stats.prompt_tokens
+            self.metrics.completion_tokens_total += stats.completion_tokens
             if include_usage:
-                stats = self.engine.last_stats
                 usage = {
                     "prompt_tokens": stats.prompt_tokens,
                     "completion_tokens": stats.completion_tokens,

@@ -216,3 +216,36 @@ def test_score_layout_against_gt(tmp_path):
     assert agg["detection_f1@.50:.95"] == 1.0
     assert agg["table_teds"] == 1.0
     assert agg["text_edit"] == 0.0
+
+
+def test_teds_clamped_to_unit_interval():
+    """Edit distance can exceed max(|T1|, |T2|) for structurally very
+    different tables; similarity must clamp at 0, never go negative."""
+    from dots_ocr_tpu.eval.metrics import teds
+
+    deep = "<table><tr><td>" + "x" * 3 + "</td></tr></table>"
+    wide = "<table>" + "".join(
+        f"<tr><td>{c}</td><td>{c}</td><td>{c}</td></tr>" for c in "abcdefgh"
+    ) + "</table>"
+    nested = "<table>" + "<tbody>" * 8 + "<tr><td>q</td></tr>" + "</tbody>" * 8 + "</table>"
+    for pred, gt in [(nested, wide), (wide, nested), (deep, wide)]:
+        v = teds(pred, gt)
+        assert 0.0 <= v <= 1.0, (pred[:30], gt[:30], v)
+
+
+def test_hallucinated_tables_penalized():
+    """Spurious predicted tables must lower table_teds (a fabricating
+    model must not tie with a faithful one)."""
+    from dots_ocr_tpu.eval.metrics import evaluate_layout_page
+
+    tbl = "<table><tr><td>a</td></tr></table>"
+    gt = [{"category": "Table", "bbox": [0, 0, 100, 100], "text": tbl}]
+    clean = [{"category": "Table", "bbox": [0, 0, 100, 100], "text": tbl}]
+    noisy = clean + [
+        {"category": "Table", "bbox": [500 + i, 500, 600 + i, 600], "text": tbl}
+        for i in range(3)
+    ]
+    a = evaluate_layout_page(clean, gt)["table_teds"]
+    b = evaluate_layout_page(noisy, gt)["table_teds"]
+    assert a == 1.0
+    assert b < a

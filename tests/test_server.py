@@ -266,3 +266,37 @@ def test_error_returns_500():
             await client.close()
 
     asyncio.run(run())
+
+
+def test_empty_stop_string_is_ignored():
+    """''.find('') == 0 — an empty stop must not blank the completion."""
+    async def scenario(client, engine):
+        base = {
+            "model": "m",
+            "messages": [{"role": "user", "content": "empty stop probe"}],
+            "max_tokens": 6, "temperature": 0,
+        }
+        resp = await client.post("/v1/chat/completions",
+                                 json={**base, "stop": ""})
+        assert resp.status == 200
+        with_stop = (await resp.json())["choices"][0]["message"]["content"]
+        resp2 = await client.post("/v1/chat/completions", json=base)
+        without = (await resp2.json())["choices"][0]["message"]["content"]
+        assert with_stop == without
+
+    asyncio.run(_with_client(scenario))
+
+
+def test_malformed_stop_token_ids_is_400():
+    async def scenario(client, engine):
+        for bad in (7, ["a"], [1.5], [True]):
+            resp = await client.post("/v1/chat/completions", json={
+                "model": "m",
+                "messages": [{"role": "user", "content": "x"}],
+                "max_tokens": 4, "stop_token_ids": bad,
+            })
+            assert resp.status == 400, bad
+            data = await resp.json()
+            assert data["error"]["type"] == "invalid_request_error"
+
+    asyncio.run(_with_client(scenario))

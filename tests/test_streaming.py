@@ -387,3 +387,22 @@ def test_stop_token_text_parity_streaming_vs_plain(tiny_setup):
     assert "".join(d for d, _ in events) == want
     if stop_text:
         assert not "".join(d for d, _ in events).endswith(stop_text)
+
+
+def test_worker_prunes_finished_requests(tiny_setup):
+    """EngineWorker resolution must remove completed requests from the
+    engine's finished map — retention there is an unbounded server leak."""
+    from dots_ocr_tpu.serve.async_engine import EngineWorker, Submission
+
+    eng = make_engine(tiny_setup)
+    worker = EngineWorker(eng, prep_workers=0)
+    try:
+        for i in range(3):
+            fut = worker.submit(Submission(
+                prompt=f"prune probe {i}", images=(), max_new_tokens=4,
+                temperature=0.0, top_p=1.0, system_prompt=None,
+            ))
+            assert isinstance(fut.result(timeout=120)["text"], str)
+        assert len(eng._finished) == 0
+    finally:
+        worker.shutdown()
