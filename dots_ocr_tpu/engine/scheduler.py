@@ -56,7 +56,7 @@ logger = logging.getLogger(__name__)
 
 @partial(
     jax.jit,
-    static_argnames=("config", "attn_impl", "nucleus"),
+    static_argnames=("config", "attn_impl", "nucleus", "mesh"),
     donate_argnames=("paged",),
 )
 def prefill_program(
@@ -77,6 +77,7 @@ def prefill_program(
     window_ids=None,
     attn_impl: str = "xla",
     nucleus: bool = False,
+    mesh=None,
 ):
     """Prefill one (bucketed) request batch into the paged cache.
 
@@ -105,13 +106,14 @@ def prefill_program(
         window_ids=window_ids,
         attn_impl=attn_impl,
         last_logit_only=True,
+        mesh=mesh,
     )
     paged = write_prefill_kv(paged, cache.k, cache.v, slot_mapping)
     first = sample_logits(rng, logits, temperature, top_p, nucleus=nucleus)
     return first, paged
 
 
-@partial(jax.jit, static_argnames=("config", "attn_impl"))
+@partial(jax.jit, static_argnames=("config", "attn_impl", "mesh"))
 def embed_program(
     params,
     config: DotsOCRConfig,
@@ -123,6 +125,7 @@ def embed_program(
     scatter_pos=None,
     window_ids=None,
     attn_impl: str = "xla",
+    mesh=None,
 ):
     """Embedding stage of a chunked prefill: run the vision encoder ONCE for
     the request and splice its tokens into the prompt embeddings. The result
@@ -152,12 +155,70 @@ def embed_program(
         scatter_pos=scatter_pos,
         window_ids=window_ids,
         attn_impl=attn_impl,
+        mesh=mesh,
+    )
+
+
+@partial(jax.jit, static_argnames=("config", "attn_impl", "mesh"))
+def encode_program(
+    params,
+    config: DotsOCRConfig,
+    patches,
+    pos2d,
+    segment_ids,
+    window_ids=None,
+    attn_impl: str = "xla",
+    mesh=None,
+):
+    """Vision encoder for ONE request's packed images -> merged tokens
+    [T_pad / merge^2, D_llm].
+
+    The PIPELINED admission path (vs. embed_program's merged batch): one
+    dispatch per request lets request j+1's patch UPLOAD overlap request
+    j's encoder COMPUTE — with a merged batch nothing computes until every
+    page's patches have crossed the host link, which on a tunneled host is
+    the single largest serialized slice of a cold wave (PERF.md round-2
+    wave decomposition: ~3.5 s of uploads for 8 pages)."""
+    from dots_ocr_tpu.models.vision import encode_images
+
+    rope_cos, rope_sin = vision_rope_device(
+        pos2d, config.vision.head_dim, config.vision.rope_theta
+    )
+    return encode_images(
+        params["vision"],
+        config.vision,
+        patches,
+        rope_cos,
+        rope_sin,
+        segment_ids,
+        window_ids=window_ids,
+        attn_impl=attn_impl,
+        mesh=mesh,
+    )
+
+
+@partial(jax.jit, static_argnames=("config",))
+def token_embed_program(params, config: DotsOCRConfig, input_ids):
+    """Token embeddings only ([B, T] -> [B, T, D]); vision tokens are
+    spliced in per request by splice_program."""
+    return embed_tokens(params["decoder"], input_ids)
+
+
+@partial(jax.jit, donate_argnames=("embeds",))
+def splice_program(embeds, vision_tokens, scatter_batch, scatter_pos):
+    """Scatter one request's merged vision tokens into the (donated)
+    [B, T, D] embedding buffer at its imgpad positions."""
+    from dots_ocr_tpu.models.vlm import splice_vision_embeddings
+
+    return splice_vision_embeddings(
+        embeds, vision_tokens, scatter_batch, scatter_pos
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("page_size", "kv_hi", "q_offset", "config", "attn_impl", "nucleus"),
+    static_argnames=("page_size", "kv_hi", "q_offset", "config", "attn_impl",
+                     "nucleus", "mesh"),
     donate_argnames=("paged",),
 )
 def prefill_extend_program(
@@ -176,6 +237,7 @@ def prefill_extend_program(
     q_offset: int,
     attn_impl: str = "flash",
     nucleus: bool = False,
+    mesh=None,
 ):
     """ONE LOCKSTEP chunk of a chunked prefill for a BATCH of requests
     (vLLM-parity scheduling: long prefills no longer monopolize the chip —
@@ -214,6 +276,7 @@ def prefill_extend_program(
         attn_impl=attn_impl,
         k_scales=paged.k_scale,
         v_scales=paged.v_scale,
+        mesh=mesh,
     )
     last_row = jnp.clip(prompt_len - 1 - q_offset, 0, c - 1)  # [B]
     logits = logits_from_hidden(
@@ -225,7 +288,8 @@ def prefill_extend_program(
 
 @partial(
     jax.jit,
-    static_argnames=("config", "page_size", "num_steps", "spec_k", "attn_impl"),
+    static_argnames=("config", "page_size", "num_steps", "spec_k",
+                     "attn_impl", "mesh"),
     donate_argnames=("paged", "tokens_buf"),
 )
 def spec_decode_program(
@@ -244,6 +308,7 @@ def spec_decode_program(
     num_steps: int = 1,
     spec_k: int = 4,
     attn_impl: str = "paged",
+    mesh=None,
 ):
     """Speculative multi-step decode: n-gram drafting + multi-token verify,
     all ON DEVICE (vLLM's ngram/prompt-lookup speculator, rebuilt for the
@@ -339,6 +404,7 @@ def spec_decode_program(
             attn_impl=attn_impl,
             k_scales=ks_list,
             v_scales=vs_list,
+            mesh=mesh,
         )
         logits = logits_from_hidden(
             params["decoder"], config.decoder, hidden
@@ -420,7 +486,8 @@ def spec_decode_program(
 
 @partial(
     jax.jit,
-    static_argnames=("config", "page_size", "num_steps", "attn_impl", "nucleus"),
+    static_argnames=("config", "page_size", "num_steps", "attn_impl",
+                     "nucleus", "mesh"),
     donate_argnames=("paged",),
 )
 def decode_program(
@@ -438,6 +505,7 @@ def decode_program(
     num_steps: int = 1,
     attn_impl: str = "paged",
     nucleus: bool = False,
+    mesh=None,
 ):
     """Up to ``num_steps`` decode iterations for every slot in ONE dispatch.
 
@@ -495,6 +563,7 @@ def decode_program(
             attn_impl=attn_impl,
             k_scales=ks_list,
             v_scales=vs_list,
+            mesh=mesh,
         )
         logits = logits_from_hidden(params["decoder"], config.decoder, hidden)
         rng, step_rng = jax.random.split(rng)
@@ -621,6 +690,28 @@ class ScheduledRequest:
     preempted: int = 0
     submitted_at: float = dataclasses.field(default_factory=time.monotonic)
     finished_reason: Optional[str] = None
+    # Per-request latency markers (time.monotonic): queue time =
+    # admitted_at - submitted_at; TTFT = first_token_at - submitted_at;
+    # decode time = finished_at - first_token_at (SURVEY §5.5 rebuild note:
+    # per-request TTFT/queue/prefill/decode split surfaced in /metrics and
+    # response usage).
+    admitted_at: Optional[float] = None
+    first_token_at: Optional[float] = None
+    finished_at: Optional[float] = None
+
+    def timing(self) -> Dict[str, float]:
+        """Millisecond latency split (0.0 for markers never reached)."""
+        sub = self.submitted_at
+        adm = self.admitted_at or sub
+        ft = self.first_token_at
+        fin = self.finished_at
+        return {
+            "queue_ms": max(0.0, (adm - sub) * 1e3),
+            "ttft_ms": max(0.0, (ft - sub) * 1e3) if ft else 0.0,
+            "prefill_ms": max(0.0, (ft - adm) * 1e3) if ft else 0.0,
+            "decode_ms": max(0.0, (fin - ft) * 1e3) if ft and fin else 0.0,
+            "total_ms": max(0.0, (fin - sub) * 1e3) if fin else 0.0,
+        }
     # vLLM-parity stop conditions + SSE streaming (the reference's serving
     # contract: /root/reference/dots_ocr/model/inference.py:38-43 via
     # vLLM's OpenAI surface).
@@ -697,26 +788,40 @@ class ContinuousBatchingEngine:
                 self.sched.page_size,
             )
         self.default_max_new_tokens = default_max_new_tokens
+        from dots_ocr_tpu.ops.tp import kernel_tp_degree
+
+        model_parallel = (
+            mesh is not None
+            and "model" in getattr(mesh, "shape", {})
+            and mesh.shape["model"] > 1
+        )
+        # TP fast path: the Pallas kernels run per-chip on their head shard
+        # via jax.shard_map (ops.tp) when every head count divides the model
+        # axis — decoder Q + KV heads for decode/extend attention, vision
+        # heads for the encoder. Indivisible meshes (e.g. 2 KV heads on
+        # model=4, where paged_kv_specs replicates the pools) stay on the
+        # XLA paths, which GSPMD partitions correctly.
+        kernels_shardable = (
+            kernel_tp_degree(
+                mesh,
+                "model",
+                config.decoder.num_heads,
+                config.decoder.num_kv_heads,
+                config.vision.num_heads,
+            )
+            > 1
+            if model_parallel
+            else False
+        )
         if attn_impl == "auto":
             on_tpu = jax.default_backend() == "tpu"
-            model_parallel = (
-                mesh is not None
-                and "model" in getattr(mesh, "shape", {})
-                and mesh.shape["model"] > 1
-            )
-            if on_tpu and model_parallel:
-                # Pallas kernels under GSPMD with KV-head-sharded operands
-                # have no partitioning rule registered here: lowering may
-                # fail or silently all-gather the whole paged cache per
-                # chunk. Until the kernels are shard_map-wrapped and
-                # validated on real multi-chip hardware (single-chip-only
-                # dev environment), TP>1 serving defaults to the pure-XLA
-                # paths, which GSPMD partitions correctly. Pass attn_impl
-                # explicitly to experiment with the kernels under a mesh.
+            if on_tpu and model_parallel and not kernels_shardable:
                 logger.warning(
-                    "TP>1 mesh on TPU: using XLA attention paths (Pallas "
-                    "kernels are not yet shard_map-validated on hardware); "
-                    "pass attn_impl='flash' to override"
+                    "TP>1 mesh with head counts not divisible by the model "
+                    "axis (%d): using XLA attention paths; choose a model "
+                    "axis that divides Q/KV/vision heads for the Pallas "
+                    "fast path",
+                    mesh.shape["model"],
                 )
                 self.prefill_impl = "xla"
                 self.decode_impl = "reference"
@@ -730,6 +835,15 @@ class ContinuousBatchingEngine:
                 "flash": "paged",
                 "flash_interpret": "paged_interpret",
             }.get(attn_impl, attn_impl)
+        # The mesh handed to the jitted programs (a static arg): set only
+        # when a Pallas impl is active under a shardable TP mesh, so the
+        # XLA paths keep their pure-GSPMD traces.
+        uses_pallas = self.prefill_impl.startswith("flash") or (
+            self.decode_impl.startswith("paged")
+        )
+        self._kernel_mesh = (
+            mesh if (kernels_shardable and uses_pallas) else None
+        )
 
         # Static page-table width: the v2 multi-page kernel grids over
         # sequences only and bounds its page loop by each row's LIVE length,
@@ -799,6 +913,9 @@ class ContinuousBatchingEngine:
         self._spec_ewma: Optional[float] = None
         self._spec_low_streak = 0
         self._spec_enabled = True
+        # Last-N finished-request latency splits (queue/ttft/prefill/
+        # decode/total ms) — the serving layer derives p50/p95 on scrape.
+        self.recent_timings: Deque[Dict[str, float]] = deque(maxlen=512)
         self.metrics = {
             "steps": 0,
             "prefills": 0,
@@ -1106,6 +1223,7 @@ class ContinuousBatchingEngine:
                         num_steps=depth,
                         attn_impl=self.decode_impl,
                         nucleus=bool(nucleus),
+                        mesh=self._kernel_mesh,
                     )
                     np.asarray(packed)  # force compile + execute now
                     compiled += 1
@@ -1142,6 +1260,7 @@ class ContinuousBatchingEngine:
                         num_steps=depth,
                         spec_k=self.sched.speculate_k,
                         attn_impl=self.decode_impl,
+                        mesh=self._kernel_mesh,
                     )
                     np.asarray(packed)
                     compiled += 1
@@ -1198,13 +1317,17 @@ class ContinuousBatchingEngine:
             self._admit_batch(batch)
 
     def _admit_chunked(self, reqs: List[ScheduledRequest]) -> None:
-        """Run the embedding stage (vision encoder included) ONCE for a
-        batch of long requests and park each in a slot as PREFILLING. The
-        prompt bucket is a multiple of the chunk size so every decoder
-        chunk is an exact static slice; the batch dim pads to
-        max_prefill_batch so each (t_bucket, v_bucket) compiles once."""
-        from dots_ocr_tpu.models.preprocess import merge_packed
-
+        """Park a batch of long requests in slots as PREFILLING, with the
+        vision encoder PIPELINED per request: token embeddings for the
+        whole group first (tiny), then per request upload -> encode ->
+        splice, each its own async dispatch. Request j+1's patch upload
+        rides the host link while request j's encoder runs on the MXU —
+        the merged-batch design this replaces serialized ALL uploads
+        before ANY compute (the largest cold-wave slice on a tunneled
+        host). The prompt bucket is a multiple of the chunk size so every
+        decoder chunk is an exact static slice; encoder programs compile
+        per PER-REQUEST vision bucket (a smaller, reusable set than the
+        merged-group buckets)."""
         ct = self.sched.prefill_chunk_tokens
         b_fixed = self.sched.max_prefill_batch
         pad_id = self.config.special.pad_token_id
@@ -1212,43 +1335,49 @@ class ContinuousBatchingEngine:
             -(-len(r.prompt_ids) // ct) * ct for r in reqs
         )
         input_ids = np.full((b_fixed, t_bucket), pad_id, np.int32)
+        now = time.monotonic()
         for j, req in enumerate(reqs):
             input_ids[j, : len(req.prompt_ids)] = req.prompt_ids
             self.allocator.allocate(req.req_id, len(req.prompt_ids) + 1)
+            req.admitted_at = req.admitted_at or now
 
-        kwargs = {}
-        packs = [r.packed for r in reqs if r.packed is not None]
-        if packs:
-            merged = merge_packed(
-                packs,
-                self.config.vision,
-                bucket_step=self.sched.vision_bucket_step,
-            )
-            merge = self.config.vision.spatial_merge_size**2
-            sb, sp = build_scatter_indices(
-                input_ids,
-                self.config.special.imgpad_id,
-                merged.patches.shape[0] // merge,
-                valid_rows=merged.merged_valid_rows(merge),
-            )
-            kwargs = dict(
-                patches=self._put(merged.patches),
-                pos2d=self._put(merged.pos2d),
-                segment_ids=self._put(merged.segment_ids),
-                scatter_batch=self._put(sb),
-                scatter_pos=self._put(sp),
-            )
-            if merged.window_ids is not None:
-                kwargs["window_ids"] = self._put(merged.window_ids)
-
-        embeds = embed_program(
-            self.params,
-            self.config,
-            self._put(input_ids),
-            attn_impl=self.prefill_impl,
-            **kwargs,
+        embeds = token_embed_program(
+            self.params, self.config, self._put(input_ids)
         )
-        self.metrics["chunk_embeds"] = self.metrics.get("chunk_embeds", 0) + 1
+        merge = self.config.vision.spatial_merge_size**2
+        for j, req in enumerate(reqs):
+            packed = req.packed
+            if packed is None:
+                continue
+            # Row-j scatter coords: build against the single row, then remap
+            # its batch index (0 -> j, sentinel 1 -> b_fixed for drop).
+            sb, sp = build_scatter_indices(
+                input_ids[j : j + 1],
+                self.config.special.imgpad_id,
+                packed.patches.shape[0] // merge,
+                valid_rows=packed.merged_valid_rows(merge),
+            )
+            sb = np.where(sb == 0, j, b_fixed).astype(np.int32)
+            vision_tokens = encode_program(
+                self.params,
+                self.config,
+                self._put(packed.patches),
+                self._put(packed.pos2d),
+                self._put(packed.segment_ids),
+                window_ids=(
+                    self._put(packed.window_ids)
+                    if packed.window_ids is not None
+                    else None
+                ),
+                attn_impl=self.prefill_impl,
+                mesh=self._kernel_mesh,
+            )
+            embeds = splice_program(
+                embeds, vision_tokens, self._put(sb), self._put(sp)
+            )
+            self.metrics["chunk_embeds"] = (
+                self.metrics.get("chunk_embeds", 0) + 1
+            )
 
         slots = self._free_slots()[: len(reqs)]
         for j, req in enumerate(reqs):
@@ -1331,6 +1460,7 @@ class ContinuousBatchingEngine:
             kv_hi=kv_hi,
             q_offset=start,
             attn_impl=self.prefill_impl,
+            mesh=self._kernel_mesh,
             # ALWAYS the nucleus sampler: prefill samples one token per
             # request, so the top-k cost is noise — while a nucleus STATIC
             # here would mean the first top_p<1 vision request compiles a
@@ -1349,6 +1479,7 @@ class ContinuousBatchingEngine:
                 req.embeds = None
                 req.state = RUNNING
                 req.output_ids = [token]
+                req.first_token_at = req.first_token_at or time.monotonic()
                 self._tokens[slot] = token
                 self._lengths[slot] = len(req.prompt_ids)
                 self.metrics["prefills"] += 1
@@ -1375,7 +1506,9 @@ class ContinuousBatchingEngine:
         slot_mapping = np.full((b_fixed, t_bucket), -1, np.int32)
         temps = np.zeros(b_fixed, np.float32)
         tps = np.ones(b_fixed, np.float32)
+        now = time.monotonic()
         for j, req in enumerate(reqs):
+            req.admitted_at = req.admitted_at or now
             plen = len(req.prompt_ids)
             input_ids[j, :plen] = req.prompt_ids
             seq_lens[j] = plen
@@ -1418,6 +1551,7 @@ class ContinuousBatchingEngine:
             self._put(tps),
             attn_impl=self.prefill_impl,
             nucleus=True,  # see _run_prefill_chunk — never a static trap
+            mesh=self._kernel_mesh,
             **kwargs,
         )
         first = np.asarray(first)
@@ -1428,6 +1562,7 @@ class ContinuousBatchingEngine:
             req.state = RUNNING
             req.slot = slot
             req.output_ids = [token]
+            req.first_token_at = req.first_token_at or time.monotonic()
             self._slot_req[slot] = req
             self._tokens[slot] = token
             self._lengths[slot] = len(req.prompt_ids)
@@ -1472,6 +1607,9 @@ class ContinuousBatchingEngine:
         req = self._slot_req[slot]
         req.state = FINISHED
         req.finished_reason = reason
+        req.finished_at = time.monotonic()
+        # Rolling window for /metrics latency percentiles (bounded).
+        self.recent_timings.append(req.timing())
         req.embeds = None  # release chunked-prefill device memory, if any
         if req.detok is not None and req.final_text is None:
             # Consume any tokens not yet detokenized (trailing EOS / stop
@@ -1721,6 +1859,7 @@ class ContinuousBatchingEngine:
                         num_steps=chunk,
                         spec_k=spec_k,
                         attn_impl=self.decode_impl,
+                        mesh=self._kernel_mesh,
                     )
                     self.metrics["spec_chunks"] = (
                         self.metrics.get("spec_chunks", 0) + 1
@@ -1749,6 +1888,7 @@ class ContinuousBatchingEngine:
                         num_steps=chunk,
                         attn_impl=self.decode_impl,
                         nucleus=dev["nucleus"],
+                        mesh=self._kernel_mesh,
                     )
                 # Chain the device-side carry BEFORE host accounting: a
                 # finish/preempt below just resets self._dev to None.
@@ -1848,20 +1988,30 @@ class ContinuousBatchingEngine:
         images_per_prompt = images_per_prompt or [[] for _ in range(n)]
         temps = np.broadcast_to(np.asarray(temperature, np.float32), (n,))
         tps = np.broadcast_to(np.asarray(top_p, np.float32), (n,))
-        ids = [
-            self.submit(
-                prompts[i],
-                images=images_per_prompt[i],
-                max_new_tokens=max_new_tokens,
-                temperature=float(temps[i]),
-                top_p=float(tps[i]),
-                system_prompt=system_prompt,
-                min_pixels=min_pixels,
-                max_pixels=max_pixels,
-                stop=stop,
+        group = max(1, self.sched.max_prefill_batch)
+        ids = []
+        for i in range(n):
+            ids.append(
+                self.submit(
+                    prompts[i],
+                    images=images_per_prompt[i],
+                    max_new_tokens=max_new_tokens,
+                    temperature=float(temps[i]),
+                    top_p=float(tps[i]),
+                    system_prompt=system_prompt,
+                    min_pixels=min_pixels,
+                    max_pixels=max_pixels,
+                    stop=stop,
+                )
             )
-            for i in range(n)
-        ]
+            if i + 1 == group and n > group:
+                # First admission group is complete: dispatch its device
+                # work (uploads -> encoders -> first prefill chunk) NOW so
+                # the remaining requests' host-side preprocessing overlaps
+                # chip compute instead of leaving the chip idle (on a
+                # 1-core host, submit() prep is the serialized prologue of
+                # a cold wave — PERF.md wave decomposition).
+                self.step()
         self.run()
         return [self.request_text(rid) for rid in ids]
 

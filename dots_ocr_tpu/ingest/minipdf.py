@@ -600,7 +600,53 @@ class LoadedFont:
     widths: Dict[int, float] = field(default_factory=dict)  # code -> width/1000
     default_width: float = 0.5
     font_bytes: Optional[bytes] = None
+    # CID -> glyph id map for Type0 fonts: None = Identity, else the
+    # /CIDToGIDMap stream payload (2 bytes big-endian per CID).
+    cid_to_gid: Optional[bytes] = None
     _cache: Dict[int, ImageFont.FreeTypeFont] = field(default_factory=dict)
+    _ttf: object = None          # lazily parsed TrueTypeFont | False
+    _glyph_cache: Dict[tuple, tuple] = field(default_factory=dict)
+
+    def truetype(self):
+        """The embedded TrueType program for GLYPH-ID rendering, or None
+        (no embedded bytes / CFF outlines). Type0/Identity-H text addresses
+        glyphs by id — unicode-addressed PIL rendering through a subset
+        font's (often broken) cmap is exactly the round-2 fidelity gap."""
+        if self._ttf is None:
+            self._ttf = False
+            if self.font_bytes:
+                try:
+                    from dots_ocr_tpu.ingest.ttf import TrueTypeFont
+
+                    self._ttf = TrueTypeFont(self.font_bytes)
+                except Exception:
+                    self._ttf = False
+        return self._ttf or None
+
+    def gid_for_code(self, code: int) -> int:
+        if self.cid_to_gid is not None:
+            i = 2 * code
+            if i + 1 < len(self.cid_to_gid):
+                return (self.cid_to_gid[i] << 8) | self.cid_to_gid[i + 1]
+            return 0
+        return code  # Identity
+
+    def glyph_bitmap(self, code: int, px: int):
+        """(alpha uint8 array, x_bearing, y_top) for a CID at px, cached;
+        (None, 0, 0) when glyph rendering is unavailable/empty."""
+        key = (code, px)
+        if key not in self._glyph_cache:
+            ttf = self.truetype()
+            if ttf is None:
+                self._glyph_cache[key] = (None, 0.0, 0.0)
+            else:
+                try:
+                    self._glyph_cache[key] = ttf.render_glyph(
+                        self.gid_for_code(code), px
+                    )
+                except Exception:
+                    self._glyph_cache[key] = (None, 0.0, 0.0)
+        return self._glyph_cache[key]
 
     def pil_font(self, px: int) -> ImageFont.ImageFont:
         px = max(1, min(px, 512))
@@ -659,6 +705,12 @@ def load_font(doc: PDFDocument, font_dict: Any) -> LoadedFont:
         if descendants:
             target = doc.resolve(descendants[0]) or {}
         # CID widths: /W [ c [w1 w2 ...] | c1 c2 w ]
+        c2g = doc.resolve(target.get("CIDToGIDMap"))
+        if isinstance(c2g, StreamObj):
+            try:
+                font.cid_to_gid = c2g.decoded(doc)
+            except Exception:
+                font.cid_to_gid = None
         dw = doc.resolve(target.get("DW"))
         font.default_width = (float(dw) / 1000.0) if isinstance(dw, (int, float)) else 1.0
         w_arr = doc.resolve(target.get("W")) or []
@@ -1053,21 +1105,39 @@ class PageRasterizer:
             total = mat_mul(trm, self.base)
             # Effective pixel size of the glyphs: vertical scale of total.
             px = max(1, round(abs(total[3]) if abs(total[3]) > 1e-9 else abs(total[1])))
-            pil_font = font.pil_font(px)
+            # Glyph-ID rendering (Type0/Identity-H + embedded TrueType):
+            # rasterize the ACTUAL glyph program (ingest/ttf.py) instead of
+            # round-tripping through ToUnicode + PIL's cmap lookup — subset
+            # fonts ship broken cmaps, which was the builtin backend's text
+            # fidelity gap (PARITY.md). Simple 1-byte fonts keep the PIL
+            # path (their codes address the font's own encoding, which
+            # FreeType resolves natively).
+            use_glyphs = font.two_byte and font.truetype() is not None
+            pil_font = None if use_glyphs else font.pil_font(px)
             x_cursor = 0.0
-            text_buf: List[Tuple[float, str]] = []
+            text_buf: List[Tuple[float, int, str]] = []
             for code, uni in font.decode(raw):
-                if uni:
-                    text_buf.append((x_cursor, uni))
+                if use_glyphs or uni:
+                    text_buf.append((x_cursor, code, uni))
                 w0 = font.width(code)
                 adv = w0 * gs.font_size + gs.char_spacing
                 if not font.two_byte and code == 32:
                     adv += gs.word_spacing
                 x_cursor += adv * gs.h_scale
-            # Draw each run at its device position (baseline anchored).
+            # Draw each glyph/run at its device position (baseline anchored).
             m = mat_mul(tm, mat_mul(gs.ctm, self.base))
-            for x_off, uni in text_buf:
+            for x_off, code, uni in text_buf:
                 dx, dy = mat_apply(m, x_off, gs.rise)
+                if use_glyphs:
+                    bm, xb, yt = font.glyph_bitmap(code, px)
+                    if bm is not None:
+                        mask = Image.fromarray(bm, "L")
+                        self.canvas.paste(
+                            gs.fill_rgb,
+                            (int(round(dx + xb)), int(round(dy - yt))),
+                            mask,
+                        )
+                    continue
                 try:
                     self.draw.text((dx, dy), uni, font=pil_font, fill=gs.fill_rgb, anchor="ls")
                 except (ValueError, OSError):

@@ -112,6 +112,16 @@ def get_backend():
     for cls in (_FitzBackend, _PdfiumBackend, _BuiltinBackend):
         try:
             _BACKEND = cls()
+            if cls is _BuiltinBackend:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "PDF backend: builtin minipdf (pymupdf/pypdfium2 not "
+                    "installed). Embedded-TrueType text rasterizes by glyph "
+                    "id at ~0.84 ink-IoU vs FreeType (tests/test_ingest.py "
+                    "bound); CFF fonts and vector art are approximate — "
+                    "install pymupdf for eval-grade rasterization."
+                )
             return _BACKEND
         except ImportError:
             continue

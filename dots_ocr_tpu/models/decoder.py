@@ -74,6 +74,7 @@ def decoder_layer_prefill(
     mask: jnp.ndarray,
     segment_ids: jnp.ndarray,
     attn_impl: str = "xla",
+    mesh=None,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """One layer over x: [B, T, D]. Returns (x, (k, v)) for cache capture."""
     attn_p = block_params["attn"]
@@ -90,6 +91,7 @@ def decoder_layer_prefill(
         kv_segment_ids=segment_ids,
         causal=True,
         impl=attn_impl,
+        mesh=mesh,
     )
     b, t = x.shape[:2]
     x = x + linear(out.reshape(b, t, cfg.q_dim), attn_p["wo"])
@@ -145,6 +147,7 @@ def decoder_prefill(
     seq_lens: jnp.ndarray,
     attn_impl: str = "xla",
     remat: bool = False,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Full-sequence forward. inputs_embeds: [B, T, D]; positions: [B, T];
     seq_lens: [B] valid lengths (padding masked out of attention).
@@ -170,7 +173,8 @@ def decoder_prefill(
 
     def layer_fn(x, block_params, cos, sin, mask, segment_ids):
         return decoder_layer_prefill(
-            x, block_params, cfg, cos, sin, mask, segment_ids, attn_impl
+            x, block_params, cfg, cos, sin, mask, segment_ids, attn_impl,
+            mesh=mesh,
         )
 
     if remat:
@@ -229,6 +233,7 @@ def decoder_decode_step_paged(
     attn_impl: str = "paged",
     k_scales=None,
     v_scales=None,
+    mesh=None,
 ):
     """One decode step over the PAGED cache (continuous batching path).
 
@@ -254,6 +259,7 @@ def decoder_decode_step_paged(
         paged_attention_multipage,
         paged_attention_reference,
     )
+    from dots_ocr_tpu.ops.tp import paged_attention_multipage_tp
 
     cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
     s = inputs_embeds.shape[0]
@@ -303,19 +309,32 @@ def decoder_decode_step_paged(
         if attn_impl == "paged":
             # Multi-page manual-DMA kernel: fastest at every measured size
             # (beats both the (batch, page)-grid v1 kernel and the jax
-            # library paged kernel — tools/bench_paged.py, PERF.md).
-            out = paged_attention_multipage(
-                q, paged_k, paged_v, seq_lens, page_tables, **scale_kwargs
-            )
+            # library paged kernel — tools/bench_paged.py, PERF.md). Under a
+            # TP mesh the kernel runs per-chip on its head shard (ops.tp).
+            if mesh is not None:
+                out = paged_attention_multipage_tp(
+                    q, paged_k, paged_v, seq_lens, page_tables, mesh=mesh,
+                    **scale_kwargs,
+                )
+            else:
+                out = paged_attention_multipage(
+                    q, paged_k, paged_v, seq_lens, page_tables, **scale_kwargs
+                )
         elif attn_impl == "paged_v1":
             out = paged_attention(
                 q, paged_k, paged_v, seq_lens, page_tables, **scale_kwargs
             )
         elif attn_impl == "paged_interpret":
-            out = paged_attention_multipage(
-                q, paged_k, paged_v, seq_lens, page_tables, interpret=True,
-                **scale_kwargs,
-            )
+            if mesh is not None:
+                out = paged_attention_multipage_tp(
+                    q, paged_k, paged_v, seq_lens, page_tables, mesh=mesh,
+                    interpret=True, **scale_kwargs,
+                )
+            else:
+                out = paged_attention_multipage(
+                    q, paged_k, paged_v, seq_lens, page_tables, interpret=True,
+                    **scale_kwargs,
+                )
         else:  # reference (XLA gather; CPU test path)
             out = paged_attention_reference(
                 q, paged_k, paged_v, seq_lens, page_tables, **scale_kwargs
@@ -347,6 +366,7 @@ def decoder_spec_step_paged(
     attn_impl: str = "paged",
     k_scales=None,
     v_scales=None,
+    mesh=None,
 ):
     """One SPECULATIVE-VERIFY decode step over the paged cache: nq tokens
     per slot (the current token + nq-1 n-gram draft tokens) forwarded in
@@ -370,6 +390,7 @@ def decoder_spec_step_paged(
         paged_attention_multiquery,
         paged_attention_multiquery_reference,
     )
+    from dots_ocr_tpu.ops.tp import paged_attention_multiquery_tp
 
     s, nq, _ = inputs_embeds.shape
     cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)  # [S,nq,hd]
@@ -420,14 +441,26 @@ def decoder_spec_step_paged(
         paged_k = k_layer.reshape(kv_heads, -1, page_size, head_dim)
         paged_v = v_layer.reshape(kv_heads, -1, page_size, head_dim)
         if attn_impl == "paged":
-            out = paged_attention_multiquery(
-                q, paged_k, paged_v, seq_lens, page_tables, **scale_kwargs
-            )
+            if mesh is not None:
+                out = paged_attention_multiquery_tp(
+                    q, paged_k, paged_v, seq_lens, page_tables, mesh=mesh,
+                    **scale_kwargs,
+                )
+            else:
+                out = paged_attention_multiquery(
+                    q, paged_k, paged_v, seq_lens, page_tables, **scale_kwargs
+                )
         elif attn_impl == "paged_interpret":
-            out = paged_attention_multiquery(
-                q, paged_k, paged_v, seq_lens, page_tables, interpret=True,
-                **scale_kwargs,
-            )
+            if mesh is not None:
+                out = paged_attention_multiquery_tp(
+                    q, paged_k, paged_v, seq_lens, page_tables, mesh=mesh,
+                    interpret=True, **scale_kwargs,
+                )
+            else:
+                out = paged_attention_multiquery(
+                    q, paged_k, paged_v, seq_lens, page_tables, interpret=True,
+                    **scale_kwargs,
+                )
         else:  # reference (XLA gather; CPU test path)
             out = paged_attention_multiquery_reference(
                 q, paged_k, paged_v, seq_lens, page_tables, **scale_kwargs
@@ -459,6 +492,7 @@ def decoder_prefill_extend(
     attn_impl: str = "flash",
     k_scales=None,
     v_scales=None,
+    mesh=None,
 ):
     """One CHUNK of a chunked prefill for ONE sequence (see the batched
     variant below — this wraps it with a unit batch dim).
@@ -482,6 +516,7 @@ def decoder_prefill_extend(
         attn_impl=attn_impl,
         k_scales=k_scales,
         v_scales=v_scales,
+        mesh=mesh,
     )
     hidden, k, v, ks, vs = out
     return hidden[0], k, v, ks, vs
@@ -503,6 +538,7 @@ def decoder_prefill_extend_batched(
     attn_impl: str = "flash",
     k_scales=None,
     v_scales=None,
+    mesh=None,
 ):
     """One LOCKSTEP chunk of a chunked prefill for a BATCH of sequences,
     writing straight into the paged cache.
@@ -533,6 +569,7 @@ def decoder_prefill_extend_batched(
     """
     from dots_ocr_tpu.engine.kv_cache import quantize_kv
     from dots_ocr_tpu.ops.flash_attention import flash_attention
+    from dots_ocr_tpu.ops.tp import flash_attention_tp
 
     b, c, _ = inputs_embeds.shape
     pos2d = jnp.broadcast_to(positions, (b, c))
@@ -610,16 +647,29 @@ def decoder_prefill_extend_batched(
         kc = k_full.reshape(kv_heads, b, kv_hi, head_dim).transpose(1, 2, 0, 3)
         vc = v_full.reshape(kv_heads, b, kv_hi, head_dim).transpose(1, 2, 0, 3)
         if attn_impl in ("flash", "flash_interpret"):
-            out = flash_attention(
-                q.astype(kc.dtype),
-                kc,
-                vc,
-                q_segment_ids=q_seg,
-                kv_segment_ids=kv_seg,
-                causal=True,
-                q_offset=q_offset,
-                interpret=attn_impl == "flash_interpret",
-            )
+            if mesh is not None:
+                out = flash_attention_tp(
+                    q.astype(kc.dtype),
+                    kc,
+                    vc,
+                    q_segment_ids=q_seg,
+                    kv_segment_ids=kv_seg,
+                    mesh=mesh,
+                    causal=True,
+                    q_offset=q_offset,
+                    interpret=attn_impl == "flash_interpret",
+                )
+            else:
+                out = flash_attention(
+                    q.astype(kc.dtype),
+                    kc,
+                    vc,
+                    q_segment_ids=q_seg,
+                    kv_segment_ids=kv_seg,
+                    causal=True,
+                    q_offset=q_offset,
+                    interpret=attn_impl == "flash_interpret",
+                )
         else:  # XLA fallback (CPU tests / tiny chunks)
             causal = gather_pos[None, :] <= positions[:, None]  # [C, kv_hi]
             valid = (gather_pos[None, None, :] < prompt_len[:, None, None]) & (

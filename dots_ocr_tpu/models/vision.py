@@ -50,6 +50,7 @@ def vision_block(
     segment_ids: jnp.ndarray,
     attn_impl: str = "xla",
     use_full: Optional[jnp.ndarray] = None,
+    mesh=None,
 ) -> jnp.ndarray:
     """One transformer block over packed tokens x: [T, D].
 
@@ -78,6 +79,7 @@ def vision_block(
                 q_segment_ids=segment_ids[None],
                 kv_segment_ids=segment_ids[None],
                 impl=attn_impl,
+                mesh=mesh,
             )[0]
 
         if window_tokens and use_full is not None and t % window_tokens == 0:
@@ -98,6 +100,7 @@ def vision_block(
                     q_segment_ids=segw,
                     kv_segment_ids=segw,
                     impl=attn_impl,
+                    mesh=mesh,
                 )
                 return ow.reshape(t, num_heads, head_dim)
 
@@ -129,6 +132,7 @@ def vision_forward(
     segment_ids: jnp.ndarray,
     window_ids: Optional[jnp.ndarray] = None,  # kept for API symmetry
     attn_impl: str = "xla",
+    mesh=None,
 ) -> jnp.ndarray:
     """Run the encoder over packed patches.
 
@@ -182,7 +186,7 @@ def vision_forward(
         return (
             vision_block(
                 carry, block_params, cfg, cos, sin, mask, segment_ids,
-                attn_impl, use_full=use_full,
+                attn_impl, use_full=use_full, mesh=mesh,
             ),
             None,
         )
@@ -221,11 +225,12 @@ def encode_images(
     segment_ids: jnp.ndarray,
     window_ids: Optional[jnp.ndarray] = None,
     attn_impl: str = "xla",
+    mesh=None,
 ) -> jnp.ndarray:
     """Full vision path: packed patches -> merged decoder-space tokens
     [T / merge^2, llm_hidden]."""
     hidden = vision_forward(
         params, cfg, patches, rope_cos, rope_sin, segment_ids,
-        window_ids=window_ids, attn_impl=attn_impl,
+        window_ids=window_ids, attn_impl=attn_impl, mesh=mesh,
     )
     return merge_tokens(params, cfg, hidden)

@@ -88,6 +88,7 @@ def vlm_embed(
     scatter_pos: Optional[jnp.ndarray] = None,
     window_ids: Optional[jnp.ndarray] = None,
     attn_impl: str = "xla",
+    mesh=None,
 ) -> jnp.ndarray:
     """The embedding stage of a prefill only: token embeddings with the
     vision tokens spliced in at the imgpad positions. Returns [B, T, D].
@@ -107,6 +108,7 @@ def vlm_embed(
             segment_ids,
             window_ids=window_ids,
             attn_impl=attn_impl,
+            mesh=mesh,
         )
         x = splice_vision_embeddings(x, vision_tokens, scatter_batch, scatter_pos)
     return x
@@ -128,6 +130,7 @@ def vlm_prefill(
     attn_impl: str = "xla",
     last_logit_only: bool = False,
     remat: bool = False,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Full multimodal prefill.
 
@@ -152,11 +155,12 @@ def vlm_prefill(
         scatter_pos=scatter_pos,
         window_ids=window_ids,
         attn_impl=attn_impl,
+        mesh=mesh,
     )
 
     hidden, cache = decoder_prefill(
         params["decoder"], config.decoder, x, positions, seq_lens, attn_impl,
-        remat=remat,
+        remat=remat, mesh=mesh,
     )
     if last_logit_only:
         batch_idx = jnp.arange(hidden.shape[0])

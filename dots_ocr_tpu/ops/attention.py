@@ -114,6 +114,8 @@ def attention(
     q_segment_ids: Optional[jnp.ndarray] = None,
     kv_segment_ids: Optional[jnp.ndarray] = None,
     causal: bool = False,
+    mesh=None,
+    tp_axis: str = "model",
     **kwargs,
 ) -> jnp.ndarray:
     """Dispatcher.
@@ -125,6 +127,11 @@ def attention(
         causal assumes query index == absolute position, which holds for
         engine prefill where sequences start at position 0).
       * 'flash_interpret' — same kernel in interpreter mode (CPU tests).
+
+    ``mesh``: a jax.sharding.Mesh with a ``tp_axis`` axis > 1 wraps the
+    flash kernel in jax.shard_map over head-sharded operands (ops.tp) —
+    the TP serving fast path. Ignored on the XLA path (GSPMD partitions
+    plain einsums fine).
     """
     if impl == "xla":
         if mask is None and (q_segment_ids is not None or causal):
@@ -137,6 +144,21 @@ def attention(
                 mask &= make_causal_mask(positions, s)
         return mha_reference(q, k, v, mask=mask, **kwargs)
     if impl in ("flash", "flash_interpret"):
+        if mesh is not None:
+            from dots_ocr_tpu.ops.tp import flash_attention_tp
+
+            return flash_attention_tp(
+                q,
+                k,
+                v,
+                q_segment_ids=q_segment_ids,
+                kv_segment_ids=kv_segment_ids,
+                mesh=mesh,
+                axis=tp_axis,
+                causal=causal,
+                interpret=(impl == "flash_interpret"),
+                **kwargs,
+            )
         from dots_ocr_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(

@@ -209,5 +209,8 @@ class EngineWorker:
                 "completion_tokens": len(req.prior_output) + len(req.output_ids),
                 "prompt_tokens": len(req.prompt_ids),
                 "finish_reason": req.finished_reason or "stop",
+                # Per-request latency split (queue/ttft/prefill/decode ms) —
+                # surfaced as a usage extension when the client asks.
+                "timing": req.timing() if hasattr(req, "timing") else {},
             }
         )

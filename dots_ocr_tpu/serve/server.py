@@ -66,6 +66,22 @@ class ServerMetrics:
             ]
             for key, value in getattr(engine, "metrics", {}).items():
                 lines.append(f"dots_ocr_engine_{key} {value}")
+            # Per-request latency percentiles over the last-N finished
+            # requests (queue/TTFT/prefill/decode split — SURVEY §5.5;
+            # proves the p50 page-parse claim continuously).
+            timings = list(getattr(engine, "recent_timings", ()))
+            if timings:
+                import numpy as _np
+
+                for key in ("queue_ms", "ttft_ms", "prefill_ms",
+                            "decode_ms", "total_ms"):
+                    vals = _np.array([t[key] for t in timings])
+                    for q, tag in ((50, "p50"), (95, "p95"), (99, "p99")):
+                        lines.append(
+                            f"dots_ocr_request_{key}_{tag} "
+                            f"{float(_np.percentile(vals, q)):.1f}"
+                        )
+                lines.append(f"dots_ocr_request_timing_window {len(timings)}")
         return "\n".join(lines) + "\n"
 
 
@@ -292,6 +308,7 @@ class OpenAIServer:
                 prompt_tokens = result["prompt_tokens"]
                 completion_tokens = result["completion_tokens"]
                 finish_reason = result["finish_reason"]
+                timing = result.get("timing") or None
             else:
                 pending = _PendingRequest(
                     prompt=prompt,
@@ -311,6 +328,7 @@ class OpenAIServer:
                 # are applied post hoc (the continuous engine stops early).
                 text, _ = truncate_at_stop(text, stop)
                 finish_reason = "stop"
+                timing = None
 
             self.metrics.prompt_tokens_total += prompt_tokens
             self.metrics.completion_tokens_total += completion_tokens
@@ -332,6 +350,12 @@ class OpenAIServer:
                     "total_tokens": prompt_tokens + completion_tokens,
                 },
             }
+            if timing:
+                # Extension (OpenAI clients ignore unknown usage keys):
+                # per-request queue/TTFT/prefill/decode latency split, ms.
+                response["usage"]["latency"] = {
+                    k: round(v, 1) for k, v in timing.items()
+                }
             return web.json_response(response)
         except Exception as e:  # noqa: BLE001
             self.metrics.requests_failed += 1
@@ -598,6 +622,15 @@ def main(argv=None):
         help="continuous = paged KV + continuous batching (production); "
         "batch = simple micro-batched generate loop",
     )
+    parser.add_argument(
+        "--tensor-parallel-size", type=int, default=1,
+        help="shard the model over this many chips (jax.sharding "
+        "model-axis mesh; attention heads + paged KV pools shard per chip "
+        "and the Pallas kernels run on their shard via shard_map — "
+        "reference analog: vLLM --tensor-parallel-size in "
+        "demo/launch_model_vllm.sh). Any remaining chips form the data "
+        "axis. continuous engine only",
+    )
     parser.add_argument("--num-pages", type=int, default=2048)
     parser.add_argument(
         "--page-size", type=int, default=128,
@@ -740,6 +773,21 @@ def main(argv=None):
             before / 1e9, quantized_bytes(params) / 1e9,
         )
 
+    mesh = None
+    if args.tensor_parallel_size > 1:
+        if args.engine != "continuous":
+            raise SystemExit(
+                "--tensor-parallel-size needs --engine continuous"
+            )
+        from dots_ocr_tpu.parallel.sharding import auto_mesh, shard_params
+
+        mesh = auto_mesh(model_parallel=args.tensor_parallel_size)
+        params = shard_params(params, config, mesh)
+        logging.getLogger(__name__).info(
+            "tensor parallel: mesh %s (params + paged KV sharded over "
+            "'model')", dict(mesh.shape),
+        )
+
     if args.engine == "continuous":
         from dots_ocr_tpu.engine.scheduler import (
             ContinuousBatchingEngine,
@@ -750,6 +798,7 @@ def main(argv=None):
             params,
             config,
             tokenizer=tokenizer,
+            mesh=mesh,
             sched=SchedulerConfig(
                 num_pages=args.num_pages,
                 page_size=args.page_size,

@@ -184,7 +184,10 @@ def test_batched_chunked_admission(setup):
     ]
     eng.run()
     assert [eng.request_text(r) for r in ids] == want
-    assert eng.metrics["chunk_embeds"] == 1  # one embed dispatch for both
+    # Pipelined per-request encoders: ONE admission still encodes both
+    # requests (2 dispatches, one per request — request 2's upload rides
+    # under request 1's encoder), in a single admission group.
+    assert eng.metrics["chunk_embeds"] == 2
     # Lockstep extension: both requests advance per dispatch, so the chunk
     # count is per-GROUP, not per-request (prompts here are near-equal
     # length; a per-request loop would need ~2x the dispatches).

@@ -25,7 +25,7 @@ def setup():
     return cfg, params
 
 
-def build(setup, mesh=None, **overrides):
+def build(setup, mesh=None, attn_impl="auto", **overrides):
     from dots_ocr_tpu.engine.scheduler import (
         ContinuousBatchingEngine,
         SchedulerConfig,
@@ -46,7 +46,7 @@ def build(setup, mesh=None, **overrides):
     kw.update(overrides)
     return ContinuousBatchingEngine(
         params, cfg, sched=SchedulerConfig(**kw),
-        default_max_new_tokens=8, mesh=mesh,
+        default_max_new_tokens=8, mesh=mesh, attn_impl=attn_impl,
     )
 
 
@@ -116,3 +116,74 @@ def test_tp2_speculative_decode_matches_single_device(setup):
     )
     assert got == plain
     assert eng.metrics.get("spec_chunks", 0) >= 1
+
+
+# ---------------------------------------------------------------------------
+# Pallas-kernel TP path (ops.tp shard_map wrappers, interpret mode on the
+# virtual CPU mesh): the engine must pick the kernel mesh and stay
+# token-identical to the single-device kernel engine AND the XLA TP engine.
+# ---------------------------------------------------------------------------
+
+
+def test_tp2_pallas_kernel_path_matches(setup):
+    base = build(setup, attn_impl="flash_interpret")
+    mesh = make_mesh(data=1, model=2)
+    eng = build(setup, mesh=mesh, attn_impl="flash_interpret")
+
+    # The engine actually selected the shard_map kernel path.
+    assert eng._kernel_mesh is mesh
+    assert eng.decode_impl == "paged_interpret"
+    assert eng.paged.k[0].sharding.spec == P("model", None, None)
+
+    prompts = ["pallas tensor parallel", "second kernel request"]
+    a = base.generate_batch(prompts, temperature=0.0, max_new_tokens=8)
+    b = eng.generate_batch(prompts, temperature=0.0, max_new_tokens=8)
+    assert a == b
+
+
+def test_tp2_pallas_chunked_prefill_vision(setup):
+    rng = np.random.RandomState(1)
+    img = Image.fromarray(rng.randint(0, 255, (64, 80, 3), np.uint8))
+    base = build(setup, prefill_chunk_tokens=16, attn_impl="flash_interpret")
+    mesh = make_mesh(data=1, model=2)
+    eng = build(
+        setup, mesh=mesh, prefill_chunk_tokens=16, attn_impl="flash_interpret"
+    )
+    assert eng._kernel_mesh is mesh
+
+    a = base.generate_one("describe", images=[img], temperature=0.0,
+                          max_new_tokens=6)
+    b = eng.generate_one("describe", images=[img], temperature=0.0,
+                         max_new_tokens=6)
+    assert a == b
+    assert eng.metrics["prefill_chunks"] >= 2
+
+
+def test_tp2_pallas_speculative(setup):
+    base = build(setup, attn_impl="flash_interpret")
+    plain = base.generate_batch(
+        ["spec kernel alpha", "spec kernel beta"],
+        temperature=0.0, max_new_tokens=12,
+    )
+    mesh = make_mesh(data=1, model=2)
+    eng = build(
+        setup, mesh=mesh, speculate_k=3, attn_impl="flash_interpret"
+    )
+    got = eng.generate_batch(
+        ["spec kernel alpha", "spec kernel beta"],
+        temperature=0.0, max_new_tokens=12,
+    )
+    assert got == plain
+    assert eng.metrics.get("spec_chunks", 0) >= 1
+
+
+def test_tp4_indivisible_heads_fall_back_to_xla(setup):
+    """Indivisible head counts must NOT select the kernel mesh (the pools
+    replicate; shard_map would be wrong) — and stay correct via GSPMD."""
+    mesh = make_mesh(data=1, model=4)
+    eng = build(setup, mesh=mesh, attn_impl="flash_interpret")
+    assert eng._kernel_mesh is None
+    base = build(setup, attn_impl="flash_interpret")
+    a = base.generate_one("four way kernel", temperature=0.0, max_new_tokens=6)
+    b = eng.generate_one("four way kernel", temperature=0.0, max_new_tokens=6)
+    assert a == b

@@ -1,12 +1,25 @@
 """Microbench: spec_decode_program vs decode_program, compile-separated.
 
 Times the SECOND call at identical shapes (first call pays the XLA
-compile), flagship zeros weights, realistic 64-slot serving shapes.
-Reports per-iteration wall and effective tok/s at 100% draft acceptance
-(zeros-weights greedy is a period-1 loop, so every draft accepts — this
-is the verify-path CEILING, not a realistic acceptance mix).
+compile), flagship weights, realistic 64-slot serving shapes. Two modes:
+
+* default: zeros weights — per-iteration wall + tok/s at 100% draft
+  acceptance (zeros-weights greedy is a period-1 loop, so every draft
+  accepts — the verify-path CEILING, not a realistic mix).
+
+* --acceptance-sweep: seeded RANDOM weights, temperature-swept SAMPLED
+  decoding through the REAL draft+verify path (VERDICT r2 item 3). The
+  n-gram drafter proposes from each slot's own sampled history; raising
+  temperature makes the stream less repetitive, so the measured draft
+  acceptance falls continuously from ~1 (temp 0, greedy loops) toward
+  ~0 — a tok/s-vs-acceptance curve off the degenerate ceiling, plus the
+  implied break-even emitted-tokens/slot-iteration (= spec-iter cost /
+  decode-iter cost) that the engine's spec_min_tokens_per_iter cutoff
+  must sit at (scheduler.SchedulerConfig default 1.5; warns if the
+  measured break-even drifts >20% from it).
 
     python tools/bench_spec.py [--slots 64] [--steps 16] [--spec-k 3]
+    python tools/bench_spec.py --acceptance-sweep
 """
 
 import argparse
@@ -29,6 +42,10 @@ def main():
     ap.add_argument("--page-size", type=int, default=64)
     ap.add_argument("--ctx", type=int, default=128,
                     help="starting sequence length per slot")
+    ap.add_argument("--acceptance-sweep", action="store_true",
+                    help="measure tok/s vs draft acceptance (random "
+                    "weights, temperature-swept sampled streams)")
+    ap.add_argument("--temps", type=str, default="0.0,0.3,0.6,1.0,1.6,2.5")
     args = ap.parse_args()
 
     import numpy as np
@@ -46,7 +63,14 @@ def main():
 
     log(f"devices: {jax.devices()}")
     config = DotsOCRConfig.flagship()
-    params = zeros_params(config)
+    if args.acceptance_sweep:
+        # Random weights: sampled continuations have real structure, so
+        # temperature controls how often drafted history repeats.
+        from dots_ocr_tpu.models.init import init_params
+
+        params = init_params(jax.random.PRNGKey(0), config)
+    else:
+        params = zeros_params(config)
 
     s, ps, ctx = args.slots, args.page_size, args.ctx
     nq = args.spec_k + 1
@@ -81,6 +105,72 @@ def main():
             page_size=ps, num_steps=args.steps, spec_k=args.spec_k,
             attn_impl="paged",
         )
+
+    if args.acceptance_sweep:
+        import json
+
+        temps_list = [float(t) for t in args.temps.split(",")]
+        curve = []
+        for temp in temps_list:
+            temps_arr = jnp.full((s,), temp, jnp.float32)
+            # plain-decode baseline at this temperature
+            dec_times, spec_rows = [], []
+            for rep in range(3):
+                t0 = time.perf_counter()
+                packed, carry, paged = decode_program(
+                    params, config, paged, tokens, positions, tables,
+                    active, temps_arr, top_ps, rng, page_size=ps,
+                    num_steps=args.steps, attn_impl="paged", nucleus=False,
+                )
+                np.asarray(packed)
+                dec_times.append(time.perf_counter() - t0)
+            for rep in range(3):
+                buf = jnp.zeros((s, mp * ps), jnp.int32)
+                t0 = time.perf_counter()
+                packed, carry, paged, buf = spec_decode_program(
+                    params, config, paged, buf, tokens, positions,
+                    jnp.zeros((s,), jnp.int32), tables, active, temps_arr,
+                    rng, page_size=ps, num_steps=args.steps,
+                    spec_k=args.spec_k, attn_impl="paged",
+                )
+                emitted = np.asarray(packed)[:, -1]
+                spec_rows.append((time.perf_counter() - t0, int(emitted.sum())))
+            dec_best = min(dec_times[1:])
+            spec_best, spec_emitted = min(spec_rows[1:], key=lambda r: r[0])
+            per_iter = spec_emitted / (s * args.steps)
+            acceptance = max(0.0, (per_iter - 1.0) / args.spec_k)
+            point = dict(
+                temp=temp,
+                acceptance=round(acceptance, 3),
+                emitted_per_slot_iter=round(per_iter, 3),
+                spec_tok_s=round(spec_emitted / spec_best, 0),
+                decode_tok_s=round(s * args.steps / dec_best, 0),
+                spec_ms_per_iter=round(spec_best / args.steps * 1e3, 2),
+                decode_ms_per_iter=round(dec_best / args.steps * 1e3, 2),
+                spec_speedup=round(
+                    (spec_emitted / spec_best) / (s * args.steps / dec_best), 3
+                ),
+            )
+            curve.append(point)
+            log(json.dumps(point))
+        # Break-even emitted/slot-iter: where spec tok/s == decode tok/s.
+        ratio = np.mean([p["spec_ms_per_iter"] / p["decode_ms_per_iter"]
+                         for p in curve])
+        breakeven = float(ratio)
+        default_cutoff = 1.5
+        if not 0.8 * breakeven <= default_cutoff <= 1.2 * breakeven:
+            log(f"WARNING: measured break-even {breakeven:.2f} emitted tokens/"
+                f"slot-iter vs SchedulerConfig.spec_min_tokens_per_iter "
+                f"{default_cutoff} — retune the default")
+        out = {
+            "metric": "spec_acceptance_curve",
+            "curve": curve,
+            "breakeven_tokens_per_iter": round(breakeven, 3),
+            "default_cutoff": default_cutoff,
+            "slots": s, "spec_k": args.spec_k, "steps": args.steps,
+        }
+        print(json.dumps(out))
+        return
 
     results = {}
     # decode_program baseline
