@@ -656,9 +656,10 @@ class SchedulerConfig:
     # live row has top_p >= 1 (the layout/OCR default) and no stop
     # strings / stream callbacks need per-token host checks. 0 = off.
     speculate_k: int = 0
-    # Adaptive speculation cut-off: a verify iteration costs ~1.6x a plain
-    # decode iteration (measured 19.7 vs 12.0 ms at 64 slots), so spec only
-    # pays while it emits more than ~1.6 tokens per slot-iteration. The
+    # Adaptive speculation cut-off: a verify iteration costs ~1.33x a plain
+    # decode iteration (r3 acceptance sweep: 15.6 vs 11.7 ms at 64 slots,
+    # BENCH_SPEC_CURVE_r3.json), so spec only pays while it emits more than
+    # ~1.33 tokens per slot-iteration; 1.5 keeps a deliberate margin. The
     # engine tracks an EWMA of emitted tokens/slot-iteration over spec
     # chunks and disables speculation for the rest of the current load when
     # the EWMA sits below this for 3 consecutive chunks (re-enabled when
@@ -1671,6 +1672,37 @@ class ContinuousBatchingEngine:
         self._waiting.appendleft(victim)
         self._dev = None  # active set + tables changed; re-upload
 
+    def _update_spec_gate(self, emitted: int, chunk: int, n_active: int) -> None:
+        """Adaptive speculation cut-off (unit-tested against the measured
+        cost curve): a verify iteration costs ~1.64x a plain decode
+        iteration (tools/bench_spec.py --acceptance-sweep measures the
+        ratio; PERF.md publishes the curve), so speculation only pays while
+        emitted tokens/slot-iteration stays above that break-even. EWMA
+        over spec chunks; 3 consecutive below-threshold chunks disable
+        speculation for the current load (re-probes on drain)."""
+        floor = self.sched.spec_min_tokens_per_iter
+        if floor <= 0 or not self._spec_enabled:
+            return
+        per_iter = emitted / max(1, chunk * n_active)
+        self._spec_ewma = (
+            per_iter if self._spec_ewma is None
+            else 0.7 * self._spec_ewma + 0.3 * per_iter
+        )
+        if self._spec_ewma < floor:
+            self._spec_low_streak += 1
+            if self._spec_low_streak >= 3:
+                self._spec_enabled = False
+                self.metrics["spec_auto_disabled"] = (
+                    self.metrics.get("spec_auto_disabled", 0) + 1
+                )
+                logger.info(
+                    "speculation auto-disabled: %.2f tokens/slot-iter below "
+                    "the %.2f break-even (re-probes when the engine drains)",
+                    self._spec_ewma, floor,
+                )
+        else:
+            self._spec_low_streak = 0
+
     # -- the step --------------------------------------------------------
 
     def step(self) -> List[ScheduledRequest]:
@@ -1900,29 +1932,7 @@ class ContinuousBatchingEngine:
                     self.metrics["spec_emitted"] = (
                         self.metrics.get("spec_emitted", 0) + emitted
                     )
-                    floor = self.sched.spec_min_tokens_per_iter
-                    if floor > 0:
-                        per_iter = emitted / max(1, chunk * len(active))
-                        self._spec_ewma = (
-                            per_iter if self._spec_ewma is None
-                            else 0.7 * self._spec_ewma + 0.3 * per_iter
-                        )
-                        if self._spec_ewma < floor:
-                            self._spec_low_streak += 1
-                            if self._spec_low_streak >= 3:
-                                self._spec_enabled = False
-                                self.metrics["spec_auto_disabled"] = (
-                                    self.metrics.get("spec_auto_disabled", 0)
-                                    + 1
-                                )
-                                logger.info(
-                                    "speculation auto-disabled: %.2f tokens/"
-                                    "slot-iter below the %.2f break-even "
-                                    "(re-probes when the engine drains)",
-                                    self._spec_ewma, floor,
-                                )
-                        else:
-                            self._spec_low_streak = 0
+                    self._update_spec_gate(emitted, chunk, len(active))
                 self.metrics["steps"] += 1
                 for i in active:
                     req = self._slot_req[i]

@@ -94,17 +94,8 @@ def extract_patches(
     assert w % (p * cfg.spatial_merge_size) == 0, f"width {w} not on the grid"
     grid_h, grid_w = h // p, w // p
 
-    # im2col: [gh, p, gw, p, c] -> [gh, gw, p*p*c] (row-major patch pixels,
-    # channel-last inside the patch to match conv weight reshaping in the
-    # loader).
-    patches = (
-        arr.reshape(grid_h, p, grid_w, p, c)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(grid_h, grid_w, p * p * c)
-    )
-
-    # Reorder into emission order (merge-contiguous; window-major with
-    # uniform padded windows when the config windows attention) to match
+    # Emission order (merge-contiguous; window-major with uniform padded
+    # windows when the config windows attention) matches
     # vision_grid_positions; the merger is then a pure reshape on device.
     from dots_ocr_tpu.models.rope import token_order
 
@@ -112,10 +103,27 @@ def extract_patches(
         grid_h, grid_w, merge=cfg.spatial_merge_size, window=cfg.window_size,
         pad_windows=cfg.window_size > 0,
     )
-    flat = patches.reshape(grid_h * grid_w, -1)
     valid = perm >= 0
-    out = np.zeros((len(perm), flat.shape[1]), np.uint8)
-    out[valid] = flat[perm[valid]]
+
+    # Fast path: single-pass C++ im2col + reorder (native.patchify_native)
+    # copies each emitted patch straight from the strided image rows —
+    # the numpy path below makes 2-3 full-image passes, a measurable
+    # slice of per-page submit time on a 1-core serving host.
+    from dots_ocr_tpu.native import patchify_native
+
+    out = patchify_native(np.ascontiguousarray(arr), perm, p, grid_w)
+    if out is None:
+        # im2col: [gh, p, gw, p, c] -> [gh, gw, p*p*c] (row-major patch
+        # pixels, channel-last inside the patch to match conv weight
+        # reshaping in the loader).
+        patches = (
+            arr.reshape(grid_h, p, grid_w, p, c)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(grid_h, grid_w, p * p * c)
+        )
+        flat = patches.reshape(grid_h * grid_w, -1)
+        out = np.zeros((len(perm), flat.shape[1]), np.uint8)
+        out[valid] = flat[perm[valid]]
     return out, (grid_h, grid_w), window_ids, valid
 
 

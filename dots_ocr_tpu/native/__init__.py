@@ -74,6 +74,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.runlength_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
         ]
+        lib.patchify.restype = ctypes.c_long
+        lib.patchify.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_long, ctypes.c_int,
+            ctypes.c_void_p,
+        ]
         _LIB = lib
     except Exception:  # noqa: BLE001
         logger.exception("native library unavailable; using Python fallbacks")
@@ -113,3 +119,27 @@ def runlength_decode_native(data: bytes) -> Optional[bytes]:
     if written < 0:
         return None
     return out[:written].tobytes()
+
+
+def patchify_native(
+    arr: "np.ndarray", perm: "np.ndarray", patch: int, grid_w: int
+) -> "Optional[np.ndarray]":
+    """Single-pass im2col + emission reorder (C++). arr: [H, W, C] uint8
+    contiguous; perm: [n_tokens] int32 (-1 = zero pad slot). Returns
+    [n_tokens, patch*patch*C] uint8, or None (use the numpy path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if arr.dtype != np.uint8 or not arr.flags.c_contiguous:
+        return None
+    h, w, c = arr.shape
+    perm = np.ascontiguousarray(perm, np.int32)
+    out = np.empty((len(perm), patch * patch * c), np.uint8)
+    rc = lib.patchify(
+        arr.ctypes.data_as(ctypes.c_void_p), h, w, c, patch,
+        perm.ctypes.data_as(ctypes.c_void_p), len(perm), grid_w,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        return None
+    return out

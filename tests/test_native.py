@@ -120,3 +120,37 @@ def test_runlength_matches_python(lib):
         return bytes(out)
 
     assert native.runlength_decode_native(data) == py_rle(data)
+
+
+def test_patchify_native_matches_numpy():
+    """C++ single-pass patchifier must byte-match the numpy im2col +
+    emission reorder, including windowed packing's padded slots."""
+    import dots_ocr_tpu.native as nat
+
+    if nat.get_lib() is None:
+        import pytest
+
+        pytest.skip("no host compiler")
+    import dataclasses
+
+    import numpy as np
+    from PIL import Image
+
+    from dots_ocr_tpu.models import preprocess
+    from dots_ocr_tpu.models.config import DotsOCRConfig
+
+    base = DotsOCRConfig.flagship().vision
+    rng = np.random.RandomState(3)
+    for window in (0, 4):
+        cfg = dataclasses.replace(base, window_size=window)
+        img = Image.fromarray(rng.randint(0, 255, (112, 168, 3), np.uint8))
+        got, grid, win, valid = preprocess.extract_patches(img, cfg)
+        # numpy reference
+        nat._TRIED, nat._LIB = True, None
+        try:
+            want, grid2, win2, valid2 = preprocess.extract_patches(img, cfg)
+        finally:
+            nat._TRIED, nat._LIB = False, None
+        assert grid == grid2
+        assert (got == want).all()
+        assert (win == win2).all() and (valid == valid2).all()

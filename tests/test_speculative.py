@@ -218,3 +218,43 @@ def test_spec_stays_enabled_at_high_acceptance(setup):
     eng.generate_one("high acceptance", temperature=0.0, max_new_tokens=48)
     assert eng.metrics.get("spec_auto_disabled", 0) == 0
     assert eng._spec_enabled
+
+
+def test_adaptive_cutoff_pins_to_measured_breakeven(setup):
+    """The auto-disable gate must fire EXACTLY below the configured
+    break-even (which tools/bench_spec.py --acceptance-sweep ties to the
+    measured verify/decode cost ratio ~1.64 — SchedulerConfig default 1.5)
+    and never above it (VERDICT r2 item 3)."""
+    eng = build(setup, spec_k=3)
+    floor = eng.sched.spec_min_tokens_per_iter
+    assert floor == 1.5  # shipping default, from the measured cost ratio
+
+    # Sustained emission ABOVE the break-even: gate must stay open.
+    for _ in range(10):
+        eng._update_spec_gate(
+            emitted=int((floor + 0.2) * 4 * 8), chunk=4, n_active=8
+        )
+    assert eng._spec_enabled
+
+    # Sustained emission just BELOW: gate must close after 3 low chunks
+    # (EWMA decay from the high plateau takes a few extra chunks).
+    low = int((floor - 0.3) * 4 * 8)
+    fired_after = None
+    for i in range(12):
+        eng._update_spec_gate(emitted=low, chunk=4, n_active=8)
+        if not eng._spec_enabled:
+            fired_after = i + 1
+            break
+    assert fired_after is not None, "gate never fired below break-even"
+    assert eng.metrics.get("spec_auto_disabled", 0) == 1
+
+    # Fresh engine marginally above the break-even: no fire. (Exactly AT
+    # the floor is intentionally unspecified: the 0.7/0.3 EWMA constants
+    # are not binary-exact, so 1.5 accumulates to 1.4999999999999998 —
+    # either behavior at the knife edge is fine.)
+    eng2 = build(setup, spec_k=3)
+    for _ in range(10):
+        eng2._update_spec_gate(
+            emitted=int((floor + 0.05) * 4 * 8), chunk=4, n_active=8
+        )
+    assert eng2._spec_enabled

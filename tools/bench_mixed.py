@@ -147,11 +147,18 @@ def main():
     decode_with_prefill, decode_alone = [], []
     g0 = eng.metrics["generated_tokens"]
     t0 = time.perf_counter()
-    ids = [
-        eng.submit(f"{prompt} (page {i})", images=[pages[i]],
-                   temperature=0.0, max_new_tokens=args.max_new)
-        for i in range(args.pages)
-    ]
+    ids = []
+    group = eng.sched.max_prefill_batch
+    for i in range(args.pages):
+        ids.append(
+            eng.submit(f"{prompt} (page {i})", images=[pages[i]],
+                       temperature=0.0, max_new_tokens=args.max_new)
+        )
+        if i + 1 == group and args.pages > group:
+            # Dispatch the first admission group's uploads + encoders NOW
+            # so the remaining pages' host preprocessing overlaps chip
+            # compute (mirrors generate_batch's pipelined submission).
+            eng.step()
     while eng.has_work():
         pc0 = eng.metrics.get("prefill_chunks", 0)
         p0 = eng.metrics["prefills"]

@@ -7,16 +7,20 @@ compile), flagship weights, realistic 64-slot serving shapes. Two modes:
   acceptance (zeros-weights greedy is a period-1 loop, so every draft
   accepts — the verify-path CEILING, not a realistic mix).
 
-* --acceptance-sweep: seeded RANDOM weights, temperature-swept SAMPLED
-  decoding through the REAL draft+verify path (VERDICT r2 item 3). The
-  n-gram drafter proposes from each slot's own sampled history; raising
-  temperature makes the stream less repetitive, so the measured draft
-  acceptance falls continuously from ~1 (temp 0, greedy loops) toward
-  ~0 — a tok/s-vs-acceptance curve off the degenerate ceiling, plus the
-  implied break-even emitted-tokens/slot-iteration (= spec-iter cost /
-  decode-iter cost) that the engine's spec_min_tokens_per_iter cutoff
-  must sit at (scheduler.SchedulerConfig default 1.5; warns if the
-  measured break-even drifts >20% from it).
+* --acceptance-sweep: controlled-acceptance curve through the REAL
+  draft+verify path (VERDICT r2 item 3). Acceptance is set by the
+  GREEDY-SLOT FRACTION: greedy zeros-weight slots loop period-1 (drafts
+  accept ~100%), temp-1 sampled slots draw from a uniform 151k-way
+  softmax (drafts accept ~0%), so a mix of f greedy slots measures the
+  verify path at aggregate acceptance ~f — including the wasted verify
+  work on rejecting rows, which is exactly what the engine's adaptive
+  cutoff reasons about. (Temperature sweeps on random weights do NOT
+  work: even greedy random-weight streams stay n-gram-unpredictable for
+  hundreds of tokens — measured acceptance 0 at every temp.) Publishes
+  tok/s + emitted-tokens/slot-iteration at f in {0,.25,.5,.75,1} plus
+  the implied break-even (= spec-iter cost / decode-iter cost) that
+  spec_min_tokens_per_iter (default 1.5) must sit at; warns if the
+  measured break-even drifts >20% from the default.
 
     python tools/bench_spec.py [--slots 64] [--steps 16] [--spec-k 3]
     python tools/bench_spec.py --acceptance-sweep
@@ -43,9 +47,9 @@ def main():
     ap.add_argument("--ctx", type=int, default=128,
                     help="starting sequence length per slot")
     ap.add_argument("--acceptance-sweep", action="store_true",
-                    help="measure tok/s vs draft acceptance (random "
-                    "weights, temperature-swept sampled streams)")
-    ap.add_argument("--temps", type=str, default="0.0,0.3,0.6,1.0,1.6,2.5")
+                    help="measure tok/s vs draft acceptance (zeros "
+                    "weights, greedy-slot-fraction-controlled mix)")
+    ap.add_argument("--fractions", type=str, default="0,0.25,0.5,0.75,1.0")
     args = ap.parse_args()
 
     import numpy as np
@@ -63,19 +67,12 @@ def main():
 
     log(f"devices: {jax.devices()}")
     config = DotsOCRConfig.flagship()
-    if args.acceptance_sweep:
-        # Random weights: sampled continuations have real structure, so
-        # temperature controls how often drafted history repeats.
-        from dots_ocr_tpu.models.init import init_params
-
-        params = init_params(jax.random.PRNGKey(0), config)
-    else:
-        params = zeros_params(config)
+    params = zeros_params(config)
 
     s, ps, ctx = args.slots, args.page_size, args.ctx
     nq = args.spec_k + 1
-    # Room for ctx + steps*nq new tokens.
-    pages_per_seq = -(-(ctx + args.steps * nq + ps) // ps)
+    # Room for ctx + (chained) steps*nq new tokens per chunk x 4 chains.
+    pages_per_seq = -(-(ctx + 4 * args.steps * nq + ps) // ps)
     mp = 1
     while mp < pages_per_seq:
         mp *= 2
@@ -109,12 +106,16 @@ def main():
     if args.acceptance_sweep:
         import json
 
-        temps_list = [float(t) for t in args.temps.split(",")]
+        fracs = [float(t) for t in args.fractions.split(",")]
         curve = []
-        for temp in temps_list:
-            temps_arr = jnp.full((s,), temp, jnp.float32)
+        n_chain = 4  # chunks chained per point: history warms, last measured
+        for frac in fracs:
+            n_greedy = int(round(frac * s))
+            temps_arr = jnp.asarray(
+                np.where(np.arange(s) < n_greedy, 0.0, 1.0), jnp.float32
+            )
             # plain-decode baseline at this temperature
-            dec_times, spec_rows = [], []
+            dec_times = []
             for rep in range(3):
                 t0 = time.perf_counter()
                 packed, carry, paged = decode_program(
@@ -124,23 +125,32 @@ def main():
                 )
                 np.asarray(packed)
                 dec_times.append(time.perf_counter() - t0)
-            for rep in range(3):
-                buf = jnp.zeros((s, mp * ps), jnp.int32)
+            # Speculative chunks CHAINED through the device carry: the
+            # n-gram drafter proposes from each slot's own generated
+            # history, which is EMPTY at chunk 1 (acceptance 0 by
+            # construction). Warm n_chain-1 chunks so the measured chunk
+            # sees steady-state history — the realistic serving regime.
+            buf = jnp.zeros((s, mp * ps), jnp.int32)
+            cur, pos, r = tokens, positions, rng
+            gstart = jnp.full((s,), ctx, jnp.int32)
+            spec_best, spec_emitted = None, 0
+            for chain in range(n_chain):
                 t0 = time.perf_counter()
-                packed, carry, paged, buf = spec_decode_program(
-                    params, config, paged, buf, tokens, positions,
-                    jnp.zeros((s,), jnp.int32), tables, active, temps_arr,
-                    rng, page_size=ps, num_steps=args.steps,
+                packed, (cur, pos, r), paged, buf = spec_decode_program(
+                    params, config, paged, buf, cur, pos,
+                    gstart, tables, active, temps_arr,
+                    r, page_size=ps, num_steps=args.steps,
                     spec_k=args.spec_k, attn_impl="paged",
                 )
-                emitted = np.asarray(packed)[:, -1]
-                spec_rows.append((time.perf_counter() - t0, int(emitted.sum())))
+                emitted = int(np.asarray(packed)[:, -1].sum())
+                dt = time.perf_counter() - t0
+                if chain == n_chain - 1:  # steady-state chunk
+                    spec_best, spec_emitted = dt, emitted
             dec_best = min(dec_times[1:])
-            spec_best, spec_emitted = min(spec_rows[1:], key=lambda r: r[0])
             per_iter = spec_emitted / (s * args.steps)
-            acceptance = max(0.0, (per_iter - 1.0) / args.spec_k)
+            acceptance = max(0.0, min(1.0, (per_iter - 1.0) / args.spec_k))
             point = dict(
-                temp=temp,
+                greedy_fraction=frac,
                 acceptance=round(acceptance, 3),
                 emitted_per_slot_iter=round(per_iter, 3),
                 spec_tok_s=round(spec_emitted / spec_best, 0),
