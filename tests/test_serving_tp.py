@@ -187,3 +187,18 @@ def test_tp4_indivisible_heads_fall_back_to_xla(setup):
     a = base.generate_one("four way kernel", temperature=0.0, max_new_tokens=6)
     b = eng.generate_one("four way kernel", temperature=0.0, max_new_tokens=6)
     assert a == b
+
+
+def test_tp2_pallas_int8_kv(setup):
+    """int8 paged KV under the shard_map kernel path: quantized pools AND
+    their flat scale leaves shard the KV-head axis; the in-kernel int8
+    dequant must stay token-identical to the single-device kernel engine."""
+    base = build(setup, attn_impl="flash_interpret", kv_cache_dtype="int8")
+    mesh = make_mesh(data=1, model=2)
+    eng = build(setup, mesh=mesh, attn_impl="flash_interpret",
+                kv_cache_dtype="int8")
+    assert eng._kernel_mesh is mesh
+    assert eng.paged.k_scale[0].sharding.spec == P("model")
+    a = base.generate_one("int8 kernel tp", temperature=0.0, max_new_tokens=6)
+    b = eng.generate_one("int8 kernel tp", temperature=0.0, max_new_tokens=6)
+    assert a == b
