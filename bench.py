@@ -16,8 +16,11 @@ decode rate (time in decode-only scheduler steps at full occupancy), the
 number a long-decode serving load sees. Round 1 measured the monolithic
 generate() loop; since round 2 the serving path is the FASTER path
 (PERF.md), so the headline now measures the engine users actually get.
-Tunable via env: BENCH_SLOTS, BENCH_DECODE_TOKENS, BENCH_QUANT=int8,
-BENCH_KV=int8, BENCH_ENGINE=monolithic (round-1 method fallback).
+Tunable via env: BENCH_SLOTS, BENCH_DECODE_TOKENS, BENCH_QUANT
+(default int8 — the deploy/docker-compose.yml shipping default; set
+BENCH_QUANT=bf16 for the unquantized decoder; measured r3: int8 8,412 vs
+bf16 6,990 tok/s at 64 slots), BENCH_KV=int8, BENCH_ENGINE=monolithic
+(round-1 method fallback).
 """
 
 import json
@@ -146,11 +149,12 @@ def main() -> None:
     params = zeros_params(config)
     log(f"params: {count_params(params)/1e9:.2f}B ({config.dtype})")
 
-    if os.environ.get("BENCH_QUANT") == "int8":
+    if os.environ.get("BENCH_QUANT", "int8") == "int8":
         from dots_ocr_tpu.models.quantize import quantize_decoder_params
 
         params = quantize_decoder_params(params)
-        log("decoder quantized to int8 (BENCH_QUANT=int8)")
+        log("decoder quantized to int8 (BENCH_QUANT default; shipping "
+            "config — deploy/docker-compose.yml)")
 
     if os.environ.get("BENCH_ENGINE") == "monolithic":
         tok_s = bench_monolithic(config, params)
