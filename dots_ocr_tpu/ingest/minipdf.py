@@ -608,17 +608,19 @@ class LoadedFont:
     _glyph_cache: Dict[tuple, tuple] = field(default_factory=dict)
 
     def truetype(self):
-        """The embedded TrueType program for GLYPH-ID rendering, or None
-        (no embedded bytes / CFF outlines). Type0/Identity-H text addresses
-        glyphs by id — unicode-addressed PIL rendering through a subset
-        font's (often broken) cmap is exactly the round-2 fidelity gap."""
+        """The embedded glyph program for GLYPH-ID rendering, or None (no
+        embedded bytes / unparseable). Covers TrueType (`FontFile2`) AND
+        CFF (`FontFile3` Type1C/CIDFontType0C, OpenType-CFF) outlines via
+        ``ttf.load_glyph_font``. Type0/Identity-H text addresses glyphs
+        by id — unicode-addressed PIL rendering through a subset font's
+        (often broken) cmap is exactly the round-2 fidelity gap."""
         if self._ttf is None:
             self._ttf = False
             if self.font_bytes:
                 try:
-                    from dots_ocr_tpu.ingest.ttf import TrueTypeFont
+                    from dots_ocr_tpu.ingest.ttf import load_glyph_font
 
-                    self._ttf = TrueTypeFont(self.font_bytes)
+                    self._ttf = load_glyph_font(self.font_bytes)
                 except Exception:
                     self._ttf = False
         return self._ttf or None
@@ -629,6 +631,11 @@ class LoadedFont:
             if i + 1 < len(self.cid_to_gid):
                 return (self.cid_to_gid[i] << 8) | self.cid_to_gid[i + 1]
             return 0
+        # CIDFontType0 (CFF) has no /CIDToGIDMap: the CFF charset defines
+        # CID -> GID (PDF 32000-1 §9.7.4.2).
+        f = self.truetype()
+        if f is not None and getattr(f, "is_cid", False):
+            return f.gid_for_cid(code)
         return code  # Identity
 
     def glyph_bitmap(self, code: int, px: int):

@@ -117,10 +117,12 @@ def get_backend():
 
                 logging.getLogger(__name__).warning(
                     "PDF backend: builtin minipdf (pymupdf/pypdfium2 not "
-                    "installed). Embedded-TrueType text rasterizes by glyph "
-                    "id at ~0.84 ink-IoU vs FreeType (tests/test_ingest.py "
-                    "bound); CFF fonts and vector art are approximate — "
-                    "install pymupdf for eval-grade rasterization."
+                    "installed). Embedded TrueType AND CFF/OpenType text "
+                    "rasterizes by glyph id at >=0.6 ink-IoU vs FreeType "
+                    "(tests/test_ingest.py bounds; measured ~0.84/~0.88); "
+                    "Type 1 fonts and vector art beyond rect fills are "
+                    "approximate — install pymupdf for eval-grade "
+                    "rasterization."
                 )
             return _BACKEND
         except ImportError:

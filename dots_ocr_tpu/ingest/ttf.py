@@ -14,8 +14,10 @@ from the TrueType spec, not ported.)
 
 Scope: quadratic outlines (TrueType `glyf`), simple + composite glyphs
 (offset/scale transforms), nonzero-winding scanline fill with 3x
-supersampled antialiasing. CFF (`FontFile3`/OpenType-CFF) outlines are
-out of scope — callers fall back to PIL for those.
+supersampled antialiasing. CFF (`FontFile3`/OpenType-CFF) outlines live
+in the sibling ``ingest/cff.py`` (Type 2 charstring interpreter) and
+share this module's scanline fill via :func:`render_contours`; use
+:func:`load_glyph_font` to get whichever class matches the bytes.
 """
 
 from __future__ import annotations
@@ -103,74 +105,8 @@ class TrueTypeFont:
     def glyph_id_for_char(self, ch: str) -> int:
         """Unicode codepoint -> glyph id via cmap format 4/12 (0 if absent)."""
         if self._cmap is None:
-            self._cmap = self._parse_cmap()
+            self._cmap = parse_cmap(self._table("cmap"))
         return self._cmap.get(ord(ch), 0)
-
-    def _parse_cmap(self) -> Dict[int, int]:
-        out: Dict[int, int] = {}
-        cmap = self._table("cmap")
-        if not cmap or len(cmap) < 4:
-            return out
-        (n,) = struct.unpack(">H", cmap[2:4])
-        subtable = None
-        for i in range(n):
-            rec = cmap[4 + 8 * i : 4 + 8 * (i + 1)]
-            if len(rec) < 8:
-                break
-            pid, eid, off = struct.unpack(">HHI", rec)
-            if (pid, eid) in ((3, 10), (0, 4), (0, 6)):
-                subtable = off  # UCS-4 preferred
-                break
-            if (pid, eid) in ((3, 1), (0, 3), (0, 2), (0, 1)):
-                subtable = off
-        if subtable is None or subtable + 2 > len(cmap):
-            return out
-        (fmt,) = struct.unpack(">H", cmap[subtable : subtable + 2])
-        if fmt == 4:
-            seg_x2 = struct.unpack(">H", cmap[subtable + 6 : subtable + 8])[0]
-            seg = seg_x2 // 2
-            base = subtable + 14
-            ends = np.frombuffer(cmap[base : base + seg_x2], ">u2")
-            starts = np.frombuffer(
-                cmap[base + seg_x2 + 2 : base + 2 * seg_x2 + 2], ">u2"
-            )
-            deltas = np.frombuffer(
-                cmap[base + 2 * seg_x2 + 2 : base + 3 * seg_x2 + 2], ">i2"
-            )
-            range_off_pos = base + 3 * seg_x2 + 2
-            range_offs = np.frombuffer(
-                cmap[range_off_pos : range_off_pos + seg_x2], ">u2"
-            )
-            for i in range(seg):
-                for c in range(int(starts[i]), int(ends[i]) + 1):
-                    if c == 0xFFFF:
-                        continue
-                    if range_offs[i] == 0:
-                        g = (c + int(deltas[i])) & 0xFFFF
-                    else:
-                        p = (
-                            range_off_pos + 2 * i + int(range_offs[i])
-                            + 2 * (c - int(starts[i]))
-                        )
-                        if p + 2 > len(cmap):
-                            continue
-                        (g,) = struct.unpack(">H", cmap[p : p + 2])
-                        if g:
-                            g = (g + int(deltas[i])) & 0xFFFF
-                    if g:
-                        out[c] = g
-        elif fmt == 12:
-            (ngroups,) = struct.unpack(
-                ">I", cmap[subtable + 12 : subtable + 16]
-            )
-            for i in range(ngroups):
-                rec = cmap[subtable + 16 + 12 * i : subtable + 16 + 12 * (i + 1)]
-                if len(rec) < 12:
-                    break
-                start, end, gstart = struct.unpack(">III", rec)
-                for c in range(start, min(end, start + 0x10000) + 1):
-                    out[c] = gstart + (c - start)
-        return out
 
     # -- outlines -------------------------------------------------------
 
@@ -318,42 +254,140 @@ class TrueTypeFont:
         g = self._glyph(gid)
         if g is None or not g.contours:
             return None, 0.0, 0.0
-        scale = px / self.units_per_em
-        xs = np.concatenate([c[:, 0] for c in g.contours]) * scale
-        ys = np.concatenate([c[:, 1] for c in g.contours]) * scale
-        x0, x1 = float(xs.min()), float(xs.max())
-        y0, y1 = float(ys.min()), float(ys.max())
-        w = max(1, int(np.ceil(x1 - x0)) + 2)
-        h = max(1, int(np.ceil(y1 - y0)) + 2)
-        if w * h > 4096 * 4096:
-            return None, 0.0, 0.0
-        # Supersampled nonzero-winding scanline fill, y-down device space.
-        W, H = w * _SS, h * _SS
-        acc = np.zeros((H, W), np.int16)
-        y_rows = (np.arange(H) + 0.5) / _SS  # device y within bitmap
-        for c in g.contours:
-            px_x = c[:, 0] * scale - x0 + 1.0
-            px_y = (y1 - c[:, 1] * scale) + 1.0  # flip to y-down
-            x_a, y_a = px_x, px_y
-            x_b, y_b = np.roll(px_x, -1), np.roll(px_y, -1)
-            for xa, ya, xb, yb in zip(x_a, y_a, x_b, y_b):
-                if ya == yb:
+        return render_contours(g.contours, self.units_per_em, px)
+
+
+def render_contours(
+    contours: List[np.ndarray], units_per_em: float, px: float
+) -> Tuple[Optional[np.ndarray], float, float]:
+    """Scan-convert closed font-unit contours ([N, 2] float arrays, y-up)
+    at ``px`` pixels per em. Shared by the TrueType (quadratic) and CFF
+    (cubic, ``ingest/cff.py``) outline front ends. Returns
+    (alpha uint8 [H, W] | None, x_bearing_px, y_top_px) as in
+    :meth:`TrueTypeFont.render_glyph`."""
+    if not contours:
+        return None, 0.0, 0.0
+    scale = px / units_per_em
+    xs = np.concatenate([c[:, 0] for c in contours]) * scale
+    ys = np.concatenate([c[:, 1] for c in contours]) * scale
+    x0, x1 = float(xs.min()), float(xs.max())
+    y0, y1 = float(ys.min()), float(ys.max())
+    w = max(1, int(np.ceil(x1 - x0)) + 2)
+    h = max(1, int(np.ceil(y1 - y0)) + 2)
+    if w * h > 4096 * 4096:
+        return None, 0.0, 0.0
+    # Supersampled nonzero-winding scanline fill, y-down device space.
+    W, H = w * _SS, h * _SS
+    acc = np.zeros((H, W), np.int16)
+    y_rows = (np.arange(H) + 0.5) / _SS  # device y within bitmap
+    for c in contours:
+        px_x = c[:, 0] * scale - x0 + 1.0
+        px_y = (y1 - c[:, 1] * scale) + 1.0  # flip to y-down
+        x_a, y_a = px_x, px_y
+        x_b, y_b = np.roll(px_x, -1), np.roll(px_y, -1)
+        for xa, ya, xb, yb in zip(x_a, y_a, x_b, y_b):
+            if ya == yb:
+                continue
+            direction = 1 if yb > ya else -1
+            ylo, yhi = (ya, yb) if ya < yb else (yb, ya)
+            rows = np.nonzero((y_rows >= ylo) & (y_rows < yhi))[0]
+            if len(rows) == 0:
+                continue
+            t = (y_rows[rows] - ya) / (yb - ya)
+            xc = xa + t * (xb - xa)
+            cols = np.clip(np.round(xc * _SS).astype(np.int64), 0, W)
+            for r, ccol in zip(rows, cols):
+                if ccol < W:
+                    acc[r, ccol] += direction
+    inside = np.cumsum(acc, axis=1) != 0  # nonzero winding
+    alpha = inside.reshape(h, _SS, w, _SS).mean(axis=(1, 3))
+    bitmap = (alpha * 255.0 + 0.5).astype(np.uint8)
+    return bitmap, x0 - 1.0, y1 + 1.0
+
+
+def parse_cmap(cmap: Optional[bytes]) -> Dict[int, int]:
+    """sfnt `cmap` table bytes -> {codepoint: glyph id} (formats 4/12).
+
+    Module-level so OpenType-CFF fonts (``ingest/cff.py``) can reuse the
+    same unicode lookup over their sfnt wrapper's cmap.
+    """
+    out: Dict[int, int] = {}
+    if not cmap or len(cmap) < 4:
+        return out
+    (n,) = struct.unpack(">H", cmap[2:4])
+    subtable = None
+    for i in range(n):
+        rec = cmap[4 + 8 * i : 4 + 8 * (i + 1)]
+        if len(rec) < 8:
+            break
+        pid, eid, off = struct.unpack(">HHI", rec)
+        if (pid, eid) in ((3, 10), (0, 4), (0, 6)):
+            subtable = off  # UCS-4 preferred
+            break
+        if (pid, eid) in ((3, 1), (0, 3), (0, 2), (0, 1)):
+            subtable = off
+    if subtable is None or subtable + 2 > len(cmap):
+        return out
+    (fmt,) = struct.unpack(">H", cmap[subtable : subtable + 2])
+    if fmt == 4:
+        seg_x2 = struct.unpack(">H", cmap[subtable + 6 : subtable + 8])[0]
+        seg = seg_x2 // 2
+        base = subtable + 14
+        ends = np.frombuffer(cmap[base : base + seg_x2], ">u2")
+        starts = np.frombuffer(
+            cmap[base + seg_x2 + 2 : base + 2 * seg_x2 + 2], ">u2"
+        )
+        deltas = np.frombuffer(
+            cmap[base + 2 * seg_x2 + 2 : base + 3 * seg_x2 + 2], ">i2"
+        )
+        range_off_pos = base + 3 * seg_x2 + 2
+        range_offs = np.frombuffer(
+            cmap[range_off_pos : range_off_pos + seg_x2], ">u2"
+        )
+        for i in range(seg):
+            for c in range(int(starts[i]), int(ends[i]) + 1):
+                if c == 0xFFFF:
                     continue
-                direction = 1 if yb > ya else -1
-                ylo, yhi = (ya, yb) if ya < yb else (yb, ya)
-                rows = np.nonzero((y_rows >= ylo) & (y_rows < yhi))[0]
-                if len(rows) == 0:
-                    continue
-                t = (y_rows[rows] - ya) / (yb - ya)
-                xc = xa + t * (xb - xa)
-                cols = np.clip(np.round(xc * _SS).astype(np.int64), 0, W)
-                for r, ccol in zip(rows, cols):
-                    if ccol < W:
-                        acc[r, ccol] += direction
-        inside = np.cumsum(acc, axis=1) != 0  # nonzero winding
-        alpha = inside.reshape(h, _SS, w, _SS).mean(axis=(1, 3))
-        bitmap = (alpha * 255.0 + 0.5).astype(np.uint8)
-        return bitmap, x0 - 1.0, y1 + 1.0
+                if range_offs[i] == 0:
+                    g = (c + int(deltas[i])) & 0xFFFF
+                else:
+                    p = (
+                        range_off_pos + 2 * i + int(range_offs[i])
+                        + 2 * (c - int(starts[i]))
+                    )
+                    if p + 2 > len(cmap):
+                        continue
+                    (g,) = struct.unpack(">H", cmap[p : p + 2])
+                    if g:
+                        g = (g + int(deltas[i])) & 0xFFFF
+                if g:
+                    out[c] = g
+    elif fmt == 12:
+        (ngroups,) = struct.unpack(
+            ">I", cmap[subtable + 12 : subtable + 16]
+        )
+        for i in range(ngroups):
+            rec = cmap[subtable + 16 + 12 * i : subtable + 16 + 12 * (i + 1)]
+            if len(rec) < 12:
+                break
+            start, end, gstart = struct.unpack(">III", rec)
+            for c in range(start, min(end, start + 0x10000) + 1):
+                out[c] = gstart + (c - start)
+    return out
+
+
+def load_glyph_font(data: bytes):
+    """Parse embedded font bytes into whichever glyph-id rasterizer fits:
+    TrueType (`glyf` outlines, incl. ttc collections) or CFF
+    (bare `FontFile3` Type1C/CIDFontType0C payloads and OpenType `OTTO`
+    wrappers — ``ingest/cff.py``). Raises ValueError when neither can
+    parse the bytes (callers fall back to PIL rendering)."""
+    try:
+        return TrueTypeFont(data)
+    except Exception:
+        from dots_ocr_tpu.ingest.cff import CFFFont
+
+        return CFFFont(data)
 
 
 def _f2dot14(d: bytes, pos: int) -> float:

@@ -155,16 +155,20 @@ def test_upsample_image_to_dpi():
 DEJAVU = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
 
 
-def _type0_pdf_bytes(text, font_path, size=24, pos=(50, 120), page=(300, 160)):
+def _type0_pdf_bytes(
+    text, font_path, size=24, pos=(50, 120), page=(300, 160), cff=False
+):
     """Hand-built PDF embedding ``font_path`` as a Type0/Identity-H CID font
     and showing ``text`` by GLYPH ID — the dominant embedded-font class in
-    real documents, and the one PIL cannot render (glyph-id addressing)."""
+    real documents, and the one PIL cannot render (glyph-id addressing).
+    ``cff=True`` embeds as CIDFontType0 + FontFile3/OpenType (CFF
+    outlines); default is CIDFontType2 + FontFile2 (TrueType)."""
     from PIL import ImageFont
 
-    from dots_ocr_tpu.ingest.ttf import TrueTypeFont
+    from dots_ocr_tpu.ingest.ttf import load_glyph_font
 
     font_bytes = open(font_path, "rb").read()
-    ttf = TrueTypeFont(font_bytes)
+    ttf = load_glyph_font(font_bytes)
     pil = ImageFont.truetype(font_path, 1000)
     gids = [ttf.glyph_id_for_char(c) for c in text]
     hexstr = "".join(f"{g:04X}" for g in gids).encode()
@@ -196,23 +200,41 @@ def _type0_pdf_bytes(text, font_path, size=24, pos=(50, 120), page=(300, 160)):
         b"<< /Type /Font /Subtype /Type0 /BaseFont /Test "
         b"/Encoding /Identity-H /DescendantFonts [6 0 R] >>"
     )
-    objs.append(
-        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Test "
-        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
-        b"/Supplement 0 >> /FontDescriptor 7 0 R /CIDToGIDMap /Identity "
-        b"/DW 500 /W [" + w_entries + b"] >>"
-    )
-    objs.append(
-        b"<< /Type /FontDescriptor /FontName /Test /Flags 4 "
-        b"/FontBBox [-100 -300 1300 1100] /ItalicAngle 0 /Ascent 900 "
-        b"/Descent -200 /CapHeight 700 /StemV 80 /FontFile2 8 0 R >>"
-    )
-    objs.append(
-        b"<< /Length " + str(len(ff)).encode()
-        + b" /Filter /FlateDecode /Length1 "
-        + str(len(font_bytes)).encode() + b" >>\nstream\n" + ff
-        + b"\nendstream"
-    )
+    if cff:
+        objs.append(
+            b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Test "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> /FontDescriptor 7 0 R "
+            b"/DW 500 /W [" + w_entries + b"] >>"
+        )
+        objs.append(
+            b"<< /Type /FontDescriptor /FontName /Test /Flags 4 "
+            b"/FontBBox [-100 -300 1300 1100] /ItalicAngle 0 /Ascent 900 "
+            b"/Descent -200 /CapHeight 700 /StemV 80 /FontFile3 8 0 R >>"
+        )
+        objs.append(
+            b"<< /Length " + str(len(ff)).encode()
+            + b" /Filter /FlateDecode /Subtype /OpenType >>\nstream\n" + ff
+            + b"\nendstream"
+        )
+    else:
+        objs.append(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Test "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> /FontDescriptor 7 0 R /CIDToGIDMap /Identity "
+            b"/DW 500 /W [" + w_entries + b"] >>"
+        )
+        objs.append(
+            b"<< /Type /FontDescriptor /FontName /Test /Flags 4 "
+            b"/FontBBox [-100 -300 1300 1100] /ItalicAngle 0 /Ascent 900 "
+            b"/Descent -200 /CapHeight 700 /StemV 80 /FontFile2 8 0 R >>"
+        )
+        objs.append(
+            b"<< /Length " + str(len(ff)).encode()
+            + b" /Filter /FlateDecode /Length1 "
+            + str(len(font_bytes)).encode() + b" >>\nstream\n" + ff
+            + b"\nendstream"
+        )
 
     out = io.BytesIO()
     out.write(b"%PDF-1.5\n")
@@ -301,3 +323,103 @@ def test_type0_cid_to_gid_stream_map():
     img = minipdf.render_page(doc, 0, dpi=144)
     ink = (np.asarray(img.convert("L")) < 128).sum()
     assert ink > 50, "stream CIDToGIDMap produced no glyph ink"
+
+
+# ---------------------------------------------------------------------------
+# Embedded-CFF glyph rendering (FontFile3 / OpenType-CFF, VERDICT r2 item 5)
+# ---------------------------------------------------------------------------
+
+OTF_CFF = (
+    "/opt/venv/lib/python3.12/site-packages/pygame/tests/fixtures/fonts/"
+    "test_fixed.otf"
+)
+
+
+@pytest.mark.skipif(not os.path.exists(OTF_CFF), reason="needs a CFF OTF fixture")
+def test_cff_rasterizer_matches_freetype_single_glyph():
+    """The Type 2 charstring interpreter's fill must match FreeType's
+    rendering of the same CFF glyph within the documented ink-IoU bound."""
+    import numpy as np
+    from PIL import ImageDraw, ImageFont
+
+    from dots_ocr_tpu.ingest.cff import CFFFont
+
+    f = CFFFont(open(OTF_CFF, "rb").read())
+    assert f.num_glyphs > 0 and f.units_per_em == 1000.0
+    gid = f.glyph_id_for_char("A")
+    assert gid != 0
+    bm, xb, yt = f.render_glyph(gid, 96)
+    assert bm is not None
+
+    pf = ImageFont.truetype(OTF_CFF, 96)
+    img = Image.new("L", (200, 200), 0)
+    ImageDraw.Draw(img).text((50, 150), "A", font=pf, fill=255, anchor="ls")
+    ref = np.asarray(img) > 128
+    ours = np.zeros_like(ref)
+    h, w = bm.shape
+    y0, x0 = int(150 - yt), int(50 + xb)
+    ours[y0 : y0 + h, x0 : x0 + w] = bm > 128
+    iou = (ref & ours).sum() / max(1, (ref | ours).sum())
+    assert iou >= 0.6, f"CFF ink IoU {iou:.3f} below the 0.6 fidelity bound"
+
+
+@pytest.mark.skipif(not os.path.exists(OTF_CFF), reason="needs a CFF OTF fixture")
+def test_bare_cff_payload_renders_by_gid():
+    """A bare CFF table (the PDF `FontFile3`/Type1C payload shape, no sfnt
+    wrapper, no cmap) must parse and render identically to the wrapped
+    font — PDFs embed exactly these bytes."""
+    import struct as _struct
+
+    import numpy as np
+
+    from dots_ocr_tpu.ingest.cff import CFFFont
+    from dots_ocr_tpu.ingest.ttf import load_glyph_font
+
+    data = open(OTF_CFF, "rb").read()
+    (num_tables,) = _struct.unpack(">H", data[4:6])
+    cff_bytes = None
+    for i in range(num_tables):
+        rec = data[12 + 16 * i : 12 + 16 * (i + 1)]
+        if rec[:4] == b"CFF ":
+            off, length = _struct.unpack(">II", rec[8:16])
+            cff_bytes = data[off : off + length]
+    assert cff_bytes is not None
+
+    wrapped = CFFFont(data)
+    bare = load_glyph_font(cff_bytes)  # factory must route to CFFFont
+    assert isinstance(bare, CFFFont)
+    gid = wrapped.glyph_id_for_char("B")
+    # ASCII StandardEncoding lookup on the bare payload agrees with the
+    # sfnt cmap on the wrapper (same charset).
+    assert bare.glyph_id_for_char("B") == gid
+    a, _, _ = wrapped.render_glyph(gid, 64)
+    b, _, _ = bare.render_glyph(gid, 64)
+    assert a is not None and np.array_equal(a, b)
+
+
+@pytest.mark.skipif(not os.path.exists(OTF_CFF), reason="needs a CFF OTF fixture")
+def test_type0_cff_glyph_rendering_matches_freetype():
+    """End to end: a Type0/Identity-H CIDFontType0 (CFF outlines via
+    FontFile3) PDF renders through the builtin backend within the same
+    quantified ink-IoU bound as the TrueType path."""
+    import numpy as np
+    from PIL import ImageDraw, ImageFont
+
+    text = "Fixed CFF 42"
+    size, pos, page = 24, (20, 60), (300, 100)
+    data = _type0_pdf_bytes(text, OTF_CFF, size=size, pos=pos, page=page, cff=True)
+    doc = minipdf.open_pdf(data)
+    got = minipdf.render_page(doc, 0, dpi=144)  # 2x scale
+
+    scale = 144 / 72.0
+    ref = Image.new("RGB", got.size, (255, 255, 255))
+    d = ImageDraw.Draw(ref)
+    pf = ImageFont.truetype(OTF_CFF, int(size * scale))
+    d.text((pos[0] * scale, got.size[1] - pos[1] * scale), text,
+           font=pf, fill=(0, 0, 0), anchor="ls")
+
+    a = np.asarray(got.convert("L")) < 128
+    b = np.asarray(ref.convert("L")) < 128
+    assert a.any(), "builtin backend rendered no ink for CFF Type0 text"
+    iou = (a & b).sum() / max(1, (a | b).sum())
+    assert iou >= 0.6, f"CFF ink IoU {iou:.3f} below the 0.6 fidelity bound"
