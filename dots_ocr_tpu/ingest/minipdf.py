@@ -13,21 +13,23 @@ Scope (an OCR front end, not a full viewer):
   * filters: FlateDecode (incl. PNG predictors), DCTDecode, ASCIIHexDecode,
     ASCII85Decode, RunLengthDecode,
   * rasterization: image XObjects (the scanned-document case) composited
-    under the full affine CTM; Form XObjects (recursive); rectangle fills;
-    approximate text rendering using embedded TrueType/CFF fonts through
-    PIL's FreeType binding, positioned by the PDF text matrix and advanced
-    by font widths (/Widths for simple fonts, /W + /DW for CID fonts),
-    with code->unicode mapping via ToUnicode CMaps.
+    under the full affine CTM; Form XObjects (recursive); vector paths
+    (m/l/c/v/y/h/re with fills and CTM-scaled strokes, Beziers flattened);
+    text rendering: embedded TrueType and CFF/Type2 glyph programs are
+    rasterized BY GLYPH ID (ingest/ttf.py, ingest/cff.py) for composite
+    fonts, positioned by the PDF text matrix and advanced by font widths
+    (/Widths for simple fonts, /W + /DW for CID fonts); simple 1-byte fonts
+    go through PIL's FreeType binding with ToUnicode/latin-1 mapping.
 
-Fidelity notes: glyphs are mapped through ToUnicode (not raw glyph IDs), so
-fonts lacking a ToUnicode CMap render as best-effort latin-1; vector art
-other than rect fills is skipped. For document OCR (text + images on a white
-page) this reproduces what the model needs to see.
+Fidelity notes: clipping paths (W/W*) are not applied; compound even-odd
+holes fill per-subpath; shading patterns (sh) are skipped. For document OCR
+(text + images on a white page) this reproduces what the model needs to see.
 """
 
 from __future__ import annotations
 
 import io
+import math
 import re
 import zlib
 from dataclasses import dataclass, field
@@ -876,10 +878,33 @@ def mat_apply(m: Matrix, x: float, y: float) -> Tuple[float, float]:
     return (a * x + c * y + e, b * x + d * y + f)
 
 
+def _flatten_cubic(
+    p0: Tuple[float, float],
+    p1: Tuple[float, float],
+    p2: Tuple[float, float],
+    p3: Tuple[float, float],
+    steps: int = 12,
+) -> List[Tuple[float, float]]:
+    """Flatten a cubic Bezier (excluding p0) with uniform-t subdivision."""
+    out: List[Tuple[float, float]] = []
+    for i in range(1, steps + 1):
+        t = i / steps
+        u = 1.0 - t
+        uu, tt = u * u, t * t
+        b0, b1, b2, b3 = uu * u, 3.0 * uu * t, 3.0 * u * tt, tt * t
+        out.append((
+            b0 * p0[0] + b1 * p1[0] + b2 * p2[0] + b3 * p3[0],
+            b0 * p0[1] + b1 * p1[1] + b2 * p2[1] + b3 * p3[1],
+        ))
+    return out
+
+
 @dataclass
 class GraphicsState:
     ctm: Matrix = IDENTITY
     fill_rgb: Tuple[int, int, int] = (0, 0, 0)
+    stroke_rgb: Tuple[int, int, int] = (0, 0, 0)
+    line_width: float = 1.0
     font: Optional[LoadedFont] = None
     font_size: float = 12.0
     char_spacing: float = 0.0
@@ -890,7 +915,8 @@ class GraphicsState:
 
     def clone(self) -> "GraphicsState":
         return GraphicsState(
-            self.ctm, self.fill_rgb, self.font, self.font_size,
+            self.ctm, self.fill_rgb, self.stroke_rgb, self.line_width,
+            self.font, self.font_size,
             self.char_spacing, self.word_spacing, self.h_scale,
             self.leading, self.rise,
         )
@@ -1069,10 +1095,32 @@ class PageRasterizer:
                 mask_region = cov.transform((out_w, out_h), Image.AFFINE, coeffs, fillcolor=0)
             self.canvas.paste(region, (round(x_min), round(y_min)), mask_region)
 
-    def _fill_rect(self, pts: List[Tuple[float, float]], rgb: Tuple[int, int, int], ctm: Matrix) -> None:
-        m = mat_mul(ctm, self.base)
-        device = [mat_apply(m, x, y) for x, y in pts]
-        self.draw.polygon(device, fill=rgb)
+    def _paint_path(
+        self,
+        subpaths: List[Tuple[List[Tuple[float, float]], bool]],
+        gs: GraphicsState,
+        fill: bool,
+        stroke: bool,
+    ) -> None:
+        """Paint constructed subpaths in device space.
+
+        Fills use PIL's scanline polygon fill (per-subpath — adequate for the
+        cell shadings, rules, and simple figures that occur in documents;
+        compound even-odd holes across subpaths are approximated). Strokes
+        flatten to polylines with the line width scaled by the CTM.
+        """
+        m = mat_mul(gs.ctm, self.base)
+        if stroke:
+            a, b, c, d, _, _ = m
+            scale = math.sqrt(abs(a * d - b * c)) or 1.0
+            width = max(1, round(gs.line_width * scale))
+        for pts, closed in subpaths:
+            device = [mat_apply(m, x, y) for x, y in pts]
+            if fill and len(device) >= 3:
+                self.draw.polygon(device, fill=gs.fill_rgb)
+            if stroke and len(device) >= 2:
+                line_pts = device + device[:1] if closed else device
+                self.draw.line(line_pts, fill=gs.stroke_rgb, width=width)
 
     # -- main loop ------------------------------------------------------------
 
@@ -1103,7 +1151,25 @@ class PageRasterizer:
         gs_stack: List[GraphicsState] = []
         tm: Matrix = IDENTITY
         tlm: Matrix = IDENTITY
-        pending_rects: List[List[Tuple[float, float]]] = []
+        # Path under construction: [user-space points, closed] per subpath
+        # (mutable pairs so `h` can flip the closed flag in place).
+        subpaths: List[List[Any]] = []
+        cur_sub: Optional[List[Tuple[float, float]]] = None
+
+        def start_sub(x: float, y: float) -> None:
+            nonlocal cur_sub
+            cur_sub = [(x, y)]
+            subpaths.append([cur_sub, False])
+
+        def paint(fill: bool, stroke: bool, close: bool = False) -> None:
+            nonlocal subpaths, cur_sub
+            if close and subpaths:
+                subpaths[-1][1] = True
+            painted = [(pts, closed) for pts, closed in subpaths if len(pts) >= 2]
+            if painted:
+                self._paint_path(painted, gs, fill, stroke)
+            subpaths = []
+            cur_sub = None
 
         def show_text(raw: bytes) -> None:
             nonlocal tm
@@ -1221,18 +1287,79 @@ class PageRasterizer:
                     elif len(nums) == 1:
                         v = int(float(nums[0]) * 255)
                         gs.fill_rgb = (v, v, v)
-                # Paths: only rectangle fills matter for documents (cell
-                # shading, rules). Everything else is dropped.
+                elif op == "G" and stack:
+                    v = int(float(stack[-1]) * 255)
+                    gs.stroke_rgb = (v, v, v)
+                elif op == "RG" and len(stack) >= 3:
+                    gs.stroke_rgb = tuple(int(float(v) * 255) for v in stack[-3:])  # type: ignore[assignment]
+                elif op == "K" and len(stack) >= 4:
+                    cc, mm, yy, kk = (float(v) for v in stack[-4:])
+                    gs.stroke_rgb = (
+                        int(255 * (1 - min(1.0, cc + kk))),
+                        int(255 * (1 - min(1.0, mm + kk))),
+                        int(255 * (1 - min(1.0, yy + kk))),
+                    )
+                elif op in ("SC", "SCN") and stack:
+                    nums = [v for v in stack if isinstance(v, (int, float))]
+                    if len(nums) >= 3:
+                        gs.stroke_rgb = tuple(int(float(v) * 255) for v in nums[-3:])  # type: ignore[assignment]
+                    elif len(nums) == 1:
+                        v = int(float(nums[0]) * 255)
+                        gs.stroke_rgb = (v, v, v)
+                # Path construction (PDF 1.7 §8.5.2): full operator set with
+                # cubic Beziers flattened to polylines. Clipping (W/W*) is
+                # acknowledged but not applied — document content rarely
+                # depends on it, and a wrong clip is worse than none.
+                elif op == "m" and len(stack) >= 2:
+                    start_sub(float(stack[-2]), float(stack[-1]))
+                elif op == "l" and len(stack) >= 2:
+                    if cur_sub is None:
+                        start_sub(float(stack[-2]), float(stack[-1]))
+                    else:
+                        cur_sub.append((float(stack[-2]), float(stack[-1])))
+                elif op in ("c", "v", "y") and cur_sub is not None:
+                    p0 = cur_sub[-1]
+                    if op == "c" and len(stack) >= 6:
+                        x1, y1, x2, y2, x3, y3 = (float(v) for v in stack[-6:])
+                    elif op == "v" and len(stack) >= 4:
+                        x2, y2, x3, y3 = (float(v) for v in stack[-4:])
+                        x1, y1 = p0
+                    elif op == "y" and len(stack) >= 4:
+                        x1, y1, x3, y3 = (float(v) for v in stack[-4:])
+                        x2, y2 = x3, y3
+                    else:
+                        stack.clear()
+                        continue
+                    cur_sub.extend(_flatten_cubic(p0, (x1, y1), (x2, y2), (x3, y3)))
+                elif op == "h":
+                    if subpaths:
+                        subpaths[-1][1] = True
+                    if cur_sub:
+                        cur_sub = None  # next segment op starts a new subpath
                 elif op == "re" and len(stack) >= 4:
                     x, y, w, h = (float(v) for v in stack[-4:])
-                    pending_rects.append([(x, y), (x + w, y), (x + w, y + h), (x, y + h)])
-                elif op in ("f", "F", "f*", "b", "b*", "B", "B*"):
-                    for rect in pending_rects:
-                        self._fill_rect(rect, gs.fill_rgb, gs.ctm)
-                    pending_rects = []
-                elif op in ("n", "S", "s", "W", "W*"):
-                    if op in ("n", "S", "s"):
-                        pending_rects = []
+                    start_sub(x, y)
+                    assert cur_sub is not None
+                    cur_sub.extend([(x + w, y), (x + w, y + h), (x, y + h)])
+                    subpaths[-1][1] = True
+                    cur_sub = None
+                # Path painting
+                elif op in ("f", "F", "f*"):
+                    paint(fill=True, stroke=False)
+                elif op in ("B", "B*"):
+                    paint(fill=True, stroke=True)
+                elif op in ("b", "b*"):
+                    paint(fill=True, stroke=True, close=True)
+                elif op == "S":
+                    paint(fill=False, stroke=True)
+                elif op == "s":
+                    paint(fill=False, stroke=True, close=True)
+                elif op == "n":
+                    paint(fill=False, stroke=False)
+                elif op in ("W", "W*"):
+                    pass
+                elif op == "w" and stack:
+                    gs.line_width = float(stack[-1])
                 # Text
                 elif op == "BT":
                     tm = IDENTITY

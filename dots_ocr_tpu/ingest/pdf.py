@@ -120,9 +120,9 @@ def get_backend():
                     "installed). Embedded TrueType AND CFF/OpenType text "
                     "rasterizes by glyph id at >=0.6 ink-IoU vs FreeType "
                     "(tests/test_ingest.py bounds; measured ~0.84/~0.88); "
-                    "Type 1 fonts and vector art beyond rect fills are "
-                    "approximate — install pymupdf for eval-grade "
-                    "rasterization."
+                    "vector paths fill/stroke with flattened Beziers; "
+                    "Type 1 fonts and clipping paths are approximate — "
+                    "install pymupdf for eval-grade rasterization."
                 )
             return _BACKEND
         except ImportError:

@@ -423,3 +423,83 @@ def test_type0_cff_glyph_rendering_matches_freetype():
     assert a.any(), "builtin backend rendered no ink for CFF Type0 text"
     iou = (a & b).sum() / max(1, (a | b).sum())
     assert iou >= 0.6, f"CFF ink IoU {iou:.3f} below the 0.6 fidelity bound"
+
+
+def _content_pdf_bytes(content: bytes, media=(0, 0, 200, 200)):
+    """One-page PDF with a raw content stream and no resources."""
+    stream = zlib.compress(content)
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox ["
+            + " ".join(str(v) for v in media).encode()
+            + b"] /Contents 4 0 R >>"
+        ),
+        b"<< /Length " + str(len(stream)).encode() + b" /Filter /FlateDecode >>\nstream\n"
+        + stream + b"\nendstream",
+    ]
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(out.tell())
+        out.write(f"{i} 0 obj\n".encode() + body + b"\nendobj\n")
+    xref_pos = out.tell()
+    out.write(f"xref\n0 {len(objs)+1}\n".encode())
+    out.write(b"0000000000 65535 f \n")
+    for off in offsets:
+        out.write(f"{off:010d} 00000 n \n".encode())
+    out.write(
+        f"trailer\n<< /Size {len(objs)+1} /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF".encode()
+    )
+    return out.getvalue()
+
+
+def test_vector_paths_fill_stroke_bezier():
+    """m/l/h fills, w-scaled S strokes, and flattened c Beziers all paint."""
+    content = (
+        # Filled black triangle in the lower-left quadrant.
+        b"0 0 0 rg 10 10 m 90 10 l 50 90 l h f\n"
+        # 4pt-wide red horizontal stroke across the top band.
+        b"1 0 0 RG 4 w 10 180 m 190 180 l S\n"
+        # Blue closed+stroked square (s closes back to the start point).
+        b"0 0 1 RG 2 w 120 40 m 180 40 l 180 100 l 120 100 l s\n"
+        # Green filled Bezier "bulge" (c), mid-right.
+        b"0 0.6 0 rg 110 120 m 110 160 190 160 190 120 c h f\n"
+    )
+    doc = minipdf.open_pdf(_content_pdf_bytes(content))
+    img = minipdf.render_page(doc, 0, dpi=72)
+    assert img.size == (200, 200)
+    # Triangle interior (PDF y=30 -> device y=170).
+    assert img.getpixel((50, 170)) == (0, 0, 0)
+    # Outside the triangle stays white.
+    assert img.getpixel((15, 110)) == (255, 255, 255)
+    # Red stroke at PDF y=180 -> device y=20, width ~4px.
+    r, g, b = img.getpixel((100, 20))
+    assert r > 200 and g < 80 and b < 80
+    # Blue square: left edge stroked, interior NOT filled.
+    r, g, b = img.getpixel((120, 130))
+    assert b > 200 and r < 80
+    assert img.getpixel((150, 130)) == (255, 255, 255)
+    # The `s` close stroke: the segment from (120,100) back to (120,40)
+    # is the LEFT edge; the close connects (120,100)->(120,40)? No — close
+    # joins last point (120,100) to first (120,40): same left edge. Check
+    # the bottom edge (120,40)-(180,40) -> device y=160 instead.
+    r, g, b = img.getpixel((150, 160))
+    assert b > 200 and r < 80
+    # Bezier bulge: curve peaks at PDF y=150 (device y=50); interior of the
+    # filled region between the chord and the curve near x=150.
+    r, g, b = img.getpixel((150, 65))
+    assert g > 120 and r < 80
+
+
+def test_vector_path_ctm_scaled_stroke_width():
+    """Line width scales with the CTM determinant (2x CTM -> ~2x pixels)."""
+    content = b"2 0 0 2 0 0 cm 0 0 0 RG 3 w 10 50 m 90 50 l S\n"
+    doc = minipdf.open_pdf(_content_pdf_bytes(content))
+    img = minipdf.render_page(doc, 0, dpi=72)
+    # Stroke at PDF y=100 (after 2x scale) -> device y=100; ~6px wide.
+    col = [img.getpixel((100, y)) for y in range(90, 110)]
+    dark = sum(1 for px in col if px[0] < 80)
+    assert 4 <= dark <= 9, f"expected ~6px stroke, got {dark}"
