@@ -33,7 +33,7 @@ import numpy as np
 
 from dots_ocr_tpu.engine.kv_cache import OutOfPages, PageAllocator, PagedKV, write_prefill_kv
 from dots_ocr_tpu.engine.request import prepare_request
-from dots_ocr_tpu.engine.sampling import sample_logits
+from dots_ocr_tpu.engine.sampling import NUCLEUS_TOP_K, sample_logits
 from dots_ocr_tpu.engine.tokenizer import TokenizerLike
 from dots_ocr_tpu.models.config import DotsOCRConfig
 from dots_ocr_tpu.models.decoder import (
@@ -289,7 +289,7 @@ def prefill_extend_program(
 @partial(
     jax.jit,
     static_argnames=("config", "page_size", "num_steps", "spec_k",
-                     "attn_impl", "mesh"),
+                     "attn_impl", "nucleus", "mesh"),
     donate_argnames=("paged", "tokens_buf"),
 )
 def spec_decode_program(
@@ -303,11 +303,13 @@ def spec_decode_program(
     page_tables,
     active,
     temperature,
+    top_p,
     rng,
     page_size: int,
     num_steps: int = 1,
     spec_k: int = 4,
     attn_impl: str = "paged",
+    nucleus: bool = False,
     mesh=None,
 ):
     """Speculative multi-step decode: n-gram drafting + multi-token verify,
@@ -325,8 +327,13 @@ def spec_decode_program(
     (3) ACCEPT — greedy rows take the leading run where argmax reproduces
     the drafts; sampled rows use exact delta-proposal rejection (accept
     draft d with prob p_j(d); on reject sample from p_j with d masked —
-    distribution-preserving). Requires top_p >= 1 rows (the layout/OCR
-    default; the scheduler gates).
+    distribution-preserving). With ``nucleus=True`` (static), rows with
+    top_p < 1 score acceptance against the SAME truncated-renormalized
+    top-K nucleus the plain sampler uses (sampling.NUCLEUS_TOP_K; true
+    probabilities via the full-vocab logsumexp), and the corrective token
+    samples from that kept set with the rejected draft masked — so spec
+    on/off is distribution-identical for nucleus rows too. top_p >= 1
+    rows inside a nucleus program keep the full-vocab math.
 
     tokens_buf: [S, L] generated-token history by LOGICAL position (L =
     max_pages_per_seq * page_size rows of the page table's coverage);
@@ -421,6 +428,30 @@ def spec_decode_program(
             logp[:, : nq - 1], x_all[:, 1:, None], axis=2
         )[..., 0]
         acc_sampled = jnp.log(u) < logp_draft
+        if nucleus:
+            # Truncated-renormalized nucleus per verify position, built
+            # exactly like sampling.sample_logits: top-K candidates, kept
+            # prefix by TRUE cumulative probability, renormalized over the
+            # kept set. A draft outside the kept set has probability 0.
+            kk = min(NUCLEUS_TOP_K, logits.shape[-1])
+            scaled = logits / t_safe  # [S, nq, V]
+            top_vals, top_idx = jax.lax.top_k(scaled, kk)  # [S, nq, kk]
+            lse = jax.nn.logsumexp(scaled, axis=-1, keepdims=True)
+            top_probs = jnp.exp(top_vals - lse)
+            cum = jnp.cumsum(top_probs, axis=-1)
+            keep = (cum - top_probs) < top_p[:, None, None]
+            kept_vals = jnp.where(keep, top_vals, -jnp.inf)
+            lse_kept = jax.nn.logsumexp(kept_vals, axis=-1)  # [S, nq]
+            dmatch = (
+                top_idx[:, : nq - 1] == x_all[:, 1:, None]
+            ) & keep[:, : nq - 1]
+            lv = jnp.max(
+                jnp.where(dmatch, top_vals[:, : nq - 1], -jnp.inf), axis=-1
+            )
+            logp_nuc = lv - lse_kept[:, : nq - 1]
+            acc_sampled = jnp.where(
+                top_p[:, None] < 1.0, jnp.log(u) < logp_nuc, acc_sampled
+            )
         acc_greedy = argmax[:, : nq - 1] == x_all[:, 1:]
         acc = jnp.where(greedy[:, None], acc_greedy, acc_sampled)
         a = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1), axis=1)  # [S]
@@ -433,6 +464,22 @@ def spec_decode_program(
         corrective = sample_logits(
             r_cor, la, temperature, jnp.ones_like(temperature), nucleus=False
         )
+        if nucleus:
+            # Nucleus rows resample from the kept set at column a with the
+            # rejected draft masked (a rejected draft always leaves kept
+            # mass: a sole-kept draft has p'(d)=1 and is never rejected).
+            kv_a = jnp.take_along_axis(kept_vals, a[:, None, None], axis=1)[:, 0]
+            ti_a = jnp.take_along_axis(top_idx, a[:, None, None], axis=1)[:, 0]
+            kv_a = kv_a + jnp.where(
+                (ti_a == d_a[:, None]) & (a[:, None] < nq - 1), -1e30, 0.0
+            )
+            pick = jax.random.categorical(r_cor, kv_a, axis=-1)
+            corr_nuc = jnp.take_along_axis(
+                ti_a, pick[:, None], axis=-1
+            )[:, 0].astype(jnp.int32)
+            corrective = jnp.where(
+                (top_p < 1.0) & ~greedy, corr_nuc, corrective
+            )
 
         y = jnp.concatenate(
             [x_all[:, 1:], jnp.full((s, 1), pad, jnp.int32)], axis=1
@@ -652,9 +699,9 @@ class SchedulerConfig:
     # HBM read amortizes over accepted tokens, which beats the
     # weight-bandwidth bound on repetitive outputs (HTML tables, layout
     # JSON scaffolding). Greedy rows are exactly greedy; sampled rows use
-    # exact delta-proposal rejection. Engages only for chunks where every
-    # live row has top_p >= 1 (the layout/OCR default) and no stop
-    # strings / stream callbacks need per-token host checks. 0 = off.
+    # exact delta-proposal rejection (top_p < 1 rows against the same
+    # truncated top-K nucleus the plain sampler draws from), so every
+    # sampling mix engages. 0 = off.
     speculate_k: int = 0
     # Adaptive speculation cut-off: a verify iteration costs ~1.33x a plain
     # decode iteration (r3 acceptance sweep: 15.6 vs 11.7 ms at 64 slots,
@@ -914,6 +961,8 @@ class ContinuousBatchingEngine:
         self._spec_ewma: Optional[float] = None
         self._spec_low_streak = 0
         self._spec_enabled = True
+        # Pending incremental-warmup thunks (queue_warmup / warm_tick).
+        self._warm_queue: List[Any] = []
         # Last-N finished-request latency splits (queue/ttft/prefill/
         # decode/total ms) — the serving layer derives p50/p95 on scrape.
         self.recent_timings: Deque[Dict[str, float]] = deque(maxlen=512)
@@ -1157,27 +1206,20 @@ class ContinuousBatchingEngine:
         step = self.sched.prompt_bucket_step
         return max(step, -(-n // step) * step)
 
-    def warmup_decode(
+    def warmup_plan(
         self,
         max_len: Optional[int] = None,
         nucleus_variants: Sequence[bool] = (False, True),
-    ) -> int:
-        """Precompile every decode program ``step()`` can dispatch.
-
-        On the production path (v2 multi-page kernel) the page-table width
-        is STATIC at max_pages_per_seq, so this compiles one program per
-        (depth, nucleus, spec) combination. On fallback paths ``step()``
-        buckets the table width to the live maximum (one compiled program
-        per power-of-two width) and every bucket is warmed — a long decode
-        crossing a bucket boundary mid-flight would otherwise pay an XLA
-        compile inside the hot path (minutes through a remote-compile
-        tunnel). Run once on an idle engine (server startup / before
-        timing). ``max_len`` bounds the longest sequence to warm for on
-        the bucketed path. Returns the number of programs compiled.
+    ) -> List[Any]:
+        """Build the list of warm thunks covering every decode program
+        ``step()`` can dispatch — each thunk compiles + executes ONE
+        program on an all-inactive batch (zero iterations, no KV pages
+        touched). Ordered most-likely-first-dispatched first: non-nucleus
+        variants (the layout/OCR default) before nucleus, shallow chunk
+        depths before deep, speculative before plain when speculation is
+        on. Thunks must run on the engine thread while the engine is idle
+        (they donate + rebind the paged pool).
         """
-        assert not any(r is not None for r in self._slot_req), (
-            "warmup_decode must run on an idle engine"
-        )
         cap = self.sched.max_pages_per_seq
         if self._static_width:
             widths = [cap]
@@ -1204,68 +1246,137 @@ class ContinuousBatchingEngine:
         depths = [self.sched.steps_per_sync]
         if self.sched.max_steps_per_sync > self.sched.steps_per_sync:
             depths.append(self.sched.max_steps_per_sync)
-        compiled = 0
-        for w in widths:
-            tables = self._put(jnp.zeros((s, w), jnp.int32))
-            for nucleus in nucleus_variants:
-                for depth in depths:
-                    packed, _, self.paged = decode_program(
-                        self.params,
-                        self.config,
-                        self.paged,
-                        tokens,
-                        positions,
-                        tables,
-                        idle,
-                        temps,
-                        top_ps,
-                        self._next_rng(),
-                        page_size=self.sched.page_size,
-                        num_steps=depth,
-                        attn_impl=self.decode_impl,
-                        nucleus=bool(nucleus),
-                        mesh=self._kernel_mesh,
-                    )
-                    np.asarray(packed)  # force compile + execute now
-                    compiled += 1
-            if self.sched.speculate_k > 0:
+        spec_k = self.sched.speculate_k
+        spec_depths = []
+        if spec_k > 0:
+            # step() scales the deep depth by tokens-per-iteration in
+            # spec mode; warm the depths it will actually dispatch.
+            spec_deep = max(
+                self.sched.steps_per_sync,
+                self.sched.max_steps_per_sync // (spec_k + 1),
+            )
+            spec_depths = [self.sched.steps_per_sync]
+            if spec_deep != self.sched.steps_per_sync:
+                spec_depths.append(spec_deep)
+
+        def decode_thunk(tables, depth, nucleus):
+            def run():
+                packed, _, self.paged = decode_program(
+                    self.params,
+                    self.config,
+                    self.paged,
+                    tokens,
+                    positions,
+                    tables,
+                    idle,
+                    temps,
+                    top_ps,
+                    self._next_rng(),
+                    page_size=self.sched.page_size,
+                    num_steps=depth,
+                    attn_impl=self.decode_impl,
+                    nucleus=nucleus,
+                    mesh=self._kernel_mesh,
+                )
+                np.asarray(packed)  # force compile + execute now
+            return run
+
+        def spec_thunk(tables, depth, nucleus):
+            def run():
                 buf = self._put(jnp.zeros(
                     (s, self.sched.max_pages_per_seq * self.sched.page_size),
                     jnp.int32,
                 ))
-                # step() scales the deep depth by tokens-per-iteration in
-                # spec mode; warm the depths it will actually dispatch.
-                spec_deep = max(
-                    self.sched.steps_per_sync,
-                    self.sched.max_steps_per_sync
-                    // (self.sched.speculate_k + 1),
+                packed, _, self.paged, _ = spec_decode_program(
+                    self.params,
+                    self.config,
+                    self.paged,
+                    buf,
+                    tokens,
+                    positions,
+                    self._put(jnp.zeros(s, jnp.int32)),
+                    tables,
+                    idle,
+                    temps,
+                    top_ps,
+                    self._next_rng(),
+                    page_size=self.sched.page_size,
+                    num_steps=depth,
+                    spec_k=spec_k,
+                    attn_impl=self.decode_impl,
+                    nucleus=nucleus,
+                    mesh=self._kernel_mesh,
                 )
-                spec_depths = [self.sched.steps_per_sync]
-                if spec_deep != self.sched.steps_per_sync:
-                    spec_depths.append(spec_deep)
+                np.asarray(packed)
+            return run
+
+        plan: List[Any] = []
+        for w in widths:
+            tables = self._put(jnp.zeros((s, w), jnp.int32))
+            for nucleus in nucleus_variants:
                 for depth in spec_depths:
-                    # buf is donated — rebind it each iteration.
-                    packed, _, self.paged, buf = spec_decode_program(
-                        self.params,
-                        self.config,
-                        self.paged,
-                        buf,
-                        tokens,
-                        positions,
-                        self._put(jnp.zeros(s, jnp.int32)),
-                        tables,
-                        idle,
-                        temps,
-                        self._next_rng(),
-                        page_size=self.sched.page_size,
-                        num_steps=depth,
-                        spec_k=self.sched.speculate_k,
-                        attn_impl=self.decode_impl,
-                        mesh=self._kernel_mesh,
-                    )
-                    np.asarray(packed)
-                    compiled += 1
-        return compiled
+                    plan.append(spec_thunk(tables, depth, bool(nucleus)))
+                for depth in depths:
+                    plan.append(decode_thunk(tables, depth, bool(nucleus)))
+        return plan
+
+    def warmup_decode(
+        self,
+        max_len: Optional[int] = None,
+        nucleus_variants: Sequence[bool] = (False, True),
+    ) -> int:
+        """Precompile every decode program ``step()`` can dispatch.
+
+        On the production path (v2 multi-page kernel) the page-table width
+        is STATIC at max_pages_per_seq, so this compiles one program per
+        (depth, nucleus, spec) combination. On fallback paths ``step()``
+        buckets the table width to the live maximum (one compiled program
+        per power-of-two width) and every bucket is warmed — a long decode
+        crossing a bucket boundary mid-flight would otherwise pay an XLA
+        compile inside the hot path (minutes through a remote-compile
+        tunnel). Run once on an idle engine (server startup / before
+        timing). ``max_len`` bounds the longest sequence to warm for on
+        the bucketed path. Returns the number of programs compiled.
+        """
+        assert not any(r is not None for r in self._slot_req), (
+            "warmup_decode must run on an idle engine"
+        )
+        plan = self.warmup_plan(max_len, nucleus_variants)
+        for thunk in plan:
+            thunk()
+        return len(plan)
+
+    def queue_warmup(
+        self,
+        max_len: Optional[int] = None,
+        nucleus_variants: Sequence[bool] = (False, True),
+    ) -> int:
+        """Queue the warmup plan for INCREMENTAL execution via
+        :meth:`warm_tick` (the serving loop calls it on idle ticks) —
+        the server binds immediately and programs compile between
+        requests instead of as one multi-minute startup outage. A request
+        arriving mid-compile waits for at most one program. Returns the
+        number of queued programs.
+        """
+        self._warm_queue = list(self.warmup_plan(max_len, nucleus_variants))
+        return len(self._warm_queue)
+
+    @property
+    def warm_pending(self) -> int:
+        return len(getattr(self, "_warm_queue", ()))
+
+    def warm_tick(self) -> bool:
+        """Run ONE pending warm thunk if the engine is idle. Returns True
+        if a program was compiled (callers loop while it returns True and
+        there is still no request traffic)."""
+        queue = getattr(self, "_warm_queue", None)
+        if not queue:
+            return False
+        if any(r is not None for r in self._slot_req) or self._waiting:
+            return False  # never contend with live traffic
+        thunk = queue.pop(0)
+        thunk()
+        return True
 
     # -- admission -------------------------------------------------------
 
@@ -1726,15 +1837,11 @@ class ContinuousBatchingEngine:
         if active:
             s = self.sched.max_slots
             chunk = self.sched.steps_per_sync
-            # Speculation: engages when every live row runs top_p >= 1
-            # (exact acceptance math; the layout/OCR default) — greedy rows
-            # stay exactly greedy, sampled rows are distribution-preserving.
+            # Speculation: greedy rows stay exactly greedy; sampled rows
+            # (incl. top_p < 1 via the nucleus-exact verify) are
+            # distribution-preserving, so it engages for every mix.
             spec_k = self.sched.speculate_k
-            use_spec = (
-                spec_k > 0
-                and self._spec_enabled
-                and all(self._slot_req[i].top_p >= 1.0 for i in active)
-            )
+            use_spec = spec_k > 0 and self._spec_enabled
             tokens_per_iter = (spec_k + 1) if use_spec else 1
             # Deep chunks are counted in ITERATIONS; with speculation each
             # iteration emits up to tokens_per_iter tokens, so scale the
@@ -1886,11 +1993,13 @@ class ContinuousBatchingEngine:
                         dev["tables"],
                         dev["active"],
                         dev["temps"],
+                        dev["top_ps"],
                         dev["rng"],
                         page_size=self.sched.page_size,
                         num_steps=chunk,
                         spec_k=spec_k,
                         attn_impl=self.decode_impl,
+                        nucleus=dev["nucleus"],
                         mesh=self._kernel_mesh,
                     )
                     self.metrics["spec_chunks"] = (

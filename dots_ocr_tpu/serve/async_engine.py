@@ -181,6 +181,16 @@ class EngineWorker:
             self._drain_cancels()
             self._drain_queue(block=not self.engine.has_work())
             if not self.engine.has_work():
+                # Incremental warmup (server --warmup background): compile
+                # one queued decode program per idle tick — requests that
+                # arrive mid-compile wait at most one program instead of
+                # the whole multi-minute upfront warm.
+                if getattr(self.engine, "warm_pending", 0) and self._queue.empty():
+                    try:
+                        self.engine.warm_tick()
+                    except Exception:  # noqa: BLE001
+                        logger.exception("background warmup thunk failed")
+                        self.engine._warm_queue = []
                 continue
             try:
                 finished = self.engine.step()

@@ -66,6 +66,10 @@ class ServerMetrics:
             ]
             for key, value in getattr(engine, "metrics", {}).items():
                 lines.append(f"dots_ocr_engine_{key} {value}")
+            lines.append(
+                "dots_ocr_engine_warm_pending "
+                f"{getattr(engine, 'warm_pending', 0)}"
+            )
             # Per-request latency percentiles over the last-N finished
             # requests (queue/TTFT/prefill/decode split — SURVEY §5.5;
             # proves the p50 page-parse claim continuously).
@@ -652,8 +656,13 @@ def main(argv=None):
         help="serve a tiny random-weight model (smoke tests without weights)",
     )
     parser.add_argument(
-        "--warmup", action="store_true",
-        help="precompile the common prompt/vision buckets before binding",
+        "--warmup", nargs="?", const="full", default=None,
+        choices=("full", "background"),
+        help="precompile decode/vision programs: 'full' (bare --warmup) "
+        "blocks until every bucket is compiled before binding; "
+        "'background' binds IMMEDIATELY and compiles decode programs on "
+        "idle engine ticks (a request arriving mid-compile waits at most "
+        "one program) — cuts the startup outage window to ~0",
     )
     parser.add_argument(
         "--compile-cache", type=str, default=None,
@@ -673,8 +682,9 @@ def main(argv=None):
         "--speculate-k", type=int, default=0,
         help="n-gram speculative decoding: verify this many device-drafted "
         "tokens per decode iteration (big win on repetitive outputs like "
-        "HTML tables / layout JSON; exact for greedy and temp-sampled "
-        "top_p>=1 requests, auto-disabled per chunk otherwise); 0 = off",
+        "HTML tables / layout JSON; exact for greedy and "
+        "distribution-preserving for sampled requests incl. top_p<1); "
+        "0 = off",
     )
     parser.add_argument(
         "--spec-min-tokens-per-iter", type=float, default=1.5,
@@ -816,7 +826,7 @@ def main(argv=None):
     else:
         engine = InferenceEngine(params, config, tokenizer=tokenizer)
 
-    if args.warmup:
+    if args.warmup == "full":
         import numpy as _np
         from PIL import Image as _Image
 
@@ -836,6 +846,12 @@ def main(argv=None):
                 "warmup: %d decode width buckets compiled", n
             )
         logging.getLogger(__name__).info("warmup complete")
+    elif args.warmup == "background" and hasattr(engine, "queue_warmup"):
+        n = engine.queue_warmup()
+        logging.getLogger(__name__).info(
+            "background warmup: %d decode programs queued — serving now, "
+            "compiling on idle engine ticks", n
+        )
 
     OpenAIServer(
         engine, model_name=args.model_name, max_batch=args.max_batch

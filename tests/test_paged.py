@@ -379,6 +379,30 @@ def test_warmup_decode_max_len_bounds_widths(cb_engine):
     assert cb_engine.warmup_decode(max_len=3, nucleus_variants=(False,)) == 2
 
 
+def test_incremental_warmup_ticks_drain_and_yield_to_traffic(cb_engine):
+    """queue_warmup + warm_tick compiles the same plan one program per
+    tick, refuses to run while requests are live, and leaves subsequent
+    greedy output unchanged."""
+    before = cb_engine.generate_one("inc warm probe", temperature=0.0,
+                                    max_new_tokens=6)
+    n = cb_engine.queue_warmup(nucleus_variants=(False,))
+    assert n == cb_engine.warm_pending > 0
+    # A live request blocks warm ticks.
+    rid = cb_engine.submit("busy", max_new_tokens=4, temperature=0.0)
+    assert cb_engine.warm_tick() is False
+    while cb_engine.has_work():
+        cb_engine.step()
+    cb_engine.take_finished(rid)
+    ticks = 0
+    while cb_engine.warm_tick():
+        ticks += 1
+    assert ticks == n and cb_engine.warm_pending == 0
+    assert cb_engine.warm_tick() is False  # drained queue is inert
+    after = cb_engine.generate_one("inc warm probe", temperature=0.0,
+                                   max_new_tokens=6)
+    assert before == after
+
+
 def test_scheduler_concurrent_requests(cb_engine):
     outs = cb_engine.generate_batch(
         ["first prompt", "second one", "third prompt here", "fourth", "fifth", "sixth"],

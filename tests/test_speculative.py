@@ -92,17 +92,31 @@ def test_spec_int8_cache_greedy(setup):
     assert a == b
 
 
-def test_spec_sampled_runs_and_nucleus_gates_off(setup):
+def test_spec_sampled_and_nucleus_rows_speculate(setup):
     eng = build(setup, spec_k=4)
     out = eng.generate_one("sampled spec", temperature=0.8, max_new_tokens=16,
                            seed=7)
     assert isinstance(out, str)
     assert eng.metrics.get("spec_chunks", 0) >= 1
-    # top_p < 1 rows must fall back to the non-spec program.
+    # top_p < 1 rows run the nucleus-exact verify (no fallback).
     before = eng.metrics.get("spec_chunks", 0)
-    eng.generate_one("nucleus off", temperature=0.8, top_p=0.9,
-                     max_new_tokens=8, seed=3)
-    assert eng.metrics.get("spec_chunks", 0) == before
+    out = eng.generate_one("nucleus spec", temperature=0.8, top_p=0.9,
+                           max_new_tokens=8, seed=3)
+    assert isinstance(out, str)
+    assert eng.metrics.get("spec_chunks", 0) > before
+
+
+def test_spec_nucleus_collapse_matches_greedy(setup):
+    """With top_p -> 0 the nucleus keeps only the argmax, so sampled
+    nucleus speculation must reproduce greedy output exactly — this drives
+    the nucleus accept path AND the kept-set corrective deterministically."""
+    want = build(setup).generate_one("nucleus collapse probe",
+                                     temperature=0.0, max_new_tokens=32)
+    eng = build(setup, spec_k=3)
+    got = eng.generate_one("nucleus collapse probe", temperature=0.7,
+                           top_p=1e-6, max_new_tokens=32, seed=11)
+    assert got == want
+    assert eng.metrics.get("spec_chunks", 0) >= 1
 
 
 def test_spec_eos_and_stop_semantics(setup):

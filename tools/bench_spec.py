@@ -50,6 +50,10 @@ def main():
                     help="measure tok/s vs draft acceptance (zeros "
                     "weights, greedy-slot-fraction-controlled mix)")
     ap.add_argument("--fractions", type=str, default="0,0.25,0.5,0.75,1.0")
+    ap.add_argument("--top-p", type=float, default=1.0,
+                    help="<1 measures the NUCLEUS-exact verify program "
+                    "(top-K truncated acceptance; r3) — overhead shows in "
+                    "spec_ms_per_iter vs the default full-vocab program")
     args = ap.parse_args()
 
     import numpy as np
@@ -85,7 +89,8 @@ def main():
     positions = jnp.full((s,), ctx, jnp.int32)
     active = jnp.ones((s,), bool)
     temps = jnp.zeros((s,), jnp.float32)
-    top_ps = jnp.ones((s,), jnp.float32)
+    top_ps = jnp.full((s,), args.top_p, jnp.float32)
+    nucleus = args.top_p < 1.0
     rng = jax.random.PRNGKey(0)
 
     def run_decode(paged):
@@ -98,9 +103,9 @@ def main():
     def run_spec(paged, buf):
         return spec_decode_program(
             params, config, paged, buf, tokens, positions,
-            jnp.zeros((s,), jnp.int32), tables, active, temps, rng,
-            page_size=ps, num_steps=args.steps, spec_k=args.spec_k,
-            attn_impl="paged",
+            jnp.zeros((s,), jnp.int32), tables, active, temps, top_ps,
+            rng, page_size=ps, num_steps=args.steps, spec_k=args.spec_k,
+            attn_impl="paged", nucleus=nucleus,
         )
 
     if args.acceptance_sweep:
@@ -138,7 +143,7 @@ def main():
                 t0 = time.perf_counter()
                 packed, (cur, pos, r), paged, buf = spec_decode_program(
                     params, config, paged, buf, cur, pos,
-                    gstart, tables, active, temps_arr,
+                    gstart, tables, active, temps_arr, top_ps,
                     r, page_size=ps, num_steps=args.steps,
                     spec_k=args.spec_k, attn_impl="paged",
                 )
@@ -216,6 +221,7 @@ def main():
         "spec_ms_per_iter": results["spec"]["ms_per_iter"],
         "decode_tok_s": results["decode"]["tok_s_ceiling"],
         "slots": s, "spec_k": args.spec_k, "steps": args.steps,
+        "top_p": args.top_p,
     }
     log(json.dumps(out, indent=2))
     print(json.dumps(out))

@@ -13,9 +13,9 @@ Scenario notes
 - Warm shapes first (each scenario's buckets), then measure — mid-flight
   XLA compiles through a remote-compile tunnel are minutes each and would
   swamp the numbers.
-- The SVG scenario samples at temp 0.9 / top_p 0.9, which GATES OFF
-  n-gram speculation (exact acceptance math needs top_p >= 1) — reported
-  numbers reflect that honestly.
+- The SVG scenario samples at temp 0.9 / top_p 0.9 — since r3 the
+  nucleus-exact verify lets speculation engage there too (acceptance
+  depends on how repetitive the sampled stream is).
 """
 
 import argparse
