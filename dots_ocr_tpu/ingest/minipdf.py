@@ -21,9 +21,11 @@ Scope (an OCR front end, not a full viewer):
     (/Widths for simple fonts, /W + /DW for CID fonts); simple 1-byte fonts
     go through PIL's FreeType binding with ToUnicode/latin-1 mapping.
 
-Fidelity notes: clipping paths (W/W*) are not applied; compound even-odd
-holes fill per-subpath; shading patterns (sh) are skipped. For document OCR
-(text + images on a white page) this reproduces what the model needs to see.
+Fidelity notes: clipping paths (W/W*) intersect device-space coverage
+masks (both winding rules approximated by the painter's per-subpath
+scanline fill); compound even-odd holes fill per-subpath; shading patterns
+(sh) are skipped. For document OCR (text + images on a white page) this
+reproduces what the model needs to see.
 """
 
 from __future__ import annotations
@@ -35,7 +37,7 @@ import zlib
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
-from PIL import Image, ImageDraw, ImageFont
+from PIL import Image, ImageChops, ImageDraw, ImageFont
 
 # ---------------------------------------------------------------------------
 # Object model
@@ -605,8 +607,12 @@ class LoadedFont:
     # CID -> glyph id map for Type0 fonts: None = Identity, else the
     # /CIDToGIDMap stream payload (2 bytes big-endian per CID).
     cid_to_gid: Optional[bytes] = None
+    # PDF /Encoding /Differences for simple fonts: code -> glyph name
+    # (overrides the embedded font's built-in encoding per code).
+    differences: Dict[int, str] = field(default_factory=dict)
     _cache: Dict[int, ImageFont.FreeTypeFont] = field(default_factory=dict)
     _ttf: object = None          # lazily parsed TrueTypeFont | False
+    _t1: object = None           # lazily parsed Type1Font | False
     _glyph_cache: Dict[tuple, tuple] = field(default_factory=dict)
 
     def truetype(self):
@@ -626,6 +632,51 @@ class LoadedFont:
                 except Exception:
                     self._ttf = False
         return self._ttf or None
+
+    def type1(self):
+        """The embedded Type 1 (`FontFile`) program for glyph-NAME
+        rendering, or None. pdfTeX-class PDFs embed Computer Modern as
+        Type 1 with OT1-style built-in encodings whose codes PIL's
+        unicode-addressed lookup garbles — name addressing through the
+        PDF /Encoding Differences is the correct model (ingest/type1.py)."""
+        if self._t1 is None:
+            self._t1 = False
+            if self.font_bytes and (
+                self.font_bytes[:1] == b"\x80"
+                or b"eexec" in self.font_bytes[:4096]
+            ):
+                try:
+                    from dots_ocr_tpu.ingest.type1 import Type1Font
+
+                    self._t1 = Type1Font(self.font_bytes)
+                except Exception:
+                    self._t1 = False
+        return self._t1 or None
+
+    def glyph_name_for_code(self, code: int) -> Optional[str]:
+        name = self.differences.get(code)
+        if name is not None:
+            return name
+        t1 = self.type1()
+        if t1 is not None:
+            return t1.encoding.get(code)
+        return None
+
+    def t1_bitmap(self, code: int, px: int):
+        """(alpha array, x_bearing, y_top) for a SIMPLE-font code via the
+        embedded Type 1 program, or (None, 0, 0)."""
+        key = ("t1", code, px)
+        if key not in self._glyph_cache:
+            t1 = self.type1()
+            name = self.glyph_name_for_code(code) if t1 is not None else None
+            if t1 is None or not name:
+                self._glyph_cache[key] = (None, 0.0, 0.0)
+            else:
+                try:
+                    self._glyph_cache[key] = t1.render_glyph_name(name, px)
+                except Exception:
+                    self._glyph_cache[key] = (None, 0.0, 0.0)
+        return self._glyph_cache[key]
 
     def gid_for_code(self, code: int) -> int:
         if self.cid_to_gid is not None:
@@ -746,6 +797,20 @@ def load_font(doc: PDFDocument, font_dict: Any) -> LoadedFont:
                 w = doc.resolve(w)
                 if isinstance(w, (int, float)):
                     font.widths[first + j] = float(w) / 1000.0
+        # /Encoding /Differences: [code /name /name code /name ...]
+        # (PDF 1.7 §9.6.6) — per-code glyph names overriding the font's
+        # built-in encoding, the addressing model for Type 1 rendering.
+        enc = doc.resolve(font_dict.get("Encoding"))
+        diffs = doc.resolve(enc.get("Differences")) if isinstance(enc, dict) else None
+        if isinstance(diffs, list):
+            code = 0
+            for item in diffs:
+                item = doc.resolve(item)
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                elif isinstance(item, Name):
+                    font.differences[code] = str(item)
+                    code += 1
 
     descriptor = doc.resolve(target.get("FontDescriptor"))
     if isinstance(descriptor, dict):
@@ -912,13 +977,17 @@ class GraphicsState:
     h_scale: float = 1.0
     leading: float = 0.0
     rise: float = 0.0
+    # Device-space clip mask ("L", 255 = visible), None = unclipped.
+    # Masks are immutable once installed (intersection builds a new
+    # image), so clones share the reference.
+    clip: Optional[Image.Image] = None
 
     def clone(self) -> "GraphicsState":
         return GraphicsState(
             self.ctm, self.fill_rgb, self.stroke_rgb, self.line_width,
             self.font, self.font_size,
             self.char_spacing, self.word_spacing, self.h_scale,
-            self.leading, self.rise,
+            self.leading, self.rise, self.clip,
         )
 
 
@@ -1007,7 +1076,8 @@ class PageRasterizer:
 
     # -- drawing ------------------------------------------------------------
 
-    def _paste_image(self, img: Image.Image, ctm: Matrix, fill_rgb=(0, 0, 0), is_mask=False) -> None:
+    def _paste_image(self, img: Image.Image, ctm: Matrix, fill_rgb=(0, 0, 0),
+                     is_mask=False, clip: Optional[Image.Image] = None) -> None:
         """Map the image's unit square through ctm∘base onto the canvas."""
         m = mat_mul(ctm, self.base)
         corners = [mat_apply(m, x, y) for x, y in ((0, 0), (1, 0), (0, 1), (1, 1))]
@@ -1055,7 +1125,14 @@ class PageRasterizer:
                 resized = resized.transpose(Image.FLIP_TOP_BOTTOM)
                 if mask_resized is not None:
                     mask_resized = mask_resized.transpose(Image.FLIP_TOP_BOTTOM)
-            self.canvas.paste(resized, (round(x_min), round(y_min)), mask_resized)
+            px0, py0 = round(x_min), round(y_min)
+            if clip is not None:
+                clip_crop = clip.crop((px0, py0, px0 + out_w, py0 + out_h))
+                mask_resized = (
+                    clip_crop if mask_resized is None
+                    else ImageChops.multiply(mask_resized, clip_crop)
+                )
+            self.canvas.paste(resized, (px0, py0), mask_resized)
         else:
             # General affine: compute output->source mapping for PIL.
             det = a * d - b * c
@@ -1093,7 +1170,13 @@ class PageRasterizer:
                 # Build coverage mask so out-of-quad pixels stay transparent.
                 cov = Image.new("L", src.size, 255)
                 mask_region = cov.transform((out_w, out_h), Image.AFFINE, coeffs, fillcolor=0)
-            self.canvas.paste(region, (round(x_min), round(y_min)), mask_region)
+            px0, py0 = round(x_min), round(y_min)
+            if clip is not None:
+                mask_region = ImageChops.multiply(
+                    mask_region,
+                    clip.crop((px0, py0, px0 + out_w, py0 + out_h)),
+                )
+            self.canvas.paste(region, (px0, py0), mask_region)
 
     def _paint_path(
         self,
@@ -1114,13 +1197,55 @@ class PageRasterizer:
             a, b, c, d, _, _ = m
             scale = math.sqrt(abs(a * d - b * c)) or 1.0
             width = max(1, round(gs.line_width * scale))
-        for pts, closed in subpaths:
-            device = [mat_apply(m, x, y) for x, y in pts]
-            if fill and len(device) >= 3:
-                self.draw.polygon(device, fill=gs.fill_rgb)
-            if stroke and len(device) >= 2:
-                line_pts = device + device[:1] if closed else device
-                self.draw.line(line_pts, fill=gs.stroke_rgb, width=width)
+        if gs.clip is None:
+            for pts, closed in subpaths:
+                device = [mat_apply(m, x, y) for x, y in pts]
+                if fill and len(device) >= 3:
+                    self.draw.polygon(device, fill=gs.fill_rgb)
+                if stroke and len(device) >= 2:
+                    line_pts = device + device[:1] if closed else device
+                    self.draw.line(line_pts, fill=gs.stroke_rgb, width=width)
+            return
+        # Clipped: rasterize the op as an "L" coverage mask, intersect with
+        # the clip, paste the flat color through it (fill and stroke get
+        # separate passes — they carry different colors).
+        for do_it, color, as_fill in (
+            (fill, gs.fill_rgb, True), (stroke, gs.stroke_rgb, False)
+        ):
+            if not do_it:
+                continue
+            shape = Image.new("L", self.canvas.size, 0)
+            sd = ImageDraw.Draw(shape)
+            for pts, closed in subpaths:
+                device = [mat_apply(m, x, y) for x, y in pts]
+                if as_fill and len(device) >= 3:
+                    sd.polygon(device, fill=255)
+                elif not as_fill and len(device) >= 2:
+                    line_pts = device + device[:1] if closed else device
+                    sd.line(line_pts, fill=255, width=width)
+            self.canvas.paste(
+                color, (0, 0), ImageChops.multiply(shape, gs.clip)
+            )
+
+    def _path_clip_mask(
+        self,
+        subpaths: List[Tuple[List[Tuple[float, float]], bool]],
+        ctm: Matrix,
+    ) -> Optional[Image.Image]:
+        """Device-space coverage mask of the path for W/W* (both winding
+        rules approximated by the same per-subpath scanline fill the
+        painter uses). None when no subpath can enclose area — a broken
+        parse must not white out the page."""
+        m = mat_mul(ctm, self.base)
+        mask = None
+        for pts, _closed in subpaths:
+            if len(pts) < 3:
+                continue
+            if mask is None:
+                mask = Image.new("L", (self.width, self.height), 0)
+                md = ImageDraw.Draw(mask)
+            md.polygon([mat_apply(m, x, y) for x, y in pts], fill=255)
+        return mask
 
     # -- main loop ------------------------------------------------------------
 
@@ -1161,13 +1286,28 @@ class PageRasterizer:
             cur_sub = [(x, y)]
             subpaths.append([cur_sub, False])
 
+        pending_clip = False  # W/W* seen; applies at the next paint op
+
         def paint(fill: bool, stroke: bool, close: bool = False) -> None:
-            nonlocal subpaths, cur_sub
+            nonlocal subpaths, cur_sub, pending_clip
             if close and subpaths:
                 subpaths[-1][1] = True
             painted = [(pts, closed) for pts, closed in subpaths if len(pts) >= 2]
-            if painted:
+            if painted and (fill or stroke):
                 self._paint_path(painted, gs, fill, stroke)
+            if pending_clip:
+                # PDF 1.7 §8.5.4: the clip set by W/W* takes effect AFTER
+                # this painting op (incl. the no-op `n` — the `re W n`
+                # idiom), intersecting the current clip.
+                mask = self._path_clip_mask(
+                    [(pts, closed) for pts, closed in subpaths], gs.ctm
+                )
+                if mask is not None:
+                    gs.clip = (
+                        mask if gs.clip is None
+                        else ImageChops.multiply(gs.clip, mask)
+                    )
+                pending_clip = False
             subpaths = []
             cur_sub = None
 
@@ -1182,39 +1322,65 @@ class PageRasterizer:
             # rasterize the ACTUAL glyph program (ingest/ttf.py) instead of
             # round-tripping through ToUnicode + PIL's cmap lookup — subset
             # fonts ship broken cmaps, which was the builtin backend's text
-            # fidelity gap (PARITY.md). Simple 1-byte fonts keep the PIL
-            # path (their codes address the font's own encoding, which
-            # FreeType resolves natively).
+            # fidelity gap (PARITY.md). Simple 1-byte fonts with an embedded
+            # Type 1 program render by GLYPH NAME through the PDF /Encoding
+            # Differences (ingest/type1.py — the pdfTeX/Computer Modern
+            # class); other simple fonts keep the PIL path (their codes
+            # address the font's own encoding, which FreeType resolves
+            # natively).
             use_glyphs = font.two_byte and font.truetype() is not None
-            pil_font = None if use_glyphs else font.pil_font(px)
+            use_t1 = not font.two_byte and font.type1() is not None
+            pil_font = None  # loaded lazily on the first PIL-drawn glyph
             x_cursor = 0.0
             text_buf: List[Tuple[float, int, str]] = []
             for code, uni in font.decode(raw):
-                if use_glyphs or uni:
+                if use_glyphs or use_t1 or uni:
                     text_buf.append((x_cursor, code, uni))
                 w0 = font.width(code)
                 adv = w0 * gs.font_size + gs.char_spacing
                 if not font.two_byte and code == 32:
                     adv += gs.word_spacing
                 x_cursor += adv * gs.h_scale
-            # Draw each glyph/run at its device position (baseline anchored).
+            # Draw each glyph/run at its device position (baseline
+            # anchored). Under a clip, glyphs render into one "L" overlay
+            # per show-text run and composite through the clip mask once.
             m = mat_mul(tm, mat_mul(gs.ctm, self.base))
+            overlay = odraw = None
+            if gs.clip is not None and text_buf:
+                overlay = Image.new("L", self.canvas.size, 0)
+                odraw = ImageDraw.Draw(overlay)
             for x_off, code, uni in text_buf:
                 dx, dy = mat_apply(m, x_off, gs.rise)
+                bm = None
                 if use_glyphs:
                     bm, xb, yt = font.glyph_bitmap(code, px)
-                    if bm is not None:
-                        mask = Image.fromarray(bm, "L")
-                        self.canvas.paste(
-                            gs.fill_rgb,
-                            (int(round(dx + xb)), int(round(dy - yt))),
-                            mask,
-                        )
+                elif use_t1:
+                    bm, xb, yt = font.t1_bitmap(code, px)
+                if bm is not None:
+                    mask = Image.fromarray(bm, "L")
+                    pos = (int(round(dx + xb)), int(round(dy - yt)))
+                    if overlay is not None:
+                        overlay.paste(255, pos, mask)
+                    else:
+                        self.canvas.paste(gs.fill_rgb, pos, mask)
                     continue
+                if use_glyphs or not uni:
+                    continue  # no glyph program hit and nothing to draw
+                if pil_font is None:
+                    pil_font = font.pil_font(px)
+                target, ink = (
+                    (odraw, 255) if odraw is not None
+                    else (self.draw, gs.fill_rgb)
+                )
                 try:
-                    self.draw.text((dx, dy), uni, font=pil_font, fill=gs.fill_rgb, anchor="ls")
+                    target.text((dx, dy), uni, font=pil_font, fill=ink, anchor="ls")
                 except (ValueError, OSError):
-                    self.draw.text((dx, dy - px), uni, font=pil_font, fill=gs.fill_rgb)
+                    target.text((dx, dy - px), uni, font=pil_font, fill=ink)
+            if overlay is not None:
+                self.canvas.paste(
+                    gs.fill_rgb, (0, 0),
+                    ImageChops.multiply(overlay, gs.clip),
+                )
             # Advance the text matrix.
             tm = mat_mul((1, 0, 0, 1, x_cursor, 0), tm)
 
@@ -1228,7 +1394,8 @@ class PageRasterizer:
                     img = decode_image_xobject(self.doc, StreamObj(d, payload))
                     if img is not None:
                         self._paste_image(img, gs.ctm, gs.fill_rgb,
-                                          is_mask=bool(self.doc.resolve(d.get("IM") or d.get("ImageMask"))))
+                                          is_mask=bool(self.doc.resolve(d.get("IM") or d.get("ImageMask"))),
+                                          clip=gs.clip)
                 except Exception:
                     pass
                 stack.clear()
@@ -1256,6 +1423,7 @@ class PageRasterizer:
                                 self._paste_image(
                                     img, gs.ctm, gs.fill_rgb,
                                     is_mask=bool(self.doc.resolve(xobj.dict.get("ImageMask"))),
+                                    clip=gs.clip,
                                 )
                         elif subtype == Name("Form"):
                             inner = gs.clone()
@@ -1307,9 +1475,7 @@ class PageRasterizer:
                         v = int(float(nums[0]) * 255)
                         gs.stroke_rgb = (v, v, v)
                 # Path construction (PDF 1.7 §8.5.2): full operator set with
-                # cubic Beziers flattened to polylines. Clipping (W/W*) is
-                # acknowledged but not applied — document content rarely
-                # depends on it, and a wrong clip is worse than none.
+                # cubic Beziers flattened to polylines.
                 elif op == "m" and len(stack) >= 2:
                     start_sub(float(stack[-2]), float(stack[-1]))
                 elif op == "l" and len(stack) >= 2:
@@ -1357,7 +1523,7 @@ class PageRasterizer:
                 elif op == "n":
                     paint(fill=False, stroke=False)
                 elif op in ("W", "W*"):
-                    pass
+                    pending_clip = True
                 elif op == "w" and stack:
                     gs.line_width = float(stack[-1])
                 # Text

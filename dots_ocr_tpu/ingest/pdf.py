@@ -120,8 +120,9 @@ def get_backend():
                     "installed). Embedded TrueType AND CFF/OpenType text "
                     "rasterizes by glyph id at >=0.6 ink-IoU vs FreeType "
                     "(tests/test_ingest.py bounds; measured ~0.84/~0.88); "
-                    "vector paths fill/stroke with flattened Beziers; "
-                    "Type 1 fonts and clipping paths are approximate — "
+                    "Type 1 (FontFile) text renders by glyph name through "
+                    "/Encoding Differences; vector paths fill/stroke with "
+                    "flattened Beziers under W/W* clip masks — "
                     "install pymupdf for eval-grade rasterization."
                 )
             return _BACKEND

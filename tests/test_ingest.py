@@ -503,3 +503,189 @@ def test_vector_path_ctm_scaled_stroke_width():
     col = [img.getpixel((100, y)) for y in range(90, 110)]
     dark = sum(1 for px in col if px[0] < 80)
     assert 4 <= dark <= 9, f"expected ~6px stroke, got {dark}"
+
+
+def test_clip_path_applies_restores_and_intersects():
+    """W/W* clips fills to the path region, q/Q restores the clip, and
+    nested clips intersect (PDF 1.7 §8.5.4)."""
+    content = (
+        # Clip to the centered 100x100 square, then fill the whole page
+        # red: only the clip region may paint.
+        b"q 50 50 100 100 re W n 1 0 0 rg 0 0 200 200 re f Q\n"
+        # After Q the clip is gone: a blue rect entirely OUTSIDE the old
+        # clip must paint (it stays invisible if the clip leaked).
+        b"0 0 1 rg 10 150 20 20 re f\n"
+    )
+    img = minipdf.render_page(minipdf.open_pdf(_content_pdf_bytes(content)), 0)
+    r, g, b = img.getpixel((100, 100))  # inside the clip
+    assert r > 200 and g < 80 and b < 80
+    assert img.getpixel((20, 100)) == (255, 255, 255)  # left of the clip
+    assert img.getpixel((100, 25)) == (255, 255, 255)  # above the clip
+    r, g, b = img.getpixel((20, 40))  # blue rect, clip restored by Q
+    assert b > 200 and r < 80
+
+    nested = (
+        b"q 40 40 120 120 re W n"
+        b" q 80 80 40 40 re W n 0 0 0 rg 0 0 200 200 re f Q Q\n"
+    )
+    img = minipdf.render_page(minipdf.open_pdf(_content_pdf_bytes(nested)), 0)
+    assert img.getpixel((100, 100)) == (0, 0, 0)  # inside both clips
+    # Inside the outer clip but outside the inner one stays white.
+    assert img.getpixel((60, 100)) == (255, 255, 255)
+    assert img.getpixel((100, 60)) == (255, 255, 255)
+
+
+def test_clip_applies_to_images_and_strokes():
+    """Clip masks gate image XObjects/inline images and stroke painting."""
+    # Clip to the left half, draw a full-page black inline image (2x2 raw
+    # RGB zeros scaled by cm): right half must stay white.
+    payload = bytes(12)
+    content = (
+        b"q 0 0 100 200 re W n"
+        b" q 200 0 0 200 0 0 cm BI /W 2 /H 2 /CS /RGB /BPC 8 ID "
+        + payload + b" EI Q Q\n"
+        # Clipped stroke: horizontal line crossing the clip boundary.
+        b"q 0 100 100 100 re W n 0 0 1 RG 6 w 0 150 m 200 150 l S Q\n"
+    )
+    img = minipdf.render_page(minipdf.open_pdf(_content_pdf_bytes(content)), 0)
+    assert img.getpixel((50, 100)) == (0, 0, 0)  # image inside the clip
+    assert img.getpixel((150, 100)) == (255, 255, 255)  # clipped away
+    r, g, b = img.getpixel((50, 50))  # stroke inside its clip
+    assert b > 200 and r < 80
+    assert img.getpixel((150, 50)) == (255, 255, 255)  # stroke clipped
+
+
+def _t1_encrypt(data: bytes, r: int) -> bytes:
+    """Inverse of type1._decrypt with 4 salt bytes prepended."""
+    out = bytearray()
+    for p in b"\x00\x00\x00\x00" + data:
+        c = p ^ (r >> 8)
+        out.append(c)
+        r = ((c + r) * 52845 + 22719) & 0xFFFF
+    return bytes(out)
+
+
+def _t1_num(v: int) -> bytes:
+    import struct
+
+    v = int(v)
+    if -107 <= v <= 107:
+        return bytes([v + 139])
+    if 108 <= v <= 1131:
+        v -= 108
+        return bytes([247 + (v >> 8), v & 255])
+    if -1131 <= v <= -108:
+        v = -v - 108
+        return bytes([251 + (v >> 8), v & 255])
+    return b"\xff" + struct.pack(">i", v)
+
+
+def _build_type1_font() -> bytes:
+    """Minimal synthesized Type 1 program: `boxglyph` = a 600-unit square
+    at (100,100) (hsbw/rmoveto/hlineto/vlineto/closepath), `bumpglyph`
+    adds an rrcurveto. Encrypted exactly per T1 spec §7.2."""
+    sq = (
+        _t1_num(0) + _t1_num(800) + bytes([13])        # hsbw
+        + _t1_num(100) + _t1_num(100) + bytes([21])    # rmoveto
+        + _t1_num(600) + bytes([6])                    # hlineto
+        + _t1_num(600) + bytes([7])                    # vlineto
+        + _t1_num(-600) + bytes([6])                   # hlineto
+        + bytes([9, 14])                               # closepath endchar
+    )
+    bump = (
+        _t1_num(0) + _t1_num(800) + bytes([13])
+        + _t1_num(100) + _t1_num(100) + bytes([21])
+        + _t1_num(600) + bytes([6])
+        # rrcurveto bulging up-left back over the square's top.
+        + b"".join(_t1_num(v) for v in (0, 400, -600, 200, -600, -200))
+        + bytes([8, 9, 14])
+    )
+    notdef = _t1_num(0) + _t1_num(500) + bytes([13, 14])
+    entries = []
+    for name, code in (
+        (b".notdef", notdef), (b"boxglyph", sq), (b"bumpglyph", bump)
+    ):
+        enc = _t1_encrypt(code, 4330)
+        entries.append(
+            b"/" + name + b" " + str(len(enc)).encode() + b" RD " + enc
+            + b" ND"
+        )
+    private = (
+        b"dup /Private 8 dict dup begin\n/lenIV 4 def\nend\n"
+        b"/CharStrings 3 dict dup begin\n" + b"\n".join(entries) + b"\nend\n"
+    )
+    clear = (
+        b"%!PS-AdobeFont-1.0: TestT1\n/FontName /TestT1 def\n"
+        b"/Encoding 256 array\n0 1 255 {1 index exch /.notdef put} for\n"
+        b"dup 66 /boxglyph put\ndup 67 /bumpglyph put\nreadonly def\n"
+        b"currentfile eexec\n"
+    )
+    return clear + _t1_encrypt(private, 55665) + b"\n" + b"0" * 512
+
+
+def test_type1_charstring_rasterizer():
+    """Direct Type1Font API: eexec + charstring decryption, built-in
+    encoding, square + bezier outlines rasterize with the expected ink."""
+    import numpy as np
+
+    from dots_ocr_tpu.ingest.type1 import Type1Font
+
+    f = Type1Font(_build_type1_font())
+    assert f.encoding[66] == "boxglyph" and f.encoding[67] == "bumpglyph"
+    bm, xb, yt = f.render_glyph_name("boxglyph", 100)
+    assert bm is not None
+    # 600/1000 em at 100px -> ~60px square (+2px raster border).
+    assert 58 <= bm.shape[0] <= 64 and 58 <= bm.shape[1] <= 64
+    assert (np.asarray(bm) > 128).mean() > 0.85  # solidly filled
+    assert abs(xb - 9) <= 2 and abs(yt - 71) <= 2  # bearing/top in px
+    bm2, _, _ = f.render_glyph_name("bumpglyph", 100)
+    assert bm2 is not None and (np.asarray(bm2) > 128).any()
+    assert f.render_glyph_name("nosuch", 100)[0] is None
+
+
+def test_type1_fontfile_pdf_text_renders_by_glyph_name():
+    """End to end: a simple Type1 font embedded via FontFile renders text
+    through /Encoding /Differences glyph-NAME addressing (the pdfTeX
+    class PIL's unicode path garbles)."""
+    font_bytes = _build_type1_font()
+    ff = zlib.compress(font_bytes)
+    content = zlib.compress(b"BT /F1 50 Tf 0 0 0 rg 20 30 Td (B) Tj ET\n")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 200 120] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /TestT1 "
+        b"/FirstChar 66 /LastChar 66 /Widths [800] "
+        b"/Encoding << /Differences [66 /boxglyph] >> "
+        b"/FontDescriptor 6 0 R >>",
+        b"<< /Type /FontDescriptor /FontName /TestT1 /Flags 4 "
+        b"/FontBBox [0 0 800 800] /ItalicAngle 0 /Ascent 800 /Descent 0 "
+        b"/CapHeight 700 /StemV 80 /FontFile 7 0 R >>",
+        b"<< /Length " + str(len(ff)).encode()
+        + b" /Filter /FlateDecode /Length1 100 /Length2 100 /Length3 512 "
+        b">>\nstream\n" + ff + b"\nendstream",
+    ]
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(out.tell())
+        out.write(f"{i} 0 obj\n".encode() + body + b"\nendobj\n")
+    xref = out.tell()
+    out.write(f"xref\n0 {len(objs)+1}\n".encode())
+    out.write(b"0000000000 65535 f \n")
+    for off in offsets:
+        out.write(f"{off:010d} 00000 n \n".encode())
+    out.write(
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref).encode() + b"\n%%EOF"
+    )
+    img = minipdf.render_page(minipdf.open_pdf(out.getvalue()), 0)
+    # 'B' -> boxglyph: square from em (0.1,0.1)..(0.7,0.7) at 50px, base-
+    # line at PDF y=30 -> device y=90: ink spans x 25..55, y 55..85.
+    assert img.getpixel((40, 70)) == (0, 0, 0)
+    assert img.getpixel((40, 100)) == (255, 255, 255)  # below baseline
+    assert img.getpixel((70, 70)) == (255, 255, 255)  # right of glyph
