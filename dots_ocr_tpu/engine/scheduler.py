@@ -33,7 +33,11 @@ import numpy as np
 
 from dots_ocr_tpu.engine.kv_cache import OutOfPages, PageAllocator, PagedKV, write_prefill_kv
 from dots_ocr_tpu.engine.request import prepare_request
-from dots_ocr_tpu.engine.sampling import NUCLEUS_TOP_K, sample_logits
+from dots_ocr_tpu.engine.sampling import (
+    NUCLEUS_TOP_K,
+    nucleus_top_k,
+    sample_logits,
+)
 from dots_ocr_tpu.engine.tokenizer import TokenizerLike
 from dots_ocr_tpu.models.config import DotsOCRConfig
 from dots_ocr_tpu.models.decoder import (
@@ -435,7 +439,7 @@ def spec_decode_program(
             # kept set. A draft outside the kept set has probability 0.
             kk = min(NUCLEUS_TOP_K, logits.shape[-1])
             scaled = logits / t_safe  # [S, nq, V]
-            top_vals, top_idx = jax.lax.top_k(scaled, kk)  # [S, nq, kk]
+            top_vals, top_idx = nucleus_top_k(scaled, kk)  # [S, nq, kk]
             lse = jax.nn.logsumexp(scaled, axis=-1, keepdims=True)
             top_probs = jnp.exp(top_vals - lse)
             cum = jnp.cumsum(top_probs, axis=-1)

@@ -146,6 +146,7 @@ def main():
                     gstart, tables, active, temps_arr, top_ps,
                     r, page_size=ps, num_steps=args.steps,
                     spec_k=args.spec_k, attn_impl="paged",
+                    nucleus=nucleus,
                 )
                 emitted = int(np.asarray(packed)[:, -1].sum())
                 dt = time.perf_counter() - t0
@@ -187,9 +188,21 @@ def main():
         print(json.dumps(out))
         return
 
+    def run_spec_fullvocab(paged, buf):
+        # Same-process A/B partner for the nucleus program (tunnel drifts
+        # 3-5x BETWEEN processes; within one it is stable).
+        return spec_decode_program(
+            params, config, paged, buf, tokens, positions,
+            jnp.zeros((s,), jnp.int32), tables, active, temps,
+            jnp.ones((s,), jnp.float32), rng, page_size=ps,
+            num_steps=args.steps, spec_k=args.spec_k,
+            attn_impl="paged", nucleus=False,
+        )
+
     results = {}
     # decode_program baseline
-    for name in ("decode", "spec"):
+    names = ("decode", "spec") + (("spec_fullvocab",) if nucleus else ())
+    for name in names:
         times = []
         for rep in range(4):
             if name == "decode":
@@ -199,7 +212,10 @@ def main():
             else:
                 buf = jnp.zeros((s, mp * ps), jnp.int32)
                 t0 = time.perf_counter()
-                packed, carry, paged, buf = run_spec(paged, buf)
+                if name == "spec":
+                    packed, carry, paged, buf = run_spec(paged, buf)
+                else:
+                    packed, carry, paged, buf = run_spec_fullvocab(paged, buf)
                 np.asarray(packed)
             dt = time.perf_counter() - t0
             times.append(dt)
@@ -207,7 +223,7 @@ def main():
                 f"({dt*1e3/args.steps:.2f} ms/iter)")
         best = min(times[1:])  # rep0 = compile
         per_iter = best / args.steps
-        toks = s * args.steps * (nq if name == "spec" else 1)
+        toks = s * args.steps * (1 if name == "decode" else nq)
         results[name] = dict(
             ms_per_iter=round(per_iter * 1e3, 2),
             tok_s_ceiling=round(toks / best, 0),
@@ -223,6 +239,14 @@ def main():
         "slots": s, "spec_k": args.spec_k, "steps": args.steps,
         "top_p": args.top_p,
     }
+    if "spec_fullvocab" in results:
+        out["spec_fullvocab_ms_per_iter"] = (
+            results["spec_fullvocab"]["ms_per_iter"]
+        )
+        out["nucleus_overhead_pct"] = round(
+            100.0 * (results["spec"]["ms_per_iter"]
+                     / results["spec_fullvocab"]["ms_per_iter"] - 1.0), 1
+        )
     log(json.dumps(out, indent=2))
     print(json.dumps(out))
 
