@@ -8,10 +8,14 @@
 #   KV_DTYPE=bf16      set int8 for the 14.4k+24k capacity envelope
 #                      (also FASTER at long contexts; needs PAGE_SIZE%128==0)
 #   QUANTIZE=          set int8 for weight-only decoder quantization
-#   SPECULATE_K=3      n-gram speculative decoding (exact for greedy and
-#                      top_p>=1 sampled requests; auto-gated otherwise);
+#   SPECULATE_K=3      n-gram speculative decoding (exact for greedy,
+#                      distribution-preserving for sampled incl. top_p<1);
 #                      0 disables
 #   PREFILL_CHUNK=2048 chunked prefill size (decode interleaves)
+#   WARMUP=full        'full' blocks until every program compiles before
+#                      binding; 'background' binds immediately and warms
+#                      on idle engine ticks (near-zero startup outage —
+#                      first requests may wait one compile each)
 set -euo pipefail
 
 WEIGHTS="${1:-./weights/DotsOCR}"
@@ -30,6 +34,6 @@ exec python -m dots_ocr_tpu.serve.server \
   --steps-per-sync "${STEPS_PER_SYNC:-16}" \
   --prefill-chunk-tokens "${PREFILL_CHUNK:-2048}" \
   --speculate-k "${SPECULATE_K:-3}" \
-  --warmup \
+  --warmup "${WARMUP:-full}" \
   ${EXTRA[@]+"${EXTRA[@]}"} \
   --port "$PORT"

@@ -66,11 +66,22 @@ class PagedKV(NamedTuple):
         page_size: int,
         dtype=jnp.bfloat16,
         quantized: bool = False,
+        kv_replication: int = 1,
     ) -> "PagedKV":
-        shape = (cfg.num_kv_heads, num_pages * page_size, cfg.head_dim)
+        """``kv_replication`` pads the KV-head axis to
+        ``num_kv_heads * kv_replication`` with each head repeated
+        ``kv_replication`` times CONTIGUOUSLY (Megatron-style GQA
+        replication): on a TP mesh whose model axis exceeds the KV head
+        count (e.g. 2 KV heads on model=4) the padded axis shards
+        cleanly, each chip holds one replica, and the contiguous
+        repetition keeps the kernels' ``q_head // (H // KV)`` group
+        mapping pointing at the right data. Writers detect the factor
+        from the pool shape and repeat incoming K/V."""
+        kv_w = cfg.num_kv_heads * kv_replication
+        shape = (kv_w, num_pages * page_size, cfg.head_dim)
         layers = range(cfg.num_layers)
         if quantized:
-            scale_shape = (cfg.num_kv_heads * num_pages * page_size,)
+            scale_shape = (kv_w * num_pages * page_size,)
             return PagedKV(
                 tuple(jnp.zeros(shape, jnp.int8) for _ in layers),
                 tuple(jnp.zeros(shape, jnp.int8) for _ in layers),
@@ -196,6 +207,11 @@ def write_prefill_kv(
     slot 0 region — callers pass padded tokens there).
     """
     num_layers, batch, t, kv_heads, head_dim = k_new.shape
+    rep = paged.k[0].shape[0] // kv_heads  # KV-head replication (TP pad)
+    if rep > 1:
+        k_new = jnp.repeat(k_new, rep, axis=3)
+        v_new = jnp.repeat(v_new, rep, axis=3)
+        kv_heads *= rep
     flat_k = k_new.transpose(0, 3, 1, 2, 4).reshape(
         num_layers, kv_heads, batch * t, head_dim
     )

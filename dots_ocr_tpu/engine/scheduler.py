@@ -847,18 +847,39 @@ class ContinuousBatchingEngine:
             and "model" in getattr(mesh, "shape", {})
             and mesh.shape["model"] > 1
         )
+        # Megatron-style GQA replication: when the model axis is WIDER
+        # than the KV head count (2 KV heads on model=4) but still divides
+        # the Q/vision heads, pad the KV pools to one replica per
+        # axis-slice (kv_cache.PagedKV.create) — per-chip KV memory equals
+        # the largest divisible mesh's, and the Pallas kernels shard
+        # cleanly instead of falling back to XLA attention.
+        tp = mesh.shape["model"] if model_parallel else 1
+        d = config.decoder
+        self._kv_rep = 1
+        if (
+            model_parallel
+            and d.num_kv_heads % tp != 0
+            and tp % d.num_kv_heads == 0
+            and d.num_heads % tp == 0
+        ):
+            self._kv_rep = tp // d.num_kv_heads
+            logger.info(
+                "TP=%d exceeds %d KV heads: replicating each KV head %dx "
+                "(pool pads to %d heads, one per mesh slice)",
+                tp, d.num_kv_heads, self._kv_rep, tp,
+            )
         # TP fast path: the Pallas kernels run per-chip on their head shard
         # via jax.shard_map (ops.tp) when every head count divides the model
-        # axis — decoder Q + KV heads for decode/extend attention, vision
-        # heads for the encoder. Indivisible meshes (e.g. 2 KV heads on
-        # model=4, where paged_kv_specs replicates the pools) stay on the
-        # XLA paths, which GSPMD partitions correctly.
+        # axis — decoder Q + (replication-padded) KV heads for decode/extend
+        # attention, vision heads for the encoder. Still-indivisible meshes
+        # (e.g. Q heads not a multiple of the axis) stay on the XLA paths,
+        # which GSPMD partitions correctly.
         kernels_shardable = (
             kernel_tp_degree(
                 mesh,
                 "model",
                 config.decoder.num_heads,
-                config.decoder.num_kv_heads,
+                config.decoder.num_kv_heads * self._kv_rep,
                 config.vision.num_heads,
             )
             > 1
@@ -921,6 +942,7 @@ class ContinuousBatchingEngine:
             self.sched.page_size,
             dtype=kv_dtype,
             quantized=self.sched.kv_cache_dtype == "int8",
+            kv_replication=self._kv_rep,
         )
         if mesh is not None:
             from jax.sharding import NamedSharding
@@ -928,7 +950,8 @@ class ContinuousBatchingEngine:
             from dots_ocr_tpu.parallel.sharding import paged_kv_specs
 
             specs = paged_kv_specs(
-                config, mesh, quantized=self.sched.kv_cache_dtype == "int8"
+                config, mesh, quantized=self.sched.kv_cache_dtype == "int8",
+                kv_replication=self._kv_rep,
             )
             self.paged = jax.tree.map(
                 lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),

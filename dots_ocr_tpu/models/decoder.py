@@ -263,7 +263,12 @@ def decoder_decode_step_paged(
 
     cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
     s = inputs_embeds.shape[0]
-    kv_heads, head_dim = cfg.num_kv_heads, cfg.head_dim
+    head_dim = cfg.head_dim
+    # Pool KV width may exceed config KV heads (Megatron-style replication
+    # for TP meshes wider than the KV head count — kv_cache.PagedKV.create);
+    # repeat fresh K/V to match and use the POOL width everywhere below.
+    kv_heads = k_pages[0].shape[0]
+    kv_rep = kv_heads // cfg.num_kv_heads
     quantized = k_scales is not None
 
     x = inputs_embeds
@@ -276,6 +281,9 @@ def decoder_decode_step_paged(
         q, k, v = _project_qkv(h, attn_p, cfg)  # q [S,H,hd], k/v [S,KV,hd]
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+        if kv_rep > 1:
+            k = jnp.repeat(k, kv_rep, axis=-2)
+            v = jnp.repeat(v, kv_rep, axis=-2)
         # Single advanced index stays in place: update is [KV, S, hd].
         if quantized:
             qk, sk = quantize_kv(k)  # [S, KV, hd], [S, KV]
@@ -394,7 +402,9 @@ def decoder_spec_step_paged(
 
     s, nq, _ = inputs_embeds.shape
     cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)  # [S,nq,hd]
-    kv_heads, head_dim = cfg.num_kv_heads, cfg.head_dim
+    head_dim = cfg.head_dim
+    kv_heads = k_pages[0].shape[0]  # pool width (>= config: TP replication)
+    kv_rep = kv_heads // cfg.num_kv_heads
     quantized = k_scales is not None
     flat_slots = slots.reshape(-1)  # [S*nq]
 
@@ -408,6 +418,9 @@ def decoder_spec_step_paged(
         q, k, v = _project_qkv(h, attn_p, cfg)  # q [S,nq,H,hd]
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+        if kv_rep > 1:
+            k = jnp.repeat(k, kv_rep, axis=-2)
+            v = jnp.repeat(v, kv_rep, axis=-2)
         k_flat = k.reshape(s * nq, kv_heads, head_dim)
         v_flat = v.reshape(s * nq, kv_heads, head_dim)
         if quantized:
@@ -574,7 +587,9 @@ def decoder_prefill_extend_batched(
     b, c, _ = inputs_embeds.shape
     pos2d = jnp.broadcast_to(positions, (b, c))
     cos, sin = rope_table(pos2d, cfg.head_dim, cfg.rope_theta)  # [B, C, hd]
-    kv_heads, head_dim = cfg.num_kv_heads, cfg.head_dim
+    head_dim = cfg.head_dim
+    kv_heads = k_pages[0].shape[0]  # pool width (>= config: TP replication)
+    kv_rep = kv_heads // cfg.num_kv_heads
     quantized = k_scales is not None
 
     # Gather slots for each row's [0, kv_hi) prefix — shared by every layer.
@@ -602,6 +617,9 @@ def decoder_prefill_extend_batched(
         q, k, v = _project_qkv(h, attn_p, cfg)  # q [B,C,H,hd], k/v [B,C,KV,hd]
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+        if kv_rep > 1:
+            k = jnp.repeat(k, kv_rep, axis=-2)
+            v = jnp.repeat(v, kv_rep, axis=-2)
         k_flat = k.reshape(b * c, kv_heads, head_dim)
         v_flat = v.reshape(b * c, kv_heads, head_dim)
 

@@ -20,8 +20,12 @@ Sharding contract (matches ``parallel/sharding.py``):
     need no collectives.
 
 Divisibility: every wrapped call requires num_heads % tp == 0 and
-kv_heads % tp == 0 (checked by :func:`kernel_tp_degree`); the engine falls
-back to the XLA paths otherwise (e.g. 2 KV heads on a model axis of 4).
+kv_heads % tp == 0 (checked by :func:`kernel_tp_degree`). A mesh WIDER
+than the KV head count (2 KV heads on model=4) is handled upstream by
+Megatron-style GQA replication — the engine pads the KV pools to one
+contiguous replica per axis slice (``kv_cache.PagedKV.create``) so the
+padded axis divides; only meshes that don't divide the Q/vision heads
+fall back to the XLA paths.
 """
 
 from __future__ import annotations

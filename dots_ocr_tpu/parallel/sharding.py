@@ -165,7 +165,8 @@ def kv_cache_spec(config: DotsOCRConfig, mesh: Mesh) -> P:
     return P(None, data, None, kv, None)
 
 
-def paged_kv_specs(config: DotsOCRConfig, mesh: Mesh, quantized: bool = False):
+def paged_kv_specs(config: DotsOCRConfig, mesh: Mesh, quantized: bool = False,
+                   kv_replication: int = 1):
     """PartitionSpecs for the serving engine's ``PagedKV`` cache.
 
     Sharding decision (SURVEY §2.3 "make TP a config axis" for SERVING): the
@@ -174,15 +175,19 @@ def paged_kv_specs(config: DotsOCRConfig, mesh: Mesh, quantized: bool = False):
     so each chip writes and reads only its own heads' pages and decode
     attention needs no cache collectives (the head-parallel outputs meet at
     the row-parallel wo matmul's reduce, exactly like the dense path). Page
-    tables, tokens, and lengths are tiny and stay replicated. When KV heads
-    don't divide the model axis the pool replicates (correct, just not
-    memory-scaled). The flat [KV * N_slots] int8 scale leaves split
-    contiguously, which IS the head split when divisible.
+    tables, tokens, and lengths are tiny and stay replicated. When the
+    model axis is WIDER than the KV head count the engine pads the pool
+    with ``kv_replication`` contiguous replicas per head (Megatron-style
+    GQA replication — kv_cache.PagedKV.create) so the padded axis still
+    shards; a mesh neither divisible nor replicable leaves the pool
+    replicated (correct, just not memory-scaled). The flat [KV * N_slots]
+    int8 scale leaves split contiguously, which IS the head split when
+    divisible.
     """
     from dots_ocr_tpu.engine.kv_cache import PagedKV
 
     d = config.decoder
-    kv = _axis(mesh, "model", d.num_kv_heads)
+    kv = _axis(mesh, "model", d.num_kv_heads * kv_replication)
     pool = P(kv, None, None)
     scale = P(kv)
     layers = d.num_layers

@@ -89,13 +89,16 @@ def test_tp2_int8_kv_cache(setup):
     assert a == b
 
 
-def test_tp4_replicates_indivisible_kv_heads(setup):
-    """2 KV heads on a model axis of 4: the pool must replicate (spec falls
-    back) and decode must still be correct."""
+def test_tp4_kv_replication_pads_and_shards(setup):
+    """2 KV heads on a model axis of 4: Megatron-style GQA replication —
+    the pool pads to 4 contiguous replicas, SHARDS the padded axis (one
+    replica per mesh slice), and decode stays token-identical."""
     mesh = make_mesh(data=1, model=4)
     base = build(setup)
     eng = build(setup, mesh=mesh)
-    assert eng.paged.k[0].sharding.spec == P(None, None, None)
+    assert eng._kv_rep == 2
+    assert eng.paged.k[0].shape[0] == 4  # 2 heads x 2 replicas
+    assert eng.paged.k[0].sharding.spec == P("model", None, None)
     a = base.generate_one("four way", temperature=0.0, max_new_tokens=6)
     b = eng.generate_one("four way", temperature=0.0, max_new_tokens=6)
     assert a == b
@@ -178,8 +181,10 @@ def test_tp2_pallas_speculative(setup):
 
 
 def test_tp4_indivisible_heads_fall_back_to_xla(setup):
-    """Indivisible head counts must NOT select the kernel mesh (the pools
-    replicate; shard_map would be wrong) — and stay correct via GSPMD."""
+    """Head counts that neither divide nor replicate onto the axis (tiny
+    config: 2 VISION heads on model=4) must NOT select the kernel mesh —
+    and stay correct via GSPMD. (Decoder KV replicates fine; the vision
+    tower is the indivisible component here.)"""
     mesh = make_mesh(data=1, model=4)
     eng = build(setup, mesh=mesh, attn_impl="flash_interpret")
     assert eng._kernel_mesh is None
@@ -187,6 +192,41 @@ def test_tp4_indivisible_heads_fall_back_to_xla(setup):
     a = base.generate_one("four way kernel", temperature=0.0, max_new_tokens=6)
     b = eng.generate_one("four way kernel", temperature=0.0, max_new_tokens=6)
     assert a == b
+
+
+def test_tp4_kv_replication_pallas_kernel_path(setup):
+    """model=4 with 2 KV heads but 4-divisible Q/vision heads: the padded
+    pool lets the shard_map Pallas kernels run (1 Q head + 1 KV replica
+    per chip), token-identical to the single-device kernel engine —
+    including speculation (multiquery verify) and chunked vision
+    prefill."""
+    import dataclasses
+
+    cfg0, _ = setup
+    cfg = dataclasses.replace(
+        cfg0, vision=dataclasses.replace(cfg0.vision, num_heads=4, head_dim=8)
+    )
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    quad = (cfg, params)
+
+    base = build(quad, attn_impl="flash_interpret", speculate_k=3,
+                 prefill_chunk_tokens=16)
+    mesh = make_mesh(data=1, model=4)
+    eng = build(quad, mesh=mesh, attn_impl="flash_interpret", speculate_k=3,
+                prefill_chunk_tokens=16)
+    assert eng._kv_rep == 2
+    assert eng._kernel_mesh is mesh  # kernels selected, not XLA fallback
+    assert eng.paged.k[0].shape[0] == 4
+    assert eng.paged.k[0].sharding.spec == P("model", None, None)
+
+    rng = np.random.RandomState(3)
+    img = Image.fromarray(rng.randint(0, 255, (64, 80, 3), np.uint8))
+    a = base.generate_one("replicated kv kernels", images=[img],
+                          temperature=0.0, max_new_tokens=10)
+    b = eng.generate_one("replicated kv kernels", images=[img],
+                         temperature=0.0, max_new_tokens=10)
+    assert a == b
+    assert eng.metrics.get("spec_chunks", 0) >= 1
 
 
 def test_tp2_pallas_int8_kv(setup):
