@@ -11,7 +11,8 @@ Scope (an OCR front end, not a full viewer):
     robust object discovery by linear scan (works with broken xref tables,
     which also sidesteps xref-stream parsing),
   * filters: FlateDecode (incl. PNG predictors), DCTDecode, ASCIIHexDecode,
-    ASCII85Decode, RunLengthDecode,
+    ASCII85Decode, RunLengthDecode, CCITTFaxDecode (Group 3/4 fax — the
+    scanned-document encoding — via TIFF framing + PIL/libtiff),
   * rasterization: image XObjects (the scanned-document case) composited
     under the full affine CTM; Form XObjects (recursive); vector paths
     (m/l/c/v/y/h/re with fills and CTM-scaled strokes, Beziers flattened);
@@ -376,7 +377,9 @@ def _runlength_decode(data: bytes) -> bytes:
 
 
 # Image filters that are handed to PIL as encoded payloads rather than decoded.
-IMAGE_CODEC_FILTERS = {"DCTDecode", "DCT", "JPXDecode", "CCITTFaxDecode", "JBIG2Decode"}
+IMAGE_CODEC_FILTERS = {
+    "DCTDecode", "DCT", "JPXDecode", "CCITTFaxDecode", "CCF", "JBIG2Decode",
+}
 
 
 def apply_filters(sdict: Dict[Name, Any], data: bytes, doc: "PDFDocument") -> bytes:
@@ -889,8 +892,34 @@ def decode_image_xobject(doc: PDFDocument, xobj: StreamObj) -> Optional[Image.Im
             return img
         except Exception:
             return None
-    if filter_names & {"CCITTFaxDecode", "JBIG2Decode"}:
-        return None  # fax/JBIG2 codecs not supported by the builtin backend
+    if filter_names & {"CCITTFaxDecode", "CCF"}:
+        # Group 3/4 fax — the dominant encoding for SCANNED documents,
+        # i.e. the OCR core input class. Decoded by wrapping the raw fax
+        # payload in a minimal TIFF container and handing it to PIL's
+        # libtiff (the standard trick: CCITT-in-PDF and CCITT-in-TIFF
+        # are the same bitstream, only the framing differs).
+        parms = doc.resolve(d.get("DecodeParms") or d.get("DP")) or {}
+        if isinstance(parms, list):
+            parms = next(
+                (p for p in (doc.resolve(x) for x in parms)
+                 if isinstance(p, dict) and ("K" in p or "Columns" in p)),
+                {},
+            )
+        try:
+            img = Image.open(io.BytesIO(_ccitt_to_tiff(
+                data,
+                width,
+                height,
+                k=int(doc.resolve(parms.get("K")) or 0),
+                black_is_1=bool(doc.resolve(parms.get("BlackIs1"))),
+                byte_align=bool(doc.resolve(parms.get("EncodedByteAlign"))),
+            )))
+            img.load()
+            return img.convert("L")
+        except Exception:
+            return None
+    if filter_names & {"JBIG2Decode"}:
+        return None  # JBIG2 not supported by the builtin backend
 
     is_mask = bool(doc.resolve(d.get("ImageMask") or d.get("IM")))
     if is_mask or bpc == 1:
@@ -913,6 +942,55 @@ def decode_image_xobject(doc: PDFDocument, xobj: StreamObj) -> Optional[Image.Im
     if mode == "CMYK":
         img = img.convert("RGB")
     return img
+
+
+def _ccitt_to_tiff(
+    data: bytes,
+    width: int,
+    height: int,
+    k: int = 0,
+    black_is_1: bool = False,
+    byte_align: bool = False,
+) -> bytes:
+    """Frame a PDF CCITTFaxDecode payload as a single-strip TIFF.
+
+    K < 0 -> Group 4 (T.6), K == 0 -> Group 3 1-D (MH), K > 0 -> Group 3
+    2-D (MR, T4Options bit 0). PDF's BlackIs1=false means decoded 0 bits
+    are black (TIFF BlackIsZero, photometric 1); true means 1 bits are
+    black (WhiteIsZero, photometric 0). EncodedByteAlign maps to
+    T4Options bit 2 for Group 3 (T.6 has no aligned mode — those rare
+    streams fail decode and the caller returns None).
+    """
+    import struct as _struct
+
+    compression = 4 if k < 0 else 3
+    photometric = 0 if black_is_1 else 1
+    entries = [
+        (256, 4, width),          # ImageWidth
+        (257, 4, height),         # ImageLength
+        (258, 3, 1),              # BitsPerSample
+        (259, 3, compression),    # Compression
+        (262, 3, photometric),    # PhotometricInterpretation
+        (273, 4, None),           # StripOffsets (patched below)
+        (277, 3, 1),              # SamplesPerPixel
+        (278, 4, height),         # RowsPerStrip
+        (279, 4, len(data)),      # StripByteCounts
+    ]
+    if compression == 3:
+        t4 = (1 if k > 0 else 0) | (4 if byte_align else 0)
+        entries.append((292, 4, t4))  # T4Options
+    entries.sort()
+    # Header (8) + count (2) + entries (12 each) + next-IFD (4).
+    data_off = 8 + 2 + 12 * len(entries) + 4
+    out = bytearray(_struct.pack("<2sHI", b"II", 42, 8))
+    out += _struct.pack("<H", len(entries))
+    for tag, typ, val in entries:
+        if val is None:
+            val = data_off
+        out += _struct.pack("<HHI", tag, typ, 1) + _struct.pack("<I", val)
+    out += _struct.pack("<I", 0)  # no next IFD
+    out += data
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

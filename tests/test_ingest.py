@@ -689,3 +689,71 @@ def test_type1_fontfile_pdf_text_renders_by_glyph_name():
     assert img.getpixel((40, 70)) == (0, 0, 0)
     assert img.getpixel((40, 100)) == (255, 255, 255)  # below baseline
     assert img.getpixel((70, 70)) == (255, 255, 255)  # right of glyph
+
+
+def test_ccitt_group4_image_decodes():
+    """CCITTFaxDecode (G4) images — the scanned-document encoding — decode
+    via the TIFF-framing path and render at the right polarity."""
+    import numpy as np
+    from PIL import Image, TiffImagePlugin  # noqa: F401
+
+    from dots_ocr_tpu.ingest.minipdf import _ccitt_to_tiff
+
+    rng = np.random.RandomState(7)
+    # Blocky bitonal "document": white page, black text-ish rectangles.
+    arr = np.ones((64, 96), bool)
+    arr[10:20, 8:88] = False
+    arr[30:34, 8:60] = False
+    src = Image.fromarray(arr).convert("1")
+    buf = io.BytesIO()
+    src.save(buf, format="TIFF", compression="group4")
+    t = Image.open(io.BytesIO(buf.getvalue()))
+    off, cnt = t.tag_v2[273][0], t.tag_v2[279][0]
+    payload = buf.getvalue()[off : off + cnt]
+
+    # Direct framing round-trip. PIL's G4 save kept the source's
+    # MINISBLACK photometric (0 = black), which is PDF's default
+    # BlackIs1=false.
+    framed = Image.open(io.BytesIO(
+        _ccitt_to_tiff(payload, 96, 64, k=-1, black_is_1=False)
+    ))
+    framed.load()
+    got = np.asarray(framed.convert("L")) > 128
+    assert (got == arr).mean() > 0.99
+
+    # End to end through a PDF image XObject.
+    content = zlib.compress(b"q 96 0 0 64 0 0 cm /Im1 Do Q\n")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 96 64] "
+        b"/Contents 4 0 R /Resources << /XObject << /Im1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /XObject /Subtype /Image /Width 96 /Height 64 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+        b"/Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns 96 "
+        b"/Rows 64 >> /Length " + str(len(payload)).encode()
+        + b" >>\nstream\n" + payload + b"\nendstream",
+    ]
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, 1):
+        offsets.append(out.tell())
+        out.write(f"{i} 0 obj\n".encode() + body + b"\nendobj\n")
+    xref = out.tell()
+    out.write(f"xref\n0 {len(objs)+1}\n".encode() + b"0000000000 65535 f \n")
+    for o in offsets:
+        out.write(f"{o:010d} 00000 n \n".encode())
+    out.write(
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref).encode() + b"\n%%EOF"
+    )
+    img = minipdf.render_page(minipdf.open_pdf(out.getvalue()), 0)
+    px = np.asarray(img.convert("L")) > 128
+    # Device y flips: text bar at arr rows 10:20 lands at the same rows
+    # (cm maps the unit square with v=1 at the top -> row order preserved).
+    assert px[15, 50] == False  # noqa: E712  — inside the black bar
+    assert px[5, 50] == True  # noqa: E712  — white margin
+    assert (px == arr).mean() > 0.98
