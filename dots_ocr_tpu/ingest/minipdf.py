@@ -613,6 +613,12 @@ class LoadedFont:
     # PDF /Encoding /Differences for simple fonts: code -> glyph name
     # (overrides the embedded font's built-in encoding per code).
     differences: Dict[int, str] = field(default_factory=dict)
+    # Type 3 fonts (PDF 1.7 §9.6.5): glyphs are PDF content streams.
+    # charprocs: glyph name -> StreamObj; font_matrix maps glyph space to
+    # text space; t3_resources is the font's own /Resources dict.
+    charprocs: Optional[Dict[str, Any]] = None
+    font_matrix: Optional[Tuple[float, ...]] = None
+    t3_resources: Optional[Dict[Any, Any]] = None
     _cache: Dict[int, ImageFont.FreeTypeFont] = field(default_factory=dict)
     _ttf: object = None          # lazily parsed TrueTypeFont | False
     _t1: object = None           # lazily parsed Type1Font | False
@@ -814,6 +820,28 @@ def load_font(doc: PDFDocument, font_dict: Any) -> LoadedFont:
                 elif isinstance(item, Name):
                     font.differences[code] = str(item)
                     code += 1
+
+    if subtype == Name("Type3"):
+        fm = doc.resolve(font_dict.get("FontMatrix"))
+        font.font_matrix = (
+            tuple(float(doc.resolve(v)) for v in fm)
+            if isinstance(fm, list) and len(fm) == 6
+            else (0.001, 0.0, 0.0, 0.001, 0.0, 0.0)
+        )
+        procs = doc.resolve(font_dict.get("CharProcs")) or {}
+        font.charprocs = {}
+        for k, v in procs.items():
+            v = doc.resolve(v)
+            if isinstance(v, StreamObj):
+                font.charprocs[str(k)] = v
+        font.t3_resources = doc.resolve(font_dict.get("Resources"))
+        # /Widths for Type 3 are in GLYPH space (not the /1000
+        # convention): rescale through the FontMatrix x-scale.
+        font.widths = {
+            c: w * 1000.0 * font.font_matrix[0]
+            for c, w in font.widths.items()
+        }
+        font.default_width = 0.0
 
     descriptor = doc.resolve(target.get("FontDescriptor"))
     if isinstance(descriptor, dict):
@@ -1408,11 +1436,12 @@ class PageRasterizer:
             # natively).
             use_glyphs = font.two_byte and font.truetype() is not None
             use_t1 = not font.two_byte and font.type1() is not None
+            use_t3 = font.charprocs is not None
             pil_font = None  # loaded lazily on the first PIL-drawn glyph
             x_cursor = 0.0
             text_buf: List[Tuple[float, int, str]] = []
             for code, uni in font.decode(raw):
-                if use_glyphs or use_t1 or uni:
+                if use_glyphs or use_t1 or use_t3 or uni:
                     text_buf.append((x_cursor, code, uni))
                 w0 = font.width(code)
                 adv = w0 * gs.font_size + gs.char_spacing
@@ -1429,6 +1458,33 @@ class PageRasterizer:
                 odraw = ImageDraw.Draw(overlay)
             for x_off, code, uni in text_buf:
                 dx, dy = mat_apply(m, x_off, gs.rise)
+                if use_t3:
+                    # Type 3: the glyph IS a content stream, executed in
+                    # glyph space: FontMatrix x [fs*Th 0 0 fs x_off rise]
+                    # x Tm x CTM (PDF 1.7 §9.6.5). Inherits fill color and
+                    # clip via the cloned state; depth-bounded like forms.
+                    name = font.differences.get(code)
+                    proc = font.charprocs.get(name) if name else None
+                    if proc is not None:
+                        inner = gs.clone()
+                        inner.ctm = mat_mul(
+                            font.font_matrix or (0.001, 0, 0, 0.001, 0, 0),
+                            mat_mul(
+                                (gs.font_size * gs.h_scale, 0, 0,
+                                 gs.font_size, x_off, gs.rise),
+                                mat_mul(tm, gs.ctm),
+                            ),
+                        )
+                        try:
+                            self._execute(
+                                proc.decoded(self.doc),
+                                font.t3_resources or resources,
+                                inner,
+                                depth + 1,
+                            )
+                        except Exception:
+                            pass
+                    continue
                 bm = None
                 if use_glyphs:
                     bm, xb, yt = font.glyph_bitmap(code, px)

@@ -757,3 +757,58 @@ def test_ccitt_group4_image_decodes():
     assert px[15, 50] == False  # noqa: E712  — inside the black bar
     assert px[5, 50] == True  # noqa: E712  — white margin
     assert (px == arr).mean() > 0.98
+
+
+def test_type3_font_charproc_rendering():
+    """Type 3 glyphs (PDF content streams) execute through the renderer
+    with FontMatrix x text-matrix composition — the old-TeX bitmap-font
+    class. Two codes verify per-glyph placement and width advance."""
+    import numpy as np
+
+    # Glyph 'sq': filled 600x600 square at (100,100) in glyph space
+    # (FontMatrix 0.001 -> em units). 'bar': thin full-height bar.
+    sq = b"800 0 d0 100 100 600 600 re f\n"
+    bar = b"400 0 d0 100 0 200 900 re f\n"
+    content = zlib.compress(b"BT /F1 40 Tf 0 0 0 rg 10 30 Td (AB) Tj ET\n")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 160 100] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 1000 1000] "
+        b"/FontMatrix [0.001 0 0 0.001 0 0] "
+        b"/CharProcs << /sq 6 0 R /bar 7 0 R >> "
+        b"/Encoding << /Type /Encoding /Differences [65 /sq /bar] >> "
+        b"/FirstChar 65 /LastChar 66 /Widths [800 400] >>",
+        b"<< /Length " + str(len(sq)).encode() + b" >>\nstream\n" + sq
+        + b"endstream",
+        b"<< /Length " + str(len(bar)).encode() + b" >>\nstream\n" + bar
+        + b"endstream",
+    ]
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, 1):
+        offsets.append(out.tell())
+        out.write(f"{i} 0 obj\n".encode() + body + b"\nendobj\n")
+    xref = out.tell()
+    out.write(f"xref\n0 {len(objs)+1}\n".encode() + b"0000000000 65535 f \n")
+    for o in offsets:
+        out.write(f"{o:010d} 00000 n \n".encode())
+    out.write(
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref).encode() + b"\n%%EOF"
+    )
+    img = minipdf.render_page(minipdf.open_pdf(out.getvalue()), 0)
+    px = np.asarray(img.convert("L")) < 128
+    # 'A' square: glyph (100..700)/1000 * 40pt at origin (10, 30) ->
+    # user x 14..38, y 34..58 -> device y 42..66.
+    assert px[50, 25]  # inside the square
+    assert not px[50, 5]  # left margin
+    assert not px[20, 25]  # above the square
+    # 'B' bar advances by width 800/1000*40 = 32pt: bar at user
+    # x 42+4..42+12 (glyph 100..300), y 30..66 -> device y 4..70.
+    assert px[40, 48]  # inside the bar
+    assert not px[40, 58]  # right of the bar
