@@ -24,9 +24,11 @@ Scope (an OCR front end, not a full viewer):
 
 Fidelity notes: clipping paths (W/W*) intersect device-space coverage
 masks (both winding rules approximated by the painter's per-subpath
-scanline fill); compound even-odd holes fill per-subpath; shading patterns
-(sh) are skipped. For document OCR (text + images on a white page) this
-reproduces what the model needs to see.
+scanline fill); compound even-odd holes fill per-subpath; axial/radial
+shadings paint via `sh` and PatternType 2 fills (function types 0/2/3);
+tiling patterns and mesh shadings (types 4-7) are skipped. For document
+OCR (text + images on a white page) this reproduces what the model needs
+to see.
 """
 
 from __future__ import annotations
@@ -1022,6 +1024,111 @@ def _ccitt_to_tiff(
 
 
 # ---------------------------------------------------------------------------
+# Shadings (PDF 1.7 §8.7.4): axial/radial gradients + the function types
+# that drive them. Evaluated dense per device pixel with numpy.
+# ---------------------------------------------------------------------------
+
+
+def _eval_function(doc: "PDFDocument", fn: Any, t: "np.ndarray") -> "np.ndarray":
+    """Evaluate a PDF function at 1-D inputs ``t`` -> [..., n] components.
+
+    Types 2 (exponential), 3 (stitching), 0 (1-D sampled, linear interp),
+    and arrays of 1-output functions. Unknown types raise (caller skips
+    the shading — a wrong gradient is worse than none)."""
+    import numpy as np
+
+    fn = doc.resolve(fn)
+    if isinstance(fn, list):
+        return np.stack(
+            [_eval_function(doc, f, t)[..., 0] for f in fn], axis=-1
+        )
+    d = fn.dict if isinstance(fn, StreamObj) else fn
+    if not isinstance(d, dict):
+        raise ValueError("bad function")
+    ftype = int(doc.resolve(d.get("FunctionType")))
+    dom = [float(doc.resolve(v)) for v in doc.resolve(d.get("Domain")) or [0, 1]]
+    t = np.clip(t, dom[0], dom[1])
+    if ftype == 2:
+        c0 = np.asarray(
+            [float(doc.resolve(v)) for v in doc.resolve(d.get("C0")) or [0.0]]
+        )
+        c1 = np.asarray(
+            [float(doc.resolve(v)) for v in doc.resolve(d.get("C1")) or [1.0]]
+        )
+        n = float(doc.resolve(d.get("N")) or 1.0)
+        span = (dom[1] - dom[0]) or 1.0
+        u = (t - dom[0]) / span
+        return c0 + (u[..., None] ** n) * (c1 - c0)
+    if ftype == 3:
+        fns = doc.resolve(d.get("Functions")) or []
+        bounds = [float(doc.resolve(v)) for v in doc.resolve(d.get("Bounds")) or []]
+        enc = [float(doc.resolve(v)) for v in doc.resolve(d.get("Encode")) or []]
+        edges = [dom[0]] + bounds + [dom[1]]
+        idx = np.clip(np.searchsorted(np.asarray(bounds), t, side="right"),
+                      0, len(fns) - 1)
+        out = None
+        for i, sub in enumerate(fns):
+            lo, hi = edges[i], edges[i + 1]
+            e0, e1 = (enc[2 * i], enc[2 * i + 1]) if len(enc) >= 2 * i + 2 else (0.0, 1.0)
+            span = (hi - lo) or 1.0
+            ti = e0 + (np.clip(t, lo, hi) - lo) / span * (e1 - e0)
+            vals = _eval_function(doc, sub, ti)
+            if out is None:
+                out = np.zeros(t.shape + (vals.shape[-1],))
+            out = np.where((idx == i)[..., None], vals, out)
+        if out is None:
+            raise ValueError("empty stitching function")
+        return out
+    if ftype == 0 and isinstance(fn, StreamObj):
+        size = [int(doc.resolve(v)) for v in doc.resolve(d.get("Size")) or []]
+        if len(size) != 1:
+            raise ValueError("only 1-D sampled functions")
+        bps = int(doc.resolve(d.get("BitsPerSample")))
+        rng = [float(doc.resolve(v)) for v in doc.resolve(d.get("Range")) or []]
+        n_out = max(1, len(rng) // 2)
+        raw = fn.decoded(doc)
+        if bps == 8:
+            samples = np.frombuffer(raw, np.uint8).astype(np.float64) / 255.0
+        elif bps == 16:
+            samples = np.frombuffer(raw, ">u2").astype(np.float64) / 65535.0
+        else:
+            raise ValueError(f"BitsPerSample {bps} unsupported")
+        samples = samples[: size[0] * n_out].reshape(size[0], n_out)
+        span = (dom[1] - dom[0]) or 1.0
+        x = (t - dom[0]) / span * (size[0] - 1)
+        i0 = np.clip(x.astype(np.int64), 0, size[0] - 1)
+        i1 = np.minimum(i0 + 1, size[0] - 1)
+        frac = (x - i0)[..., None]
+        vals = samples[i0] * (1 - frac) + samples[i1] * frac
+        if rng:
+            lo = np.asarray(rng[0::2])
+            hi = np.asarray(rng[1::2])
+            vals = lo + vals * (hi - lo)
+        return vals
+    raise ValueError(f"FunctionType {ftype} unsupported")
+
+
+def _components_to_rgb(comps: "np.ndarray") -> "np.ndarray":
+    """[..., n] function output -> [..., 3] uint8 RGB (n = 1 gray,
+    3 RGB, 4 CMYK)."""
+    import numpy as np
+
+    comps = np.clip(comps, 0.0, 1.0)
+    n = comps.shape[-1]
+    if n == 1:
+        rgb = np.repeat(comps, 3, axis=-1)
+    elif n == 4:
+        c, m, y, k = (comps[..., i] for i in range(4))
+        rgb = np.stack(
+            [(1 - np.minimum(1, c + k)), (1 - np.minimum(1, m + k)),
+             (1 - np.minimum(1, y + k))], axis=-1
+        )
+    else:
+        rgb = comps[..., :3]
+    return (rgb * 255.0 + 0.5).astype("uint8")
+
+
+# ---------------------------------------------------------------------------
 # Content-stream rasterizer
 # ---------------------------------------------------------------------------
 
@@ -1087,13 +1194,16 @@ class GraphicsState:
     # Masks are immutable once installed (intersection builds a new
     # image), so clones share the reference.
     clip: Optional[Image.Image] = None
+    # Shading-pattern fill (PatternType 2 set via scn): (shading obj,
+    # pattern Matrix). Solid-color operators clear it.
+    fill_shading: Optional[tuple] = None
 
     def clone(self) -> "GraphicsState":
         return GraphicsState(
             self.ctm, self.fill_rgb, self.stroke_rgb, self.line_width,
             self.font, self.font_size,
             self.char_spacing, self.word_spacing, self.h_scale,
-            self.leading, self.rise, self.clip,
+            self.leading, self.rise, self.clip, self.fill_shading,
         )
 
 
@@ -1299,6 +1409,20 @@ class PageRasterizer:
         flatten to polylines with the line width scaled by the CTM.
         """
         m = mat_mul(gs.ctm, self.base)
+        if fill and gs.fill_shading is not None:
+            # Shading-pattern fill: the path becomes a mask and the
+            # gradient paints through it. Pattern space maps through the
+            # pattern Matrix to the DEFAULT page space (PDF 1.7 §8.7.3.1),
+            # not the CTM at fill time.
+            shading, pat_m = gs.fill_shading
+            mask = self._path_clip_mask(subpaths, gs.ctm)
+            if mask is not None:
+                self._paint_shading(
+                    shading, mat_mul(pat_m, self.base), gs.clip, mask=mask
+                )
+            if not stroke:
+                return
+            fill = False
         if stroke:
             a, b, c, d, _, _ = m
             scale = math.sqrt(abs(a * d - b * c)) or 1.0
@@ -1352,6 +1476,101 @@ class PageRasterizer:
                 md = ImageDraw.Draw(mask)
             md.polygon([mat_apply(m, x, y) for x, y in pts], fill=255)
         return mask
+
+    def _paint_shading(
+        self,
+        shading: Any,
+        user_to_device: Matrix,
+        clip: Optional[Image.Image],
+        mask: Optional[Image.Image] = None,
+    ) -> None:
+        """Rasterize an axial (Type 2) / radial (Type 3) shading densely
+        over the canvas, gated by ``clip`` and an optional path ``mask``
+        (shading-pattern fills). Coordinates are in the space mapped by
+        ``user_to_device``; uncovered pixels (Extend false) stay
+        untouched."""
+        import numpy as np
+
+        sh = self.doc.resolve(shading)
+        d = sh.dict if isinstance(sh, StreamObj) else sh
+        if not isinstance(d, dict):
+            return
+        stype = int(self.doc.resolve(d.get("ShadingType")) or 0)
+        if stype not in (2, 3):
+            return
+        coords = [
+            float(self.doc.resolve(v))
+            for v in self.doc.resolve(d.get("Coords")) or []
+        ]
+        dom = [
+            float(self.doc.resolve(v))
+            for v in self.doc.resolve(d.get("Domain")) or [0.0, 1.0]
+        ]
+        ext = self.doc.resolve(d.get("Extend")) or [False, False]
+        e0 = bool(self.doc.resolve(ext[0])) if len(ext) > 0 else False
+        e1 = bool(self.doc.resolve(ext[1])) if len(ext) > 1 else False
+
+        a, b, c, dd, e, f = user_to_device
+        det = a * dd - b * c
+        if abs(det) < 1e-12:
+            return
+        # Device pixel centers -> shading space.
+        xs = np.arange(self.width) + 0.5
+        ys = np.arange(self.height) + 0.5
+        dx, dy = np.meshgrid(xs, ys)  # [H, W]
+        ux = (dd * (dx - e) - c * (dy - f)) / det
+        uy = (-b * (dx - e) + a * (dy - f)) / det
+
+        if stype == 2 and len(coords) >= 4:
+            x0, y0, x1, y1 = coords[:4]
+            ax, ay = x1 - x0, y1 - y0
+            denom = ax * ax + ay * ay
+            if denom < 1e-12:
+                return
+            s = ((ux - x0) * ax + (uy - y0) * ay) / denom
+            covered = ((s >= 0) | e0) & ((s <= 1) | e1)
+            s = np.clip(s, 0.0, 1.0)
+        elif stype == 3 and len(coords) >= 6:
+            x0, y0, r0, x1, y1, r1 = coords[:6]
+            dcx, dcy, dr = x1 - x0, y1 - y0, r1 - r0
+            px, py = ux - x0, uy - y0
+            A = dcx * dcx + dcy * dcy - dr * dr
+            B = px * dcx + py * dcy + r0 * dr
+            C = px * px + py * py - r0 * r0
+            with np.errstate(invalid="ignore", divide="ignore"):
+                if abs(A) < 1e-9:
+                    s = C / (2.0 * np.where(np.abs(B) < 1e-12, np.nan, B))
+                    valid = np.isfinite(s)
+                else:
+                    disc = B * B - A * C
+                    valid = disc >= 0
+                    root = np.sqrt(np.maximum(disc, 0.0))
+                    # Larger s first (the outermost circle wins); fall
+                    # back to the other root where r(s) < 0.
+                    s1 = (B + root) / A
+                    s2 = (B - root) / A
+                    s = np.where(r0 + s1 * dr >= 0, s1, s2)
+                valid &= (r0 + s * dr) >= 0
+            covered = valid & ((s >= 0) | e0) & ((s <= 1) | e1)
+            s = np.clip(np.nan_to_num(s), 0.0, 1.0)
+        else:
+            return
+
+        t = dom[0] + s * (dom[1] - dom[0])
+        try:
+            comps = _eval_function(self.doc, d.get("Function"), t)
+        except Exception:
+            return
+        rgb = _components_to_rgb(comps)
+        img = Image.fromarray(rgb, "RGB")
+        cover = Image.fromarray(
+            (covered.astype("uint8") * 255), "L"
+        )
+        if mask is not None:
+            cover = ImageChops.multiply(cover, mask)
+        if clip is not None:
+            cover = ImageChops.multiply(cover, clip)
+        self.canvas.paste(img, (0, 0), cover)
 
     # -- main loop ------------------------------------------------------------
 
@@ -1573,8 +1792,10 @@ class PageRasterizer:
                 elif op == "g" and stack:
                     v = int(float(stack[-1]) * 255)
                     gs.fill_rgb = (v, v, v)
+                    gs.fill_shading = None
                 elif op == "rg" and len(stack) >= 3:
                     gs.fill_rgb = tuple(int(float(v) * 255) for v in stack[-3:])  # type: ignore[assignment]
+                    gs.fill_shading = None
                 elif op == "k" and len(stack) >= 4:
                     cc, mm, yy, kk = (float(v) for v in stack[-4:])
                     gs.fill_rgb = (
@@ -1582,13 +1803,45 @@ class PageRasterizer:
                         int(255 * (1 - min(1.0, mm + kk))),
                         int(255 * (1 - min(1.0, yy + kk))),
                     )
+                    gs.fill_shading = None
                 elif op in ("sc", "scn") and stack:
-                    nums = [v for v in stack if isinstance(v, (int, float))]
-                    if len(nums) >= 3:
-                        gs.fill_rgb = tuple(int(float(v) * 255) for v in nums[-3:])  # type: ignore[assignment]
-                    elif len(nums) == 1:
-                        v = int(float(nums[0]) * 255)
-                        gs.fill_rgb = (v, v, v)
+                    if op == "scn" and isinstance(stack[-1], Name):
+                        # /Name scn in a /Pattern space: a PatternType 2
+                        # (shading) pattern paints a gradient through
+                        # subsequent fills; tiling patterns (type 1) fall
+                        # back to the current solid color.
+                        pats = self.doc.resolve(resources.get("Pattern")) or {}
+                        pat = self.doc.resolve(pats.get(Name(str(stack[-1]))))
+                        pd = pat.dict if isinstance(pat, StreamObj) else pat
+                        gs.fill_shading = None
+                        if isinstance(pd, dict) and int(
+                            self.doc.resolve(pd.get("PatternType")) or 0
+                        ) == 2:
+                            pm = self.doc.resolve(pd.get("Matrix"))
+                            gs.fill_shading = (
+                                self.doc.resolve(pd.get("Shading")),
+                                tuple(float(self.doc.resolve(v)) for v in pm)
+                                if isinstance(pm, list) and len(pm) == 6
+                                else IDENTITY,
+                            )
+                    else:
+                        nums = [v for v in stack if isinstance(v, (int, float))]
+                        if len(nums) >= 3:
+                            gs.fill_rgb = tuple(int(float(v) * 255) for v in nums[-3:])  # type: ignore[assignment]
+                            gs.fill_shading = None
+                        elif len(nums) == 1:
+                            v = int(float(nums[0]) * 255)
+                            gs.fill_rgb = (v, v, v)
+                            gs.fill_shading = None
+                elif op == "sh" and stack:
+                    # Direct shading paint: covers the clip region (PDF
+                    # 1.7 §8.7.4.2), coords in CURRENT user space.
+                    shs = self.doc.resolve(resources.get("Shading")) or {}
+                    sh_obj = self.doc.resolve(shs.get(Name(str(stack[-1]))))
+                    if sh_obj is not None:
+                        self._paint_shading(
+                            sh_obj, mat_mul(gs.ctm, self.base), gs.clip
+                        )
                 elif op == "G" and stack:
                     v = int(float(stack[-1]) * 255)
                     gs.stroke_rgb = (v, v, v)

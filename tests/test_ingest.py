@@ -812,3 +812,70 @@ def test_type3_font_charproc_rendering():
     # x 42+4..42+12 (glyph 100..300), y 30..66 -> device y 4..70.
     assert px[40, 48]  # inside the bar
     assert not px[40, 58]  # right of the bar
+
+
+def test_axial_and_radial_shadings():
+    """sh (direct) paints an axial gradient under the clip; a PatternType 2
+    scn fill paints a radial gradient through the path mask."""
+    import numpy as np
+
+    content = zlib.compress(
+        # Top half: clip + direct axial sh (red -> blue, left to right).
+        b"q 0 100 200 100 re W n /Sh1 sh Q\n"
+        # Bottom half: radial shading-pattern fill inside a rect path.
+        b"q /Pattern cs /P1 scn 20 20 160 60 re f Q\n"
+    )
+    axial = (
+        b"<< /ShadingType 2 /ColorSpace /DeviceRGB /Coords [0 0 200 0] "
+        b"/Extend [true true] /Function << /FunctionType 2 /Domain [0 1] "
+        b"/C0 [1 0 0] /C1 [0 0 1] /N 1 >> >>"
+    )
+    radial_pat = (
+        b"<< /PatternType 2 /Shading << /ShadingType 3 /ColorSpace /DeviceGray "
+        b"/Coords [100 50 0 100 50 80] /Extend [true true] "
+        b"/Function << /FunctionType 2 /Domain [0 1] /C0 [0] /C1 [1] /N 1 >> "
+        b">> >>"
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 200 200] "
+        b"/Contents 4 0 R /Resources << /Shading << /Sh1 5 0 R >> "
+        b"/Pattern << /P1 6 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + content + b"\nendstream",
+        axial,
+        radial_pat,
+    ]
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, 1):
+        offsets.append(out.tell())
+        out.write(f"{i} 0 obj\n".encode() + body + b"\nendobj\n")
+    xref = out.tell()
+    out.write(f"xref\n0 {len(objs)+1}\n".encode() + b"0000000000 65535 f \n")
+    for o in offsets:
+        out.write(f"{o:010d} 00000 n \n".encode())
+    out.write(
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref).encode() + b"\n%%EOF"
+    )
+    img = minipdf.render_page(minipdf.open_pdf(out.getvalue()), 0)
+    px = np.asarray(img)
+    # Axial in the clipped TOP half (device y < 100): red left, blue right.
+    r, g, b = px[50, 10]
+    assert r > 200 and b < 60
+    r, g, b = px[50, 190]
+    assert b > 200 and r < 60
+    mid = px[50, 100]
+    assert 90 < mid[0] < 170 and 90 < mid[2] < 170  # blended middle
+    # Clip: the sh must NOT paint the bottom half outside its q/Q region
+    # beyond the pattern rect (check a point outside both).
+    assert tuple(px[195, 5]) == (255, 255, 255)
+    # Radial fill: dark at the circle centre (pdf 100,50 -> device y=150),
+    # lighter toward the rect's edge, untouched outside the path.
+    centre = px[150, 100]
+    edge = px[150, 30]
+    assert centre[0] < 60 and edge[0] > centre[0] + 60
+    assert tuple(px[150, 10]) == (255, 255, 255)  # outside the 20..180 rect
