@@ -901,7 +901,30 @@ def _resolve_colorspace(doc: PDFDocument, cs: Any) -> Tuple[str, Optional[bytes]
 
 
 def decode_image_xobject(doc: PDFDocument, xobj: StreamObj) -> Optional[Image.Image]:
-    """Decode an image XObject to a PIL image (RGB or L; mask -> L stencil)."""
+    """Decode an image XObject to a PIL image (RGB/RGBA or L).
+
+    /SMask soft masks (PNG-alpha-class transparency) decode as a gray
+    alpha channel and return RGBA — the paster composites through it."""
+    img = _decode_image_payload(doc, xobj)
+    if img is None:
+        return None
+    smask = doc.resolve(xobj.dict.get("SMask"))
+    if isinstance(smask, StreamObj):
+        try:
+            alpha = _decode_image_payload(doc, smask)
+            if alpha is not None:
+                alpha = alpha.convert("L")
+                if alpha.size != img.size:
+                    alpha = alpha.resize(img.size)
+                img = img.convert("RGB")
+                img.putalpha(alpha)
+        except Exception:
+            pass
+    return img
+
+
+def _decode_image_payload(doc: PDFDocument, xobj: StreamObj) -> Optional[Image.Image]:
+    """Decode an image XObject's payload (RGB or L; mask -> L stencil)."""
     d = xobj.dict
     width = int(doc.resolve(d.get("Width") or d.get("W") or 0))
     height = int(doc.resolve(d.get("Height") or d.get("H") or 0))
@@ -1316,6 +1339,10 @@ class PageRasterizer:
             color_img = Image.new("RGB", img.size, fill_rgb)
             mask = img.point(lambda v: 255 - v)
             src = color_img
+        elif img.mode in ("RGBA", "LA", "PA"):
+            # Soft-masked image (/SMask): the alpha channel gates the paste.
+            mask = img.getchannel("A")
+            src = img.convert("RGB")
         else:
             src = img.convert("RGB")
             mask = None

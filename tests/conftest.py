@@ -35,3 +35,24 @@ def pytest_configure(config):
 @pytest.fixture(scope="session")
 def rng_seed():
     return 0
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The full suite compiles many hundreds of XLA:CPU programs in one
+    process (incl. shard_map/donation-heavy TP programs); with all of
+    them held live, a later LLVM compile can segfault inside
+    backend_compile_and_load (observed at ~78% of the r3 suite,
+    reproducible only with the accumulated state). Clearing the pjit
+    caches between modules releases the executables and keeps the
+    whole-suite single-process run stable.
+    """
+    yield
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()

@@ -879,3 +879,53 @@ def test_axial_and_radial_shadings():
     edge = px[150, 30]
     assert centre[0] < 60 and edge[0] > centre[0] + 60
     assert tuple(px[150, 10]) == (255, 255, 255)  # outside the 20..180 rect
+
+
+def test_image_smask_alpha_compositing():
+    """/SMask soft masks gate image pasting: transparent regions leave the
+    backdrop visible (PNG-alpha-class images in PDFs)."""
+    import numpy as np
+
+    # 2x2 blue image; SMask: left column transparent, right opaque.
+    rgb = bytes([0, 0, 255] * 4)
+    alpha = bytes([0, 255, 0, 255])
+    content = zlib.compress(
+        b"1 0 0 rg 0 0 200 100 re f\n"  # red backdrop
+        b"q 200 0 0 100 0 0 cm /Im1 Do Q\n"
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 200 100] "
+        b"/Contents 4 0 R /Resources << /XObject << /Im1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /SMask 6 0 R "
+        b"/Length " + str(len(rgb)).encode() + b" >>\nstream\n" + rgb
+        + b"\nendstream",
+        b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+        b"/Length " + str(len(alpha)).encode() + b" >>\nstream\n" + alpha
+        + b"\nendstream",
+    ]
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, 1):
+        offsets.append(out.tell())
+        out.write(f"{i} 0 obj\n".encode() + body + b"\nendobj\n")
+    xref = out.tell()
+    out.write(f"xref\n0 {len(objs)+1}\n".encode() + b"0000000000 65535 f \n")
+    for o in offsets:
+        out.write(f"{o:010d} 00000 n \n".encode())
+    out.write(
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref).encode() + b"\n%%EOF"
+    )
+    img = minipdf.render_page(minipdf.open_pdf(out.getvalue()), 0)
+    px = np.asarray(img)
+    r, g, b = px[50, 30]   # transparent left: red backdrop shows
+    assert r > 180 and b < 120
+    r, g, b = px[50, 170]  # opaque right: blue image
+    assert b > 180 and r < 120
