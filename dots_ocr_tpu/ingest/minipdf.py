@@ -1220,6 +1220,9 @@ class GraphicsState:
     # Shading-pattern fill (PatternType 2 set via scn): (shading obj,
     # pattern Matrix). Solid-color operators clear it.
     fill_shading: Optional[tuple] = None
+    # ExtGState constant alpha (/ca fill, /CA stroke): 1.0 = opaque.
+    fill_alpha: float = 1.0
+    stroke_alpha: float = 1.0
 
     def clone(self) -> "GraphicsState":
         return GraphicsState(
@@ -1227,6 +1230,7 @@ class GraphicsState:
             self.font, self.font_size,
             self.char_spacing, self.word_spacing, self.h_scale,
             self.leading, self.rise, self.clip, self.fill_shading,
+            self.fill_alpha, self.stroke_alpha,
         )
 
 
@@ -1316,7 +1320,8 @@ class PageRasterizer:
     # -- drawing ------------------------------------------------------------
 
     def _paste_image(self, img: Image.Image, ctm: Matrix, fill_rgb=(0, 0, 0),
-                     is_mask=False, clip: Optional[Image.Image] = None) -> None:
+                     is_mask=False, clip: Optional[Image.Image] = None,
+                     alpha: float = 1.0) -> None:
         """Map the image's unit square through ctm∘base onto the canvas."""
         m = mat_mul(ctm, self.base)
         corners = [mat_apply(m, x, y) for x, y in ((0, 0), (1, 0), (0, 1), (1, 1))]
@@ -1369,6 +1374,12 @@ class PageRasterizer:
                 if mask_resized is not None:
                     mask_resized = mask_resized.transpose(Image.FLIP_TOP_BOTTOM)
             px0, py0 = round(x_min), round(y_min)
+            if alpha < 1.0:
+                mask_resized = (
+                    Image.new("L", (out_w, out_h), int(alpha * 255))
+                    if mask_resized is None
+                    else mask_resized.point(lambda v: int(v * alpha))
+                )
             if clip is not None:
                 clip_crop = clip.crop((px0, py0, px0 + out_w, py0 + out_h))
                 mask_resized = (
@@ -1414,6 +1425,8 @@ class PageRasterizer:
                 cov = Image.new("L", src.size, 255)
                 mask_region = cov.transform((out_w, out_h), Image.AFFINE, coeffs, fillcolor=0)
             px0, py0 = round(x_min), round(y_min)
+            if alpha < 1.0:
+                mask_region = mask_region.point(lambda v: int(v * alpha))
             if clip is not None:
                 mask_region = ImageChops.multiply(
                     mask_region,
@@ -1445,7 +1458,8 @@ class PageRasterizer:
             mask = self._path_clip_mask(subpaths, gs.ctm)
             if mask is not None:
                 self._paint_shading(
-                    shading, mat_mul(pat_m, self.base), gs.clip, mask=mask
+                    shading, mat_mul(pat_m, self.base), gs.clip, mask=mask,
+                    alpha=gs.fill_alpha,
                 )
             if not stroke:
                 return
@@ -1454,7 +1468,7 @@ class PageRasterizer:
             a, b, c, d, _, _ = m
             scale = math.sqrt(abs(a * d - b * c)) or 1.0
             width = max(1, round(gs.line_width * scale))
-        if gs.clip is None:
+        if gs.clip is None and gs.fill_alpha >= 1.0 and gs.stroke_alpha >= 1.0:
             for pts, closed in subpaths:
                 device = [mat_apply(m, x, y) for x, y in pts]
                 if fill and len(device) >= 3:
@@ -1463,26 +1477,29 @@ class PageRasterizer:
                     line_pts = device + device[:1] if closed else device
                     self.draw.line(line_pts, fill=gs.stroke_rgb, width=width)
             return
-        # Clipped: rasterize the op as an "L" coverage mask, intersect with
-        # the clip, paste the flat color through it (fill and stroke get
-        # separate passes — they carry different colors).
-        for do_it, color, as_fill in (
-            (fill, gs.fill_rgb, True), (stroke, gs.stroke_rgb, False)
+        # Clipped and/or translucent: rasterize the op as an "L" coverage
+        # mask, scale by the constant alpha, intersect with the clip, and
+        # paste the flat color through it (fill and stroke get separate
+        # passes — they carry different colors and alphas).
+        for do_it, color, alpha, as_fill in (
+            (fill, gs.fill_rgb, gs.fill_alpha, True),
+            (stroke, gs.stroke_rgb, gs.stroke_alpha, False),
         ):
             if not do_it:
                 continue
+            ink = max(0, min(255, int(round(alpha * 255))))
             shape = Image.new("L", self.canvas.size, 0)
             sd = ImageDraw.Draw(shape)
             for pts, closed in subpaths:
                 device = [mat_apply(m, x, y) for x, y in pts]
                 if as_fill and len(device) >= 3:
-                    sd.polygon(device, fill=255)
+                    sd.polygon(device, fill=ink)
                 elif not as_fill and len(device) >= 2:
                     line_pts = device + device[:1] if closed else device
-                    sd.line(line_pts, fill=255, width=width)
-            self.canvas.paste(
-                color, (0, 0), ImageChops.multiply(shape, gs.clip)
-            )
+                    sd.line(line_pts, fill=ink, width=width)
+            if gs.clip is not None:
+                shape = ImageChops.multiply(shape, gs.clip)
+            self.canvas.paste(color, (0, 0), shape)
 
     def _path_clip_mask(
         self,
@@ -1510,6 +1527,7 @@ class PageRasterizer:
         user_to_device: Matrix,
         clip: Optional[Image.Image],
         mask: Optional[Image.Image] = None,
+        alpha: float = 1.0,
     ) -> None:
         """Rasterize an axial (Type 2) / radial (Type 3) shading densely
         over the canvas, gated by ``clip`` and an optional path ``mask``
@@ -1593,6 +1611,8 @@ class PageRasterizer:
         cover = Image.fromarray(
             (covered.astype("uint8") * 255), "L"
         )
+        if alpha < 1.0:
+            cover = cover.point(lambda v: int(v * alpha))
         if mask is not None:
             cover = ImageChops.multiply(cover, mask)
         if clip is not None:
@@ -1699,7 +1719,7 @@ class PageRasterizer:
             # per show-text run and composite through the clip mask once.
             m = mat_mul(tm, mat_mul(gs.ctm, self.base))
             overlay = odraw = None
-            if gs.clip is not None and text_buf:
+            if (gs.clip is not None or gs.fill_alpha < 1.0) and text_buf:
                 overlay = Image.new("L", self.canvas.size, 0)
                 odraw = ImageDraw.Draw(overlay)
             for x_off, code, uni in text_buf:
@@ -1757,10 +1777,12 @@ class PageRasterizer:
                 except (ValueError, OSError):
                     target.text((dx, dy - px), uni, font=pil_font, fill=ink)
             if overlay is not None:
-                self.canvas.paste(
-                    gs.fill_rgb, (0, 0),
-                    ImageChops.multiply(overlay, gs.clip),
-                )
+                if gs.fill_alpha < 1.0:
+                    a = gs.fill_alpha
+                    overlay = overlay.point(lambda v: int(v * a))
+                if gs.clip is not None:
+                    overlay = ImageChops.multiply(overlay, gs.clip)
+                self.canvas.paste(gs.fill_rgb, (0, 0), overlay)
             # Advance the text matrix.
             tm = mat_mul((1, 0, 0, 1, x_cursor, 0), tm)
 
@@ -1775,7 +1797,7 @@ class PageRasterizer:
                     if img is not None:
                         self._paste_image(img, gs.ctm, gs.fill_rgb,
                                           is_mask=bool(self.doc.resolve(d.get("IM") or d.get("ImageMask"))),
-                                          clip=gs.clip)
+                                          clip=gs.clip, alpha=gs.fill_alpha)
                 except Exception:
                     pass
                 stack.clear()
@@ -1791,6 +1813,21 @@ class PageRasterizer:
                 elif op == "cm" and len(stack) >= 6:
                     m = tuple(float(v) for v in stack[-6:])
                     gs.ctm = mat_mul(m, gs.ctm)  # type: ignore[arg-type]
+                elif op == "gs" and stack:
+                    # ExtGState: constant alpha (watermarks / highlight
+                    # overlays) + line width; other entries are ignored.
+                    egs = self.doc.resolve(resources.get("ExtGState")) or {}
+                    g2 = self.doc.resolve(egs.get(Name(str(stack[-1]))))
+                    if isinstance(g2, dict):
+                        ca = self.doc.resolve(g2.get("ca"))
+                        if isinstance(ca, (int, float)):
+                            gs.fill_alpha = float(ca)
+                        CA = self.doc.resolve(g2.get("CA"))
+                        if isinstance(CA, (int, float)):
+                            gs.stroke_alpha = float(CA)
+                        lw = self.doc.resolve(g2.get("LW"))
+                        if isinstance(lw, (int, float)):
+                            gs.line_width = float(lw)
                 elif op == "Do" and stack:
                     name = stack[-1]
                     xobjects = self.doc.resolve(resources.get("XObject")) or {}
@@ -1804,6 +1841,7 @@ class PageRasterizer:
                                     img, gs.ctm, gs.fill_rgb,
                                     is_mask=bool(self.doc.resolve(xobj.dict.get("ImageMask"))),
                                     clip=gs.clip,
+                                    alpha=gs.fill_alpha,
                                 )
                         elif subtype == Name("Form"):
                             inner = gs.clone()
@@ -1867,7 +1905,8 @@ class PageRasterizer:
                     sh_obj = self.doc.resolve(shs.get(Name(str(stack[-1]))))
                     if sh_obj is not None:
                         self._paint_shading(
-                            sh_obj, mat_mul(gs.ctm, self.base), gs.clip
+                            sh_obj, mat_mul(gs.ctm, self.base), gs.clip,
+                            alpha=gs.fill_alpha,
                         )
                 elif op == "G" and stack:
                     v = int(float(stack[-1]) * 255)

@@ -929,3 +929,52 @@ def test_image_smask_alpha_compositing():
     assert r > 180 and b < 120
     r, g, b = px[50, 170]  # opaque right: blue image
     assert b > 180 and r < 120
+
+
+def test_extgstate_constant_alpha():
+    """gs /ca blends fills and text (the watermark/highlight class): a 50%
+    yellow rect over black text leaves the text visible through it."""
+    import numpy as np
+
+    content = zlib.compress(
+        b"0 0 0 rg 20 40 160 20 re f\n"            # black bar (text stand-in)
+        b"q /G1 gs 1 1 0 rg 0 30 200 40 re f Q\n"  # 50% yellow highlight
+        b"q /G1 gs 0 0 1 rg 120 80 60 15 re f Q\n"  # 50% blue over white
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 200 100] "
+        b"/Contents 4 0 R /Resources << /ExtGState << /G1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /ExtGState /ca 0.5 /CA 0.5 >>",
+    ]
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, 1):
+        offsets.append(out.tell())
+        out.write(f"{i} 0 obj\n".encode() + body + b"\nendobj\n")
+    xref = out.tell()
+    out.write(f"xref\n0 {len(objs)+1}\n".encode() + b"0000000000 65535 f \n")
+    for o in offsets:
+        out.write(f"{o:010d} 00000 n \n".encode())
+    out.write(
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref).encode() + b"\n%%EOF"
+    )
+    img = minipdf.render_page(minipdf.open_pdf(out.getvalue()), 0)
+    px = np.asarray(img)
+    # Black bar at pdf y 40..60 -> device y 40..60; highlight over it:
+    # 50% yellow over black => dark yellow (~127,127,0), NOT opaque yellow.
+    r, g, b = px[50, 100]
+    assert 90 < r < 170 and 90 < g < 170 and b < 60
+    # Highlight over white margin => light yellow (~255,255,127).
+    r, g, b = px[35, 100]
+    assert r > 200 and g > 200 and 90 < b < 170
+    # 50% blue over white => ~(127,127,255).
+    r, g, b = px[12, 150]
+    assert 90 < r < 170 and b > 200
+    # Untouched area stays white.
+    assert tuple(px[90, 10]) == (255, 255, 255)
