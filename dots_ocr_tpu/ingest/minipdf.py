@@ -1223,6 +1223,9 @@ class GraphicsState:
     # ExtGState constant alpha (/ca fill, /CA stroke): 1.0 = opaque.
     fill_alpha: float = 1.0
     stroke_alpha: float = 1.0
+    # Tiling-pattern fill (PatternType 1 set via scn): (pattern stream,
+    # pattern Matrix).
+    fill_tiling: Optional[tuple] = None
 
     def clone(self) -> "GraphicsState":
         return GraphicsState(
@@ -1230,7 +1233,7 @@ class GraphicsState:
             self.font, self.font_size,
             self.char_spacing, self.word_spacing, self.h_scale,
             self.leading, self.rise, self.clip, self.fill_shading,
-            self.fill_alpha, self.stroke_alpha,
+            self.fill_alpha, self.stroke_alpha, self.fill_tiling,
         )
 
 
@@ -1449,6 +1452,15 @@ class PageRasterizer:
         flatten to polylines with the line width scaled by the CTM.
         """
         m = mat_mul(gs.ctm, self.base)
+        if fill and gs.fill_tiling is not None:
+            mask = self._path_clip_mask(subpaths, gs.ctm)
+            if mask is not None:
+                self._paint_tiling(
+                    gs.fill_tiling, gs.clip, mask, gs.fill_alpha
+                )
+            if not stroke:
+                return
+            fill = False
         if fill and gs.fill_shading is not None:
             # Shading-pattern fill: the path becomes a mask and the
             # gradient paints through it. Pattern space maps through the
@@ -1618,6 +1630,79 @@ class PageRasterizer:
         if clip is not None:
             cover = ImageChops.multiply(cover, clip)
         self.canvas.paste(img, (0, 0), cover)
+
+    def _paint_tiling(
+        self,
+        tiling: tuple,
+        clip: Optional[Image.Image],
+        mask: Image.Image,
+        alpha: float = 1.0,
+    ) -> None:
+        """Fill through a PatternType 1 (tiling) pattern: render ONE cell
+        by executing the pattern's content stream onto a cell-sized
+        canvas, then repeat it across the fill mask at the pattern-space
+        period. Axis-aligned pattern matrices only (rotated tilings are
+        skipped); cells render over white, so unmarked cell area
+        approximates as white rather than transparent — fine for document
+        backgrounds, the common use."""
+        import numpy as np
+
+        pat, pmat = tiling
+        d = pat.dict
+        p2d = mat_mul(pmat, self.base)  # pattern space -> device px
+        a, b, c, dd, e, f = p2d
+        if abs(b) > 1e-6 or abs(c) > 1e-6 or abs(a) < 1e-9 or abs(dd) < 1e-9:
+            return
+        bbox = [
+            float(self.doc.resolve(v))
+            for v in self.doc.resolve(d.get("BBox")) or [0, 0, 1, 1]
+        ]
+        xstep = float(self.doc.resolve(d.get("XStep")) or 0) or (
+            bbox[2] - bbox[0]
+        ) or 1.0
+        ystep = float(self.doc.resolve(d.get("YStep")) or 0) or (
+            bbox[3] - bbox[1]
+        ) or 1.0
+        step_w, step_h = abs(xstep * a), abs(ystep * dd)
+        if not (0.5 <= step_w <= self.width * 4) or not (
+            0.5 <= step_h <= self.height * 4
+        ):
+            return
+        tw, th = max(1, round(step_w)), max(1, round(step_h))
+        # Device origin of cell (0,0): the lowest-coordinate corner of the
+        # bbox's device image (handles the base matrix's y flip).
+        xs = [e + a * bbox[0], e + a * (bbox[0] + xstep)]
+        ys = [f + dd * bbox[1], f + dd * (bbox[1] + ystep)]
+        ox, oy = min(xs), min(ys)
+        tile = Image.new("RGB", (tw, th), (255, 255, 255))
+        saved = (self.canvas, self.draw, self.base, self.width, self.height)
+        self.canvas, self.draw = tile, ImageDraw.Draw(tile)
+        self.base = mat_mul(p2d, (1.0, 0.0, 0.0, 1.0, -ox, -oy))
+        self.width, self.height = tw, th
+        try:
+            self._execute(
+                pat.decoded(self.doc),
+                self.doc.resolve(d.get("Resources")) or {},
+                GraphicsState(),
+                depth=7,
+            )
+        except Exception:
+            pass
+        finally:
+            self.canvas, self.draw, self.base, self.width, self.height = saved
+        t_arr = np.asarray(tile)
+        reps_y = self.height // th + 2
+        reps_x = self.width // tw + 2
+        big = np.tile(t_arr, (reps_y, reps_x, 1))
+        sy = int((-oy) % th)
+        sx = int((-ox) % tw)
+        full = big[sy : sy + self.height, sx : sx + self.width]
+        cover = mask
+        if alpha < 1.0:
+            cover = cover.point(lambda v: int(v * alpha))
+        if clip is not None:
+            cover = ImageChops.multiply(cover, clip)
+        self.canvas.paste(Image.fromarray(full, "RGB"), (0, 0), cover)
 
     # -- main loop ------------------------------------------------------------
 
@@ -1857,10 +1942,10 @@ class PageRasterizer:
                 elif op == "g" and stack:
                     v = int(float(stack[-1]) * 255)
                     gs.fill_rgb = (v, v, v)
-                    gs.fill_shading = None
+                    gs.fill_shading = gs.fill_tiling = None
                 elif op == "rg" and len(stack) >= 3:
                     gs.fill_rgb = tuple(int(float(v) * 255) for v in stack[-3:])  # type: ignore[assignment]
-                    gs.fill_shading = None
+                    gs.fill_shading = gs.fill_tiling = None
                 elif op == "k" and len(stack) >= 4:
                     cc, mm, yy, kk = (float(v) for v in stack[-4:])
                     gs.fill_rgb = (
@@ -1868,7 +1953,7 @@ class PageRasterizer:
                         int(255 * (1 - min(1.0, mm + kk))),
                         int(255 * (1 - min(1.0, yy + kk))),
                     )
-                    gs.fill_shading = None
+                    gs.fill_shading = gs.fill_tiling = None
                 elif op in ("sc", "scn") and stack:
                     if op == "scn" and isinstance(stack[-1], Name):
                         # /Name scn in a /Pattern space: a PatternType 2
@@ -1879,25 +1964,32 @@ class PageRasterizer:
                         pat = self.doc.resolve(pats.get(Name(str(stack[-1]))))
                         pd = pat.dict if isinstance(pat, StreamObj) else pat
                         gs.fill_shading = None
-                        if isinstance(pd, dict) and int(
-                            self.doc.resolve(pd.get("PatternType")) or 0
-                        ) == 2:
+                        gs.fill_tiling = None
+                        if isinstance(pd, dict):
                             pm = self.doc.resolve(pd.get("Matrix"))
-                            gs.fill_shading = (
-                                self.doc.resolve(pd.get("Shading")),
+                            pmat = (
                                 tuple(float(self.doc.resolve(v)) for v in pm)
                                 if isinstance(pm, list) and len(pm) == 6
-                                else IDENTITY,
+                                else IDENTITY
                             )
+                            ptype = int(
+                                self.doc.resolve(pd.get("PatternType")) or 0
+                            )
+                            if ptype == 2:
+                                gs.fill_shading = (
+                                    self.doc.resolve(pd.get("Shading")), pmat
+                                )
+                            elif ptype == 1 and isinstance(pat, StreamObj):
+                                gs.fill_tiling = (pat, pmat)
                     else:
                         nums = [v for v in stack if isinstance(v, (int, float))]
                         if len(nums) >= 3:
                             gs.fill_rgb = tuple(int(float(v) * 255) for v in nums[-3:])  # type: ignore[assignment]
-                            gs.fill_shading = None
+                            gs.fill_shading = gs.fill_tiling = None
                         elif len(nums) == 1:
                             v = int(float(nums[0]) * 255)
                             gs.fill_rgb = (v, v, v)
-                            gs.fill_shading = None
+                            gs.fill_shading = gs.fill_tiling = None
                 elif op == "sh" and stack:
                     # Direct shading paint: covers the clip region (PDF
                     # 1.7 §8.7.4.2), coords in CURRENT user space.

@@ -343,6 +343,10 @@ def decoder_decode_step_paged(
                     q, paged_k, paged_v, seq_lens, page_tables, interpret=True,
                     **scale_kwargs,
                 )
+        elif attn_impl == "skip":
+            # Profiling knob (tools/bench_decode_anatomy): zero attention
+            # output isolates the non-attention per-iteration cost.
+            out = jnp.zeros_like(q)
         else:  # reference (XLA gather; CPU test path)
             out = paged_attention_reference(
                 q, paged_k, paged_v, seq_lens, page_tables, **scale_kwargs

@@ -978,3 +978,50 @@ def test_extgstate_constant_alpha():
     assert 90 < r < 170 and b > 200
     # Untouched area stays white.
     assert tuple(px[90, 10]) == (255, 255, 255)
+
+
+def test_tiling_pattern_fill():
+    """PatternType 1 fills repeat a content-stream cell across the path:
+    a 10x10 cell with a 5x5 red square -> ~25% red coverage at period 10."""
+    import numpy as np
+
+    pat_content = b"1 0 0 rg 0 0 5 5 re f\n"
+    content = zlib.compress(b"/Pattern cs /P1 scn 20 20 100 60 re f\n")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 200 100] "
+        b"/Contents 4 0 R /Resources << /Pattern << /P1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + content + b"\nendstream",
+        b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
+        b"/BBox [0 0 10 10] /XStep 10 /YStep 10 /Resources << >> "
+        b"/Length " + str(len(pat_content)).encode() + b" >>\nstream\n"
+        + pat_content + b"endstream",
+    ]
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, 1):
+        offsets.append(out.tell())
+        out.write(f"{i} 0 obj\n".encode() + body + b"\nendobj\n")
+    xref = out.tell()
+    out.write(f"xref\n0 {len(objs)+1}\n".encode() + b"0000000000 65535 f \n")
+    for o in offsets:
+        out.write(f"{o:010d} 00000 n \n".encode())
+    out.write(
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref).encode() + b"\n%%EOF"
+    )
+    img = minipdf.render_page(minipdf.open_pdf(out.getvalue()), 0)
+    px = np.asarray(img)
+    red = (px[:, :, 0] > 180) & (px[:, :, 2] < 80)
+    # Fill rect: pdf (20..120, 20..80) -> device rows 20..80, cols 20..120.
+    inside = red[22:78, 22:118]
+    frac = inside.mean()
+    assert 0.15 < frac < 0.35, f"red coverage {frac:.2f}, expected ~0.25"
+    # Periodicity: the red pixel pattern repeats with period 10 in x.
+    rows, cols = np.nonzero(inside)
+    assert len(rows) > 50
+    assert not red[:, :20].any() and not red[:, 121:].any()  # outside rect
+    assert not red[:19].any() and not red[81:].any()
