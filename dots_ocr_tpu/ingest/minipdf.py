@@ -1226,6 +1226,9 @@ class GraphicsState:
     # Tiling-pattern fill (PatternType 1 set via scn): (pattern stream,
     # pattern Matrix).
     fill_tiling: Optional[tuple] = None
+    # Text rendering mode (Tr, PDF 1.7 §9.3.6): 3/7 = invisible — the
+    # searchable-scan OCR text layer, which must NOT paint over the scan.
+    text_mode: int = 0
 
     def clone(self) -> "GraphicsState":
         return GraphicsState(
@@ -1234,6 +1237,7 @@ class GraphicsState:
             self.char_spacing, self.word_spacing, self.h_scale,
             self.leading, self.rise, self.clip, self.fill_shading,
             self.fill_alpha, self.stroke_alpha, self.fill_tiling,
+            self.text_mode,
         )
 
 
@@ -1724,7 +1728,77 @@ class PageRasterizer:
                 pass
         data = b"\n".join(chunks)
         self._execute(data, self._resources(self.page), GraphicsState(), depth=0)
+        self._render_annotations()
         return self.canvas
+
+    def _render_annotations(self) -> None:
+        """Draw annotation /AP /N appearance streams (PDF 1.7 §12.5.5) —
+        stamps, squares, form-field appearances. PyMuPDF's get_pixmap
+        renders annotations by default (``/root/reference/dots_ocr/utils/
+        doc_utils.py:20-39``), so pages carrying them differ without this.
+        Hidden/NoView flags, Links, and Popups are skipped."""
+        for ref in self.doc.resolve(self.page.get("Annots")) or []:
+            a = self.doc.resolve(ref)
+            if not isinstance(a, dict):
+                continue
+            flags = int(self.doc.resolve(a.get("F")) or 0)
+            if flags & 0x2 or flags & 0x20:  # Hidden / NoView
+                continue
+            if a.get("Subtype") in (Name("Link"), Name("Popup")):
+                continue
+            ap = self.doc.resolve(a.get("AP"))
+            n = self.doc.resolve(ap.get("N")) if isinstance(ap, dict) else None
+            if isinstance(n, dict):  # state dict (checkboxes etc.)
+                state = a.get("AS")
+                pick = n.get(state) if state is not None else None
+                if pick is None and n:
+                    pick = next(iter(n.values()))
+                n = self.doc.resolve(pick)
+            if not isinstance(n, StreamObj):
+                continue
+            rect = [
+                float(self.doc.resolve(v))
+                for v in self.doc.resolve(a.get("Rect")) or []
+            ]
+            if len(rect) != 4:
+                continue
+            rx0, ry0 = min(rect[0], rect[2]), min(rect[1], rect[3])
+            rx1, ry1 = max(rect[0], rect[2]), max(rect[1], rect[3])
+            bbox = [
+                float(self.doc.resolve(v))
+                for v in self.doc.resolve(n.dict.get("BBox")) or [0, 0, 1, 1]
+            ]
+            fm = self.doc.resolve(n.dict.get("Matrix"))
+            fmat = (
+                tuple(float(self.doc.resolve(v)) for v in fm)
+                if isinstance(fm, list) and len(fm) == 6 else IDENTITY
+            )
+            # §12.5.5: map the Matrix-transformed BBox onto Rect.
+            corners = [
+                mat_apply(fmat, x, y)
+                for x, y in (
+                    (bbox[0], bbox[1]), (bbox[2], bbox[1]),
+                    (bbox[0], bbox[3]), (bbox[2], bbox[3]),
+                )
+            ]
+            txs = [p[0] for p in corners]
+            tys = [p[1] for p in corners]
+            bw = (max(txs) - min(txs)) or 1.0
+            bh = (max(tys) - min(tys)) or 1.0
+            sx, sy = (rx1 - rx0) / bw, (ry1 - ry0) / bh
+            gmap = mat_mul(
+                fmat,
+                (sx, 0.0, 0.0, sy, rx0 - min(txs) * sx, ry0 - min(tys) * sy),
+            )
+            res = self.doc.resolve(n.dict.get("Resources")) or self._resources(
+                self.page
+            )
+            try:
+                self._execute(
+                    n.decoded(self.doc), res, GraphicsState(ctm=gmap), depth=1
+                )
+            except Exception:
+                pass
 
     def _execute(self, data: bytes, resources: Dict[Name, Any], gs: GraphicsState, depth: int) -> None:
         if depth > 8:
@@ -1802,6 +1876,11 @@ class PageRasterizer:
             # Draw each glyph/run at its device position (baseline
             # anchored). Under a clip, glyphs render into one "L" overlay
             # per show-text run and composite through the clip mask once.
+            if gs.text_mode in (3, 7):
+                # Invisible text (Tr 3 / clip-only 7): the searchable-scan
+                # OCR layer — advance the text matrix, paint nothing.
+                tm = mat_mul((1, 0, 0, 1, x_cursor, 0), tm)
+                return
             m = mat_mul(tm, mat_mul(gs.ctm, self.base))
             overlay = odraw = None
             if (gs.clip is not None or gs.fill_alpha < 1.0) and text_buf:
@@ -2101,6 +2180,8 @@ class PageRasterizer:
                     gs.word_spacing = float(stack[-1])
                 elif op == "Tz" and stack:
                     gs.h_scale = float(stack[-1]) / 100.0
+                elif op == "Tr" and stack:
+                    gs.text_mode = int(float(stack[-1]))
                 elif op == "Ts" and stack:
                     gs.rise = float(stack[-1])
                 elif op == "Tj" and stack:

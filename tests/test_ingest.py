@@ -1025,3 +1025,67 @@ def test_tiling_pattern_fill():
     assert len(rows) > 50
     assert not red[:, :20].any() and not red[:, 121:].any()  # outside rect
     assert not red[:19].any() and not red[81:].any()
+
+
+def test_invisible_text_mode_not_painted():
+    """Tr 3 (invisible) text — the searchable-scan OCR layer — must not
+    paint, while Tr 0 text after it still does."""
+    import numpy as np
+
+    content = (
+        b"BT /F1 24 Tf 3 Tr 0 0 0 rg 20 130 Td (HIDDEN) Tj ET\n"
+        b"BT /F1 24 Tf 0 Tr 0 0 0 rg 20 60 Td (SHOWN) Tj ET\n"
+    )
+    doc = minipdf.open_pdf(_content_pdf_bytes(content))
+    img = minipdf.render_page(doc, 0, dpi=72)
+    px = np.asarray(img.convert("L")) < 128
+    # Visible line around device y = 200-60 = 140 has ink; the hidden
+    # line's band (device y ~ 46..76) stays white.
+    assert px[120:155].any()
+    assert not px[40:80].any()
+
+
+def test_annotation_appearance_stream_renders():
+    """Annotations with /AP /N appearance streams paint into /Rect
+    (PyMuPDF get_pixmap parity: stamps/squares/form appearances)."""
+    import numpy as np
+
+    ap = b"0 0 1 rg 0 0 10 10 re f\n"
+    content = zlib.compress(b"1 0 0 rg 10 10 30 30 re f\n")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 200 100] "
+        b"/Contents 4 0 R /Annots [5 0 R] >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /Annot /Subtype /Square /Rect [100 40 160 80] "
+        b"/F 4 /AP << /N 6 0 R >> >>",
+        b"<< /Type /XObject /Subtype /Form /BBox [0 0 10 10] "
+        b"/Length " + str(len(ap)).encode() + b" >>\nstream\n" + ap
+        + b"endstream",
+    ]
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, 1):
+        offsets.append(out.tell())
+        out.write(f"{i} 0 obj\n".encode() + body + b"\nendobj\n")
+    xref = out.tell()
+    out.write(f"xref\n0 {len(objs)+1}\n".encode() + b"0000000000 65535 f \n")
+    for o in offsets:
+        out.write(f"{o:010d} 00000 n \n".encode())
+    out.write(
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref).encode() + b"\n%%EOF"
+    )
+    img = minipdf.render_page(minipdf.open_pdf(out.getvalue()), 0)
+    px = np.asarray(img)
+    # The 10x10 BBox stretches onto Rect (100..160, 40..80) -> device
+    # rows 20..60, cols 100..160: blue.
+    r, g, b = px[40, 130]
+    assert b > 180 and r < 80
+    assert tuple(px[40, 170]) == (255, 255, 255)  # right of the annot
+    # Page content (red square) still present.
+    r, g, b = px[75, 25]
+    assert r > 180 and b < 80
