@@ -11,8 +11,9 @@ Scope (an OCR front end, not a full viewer):
     robust object discovery by linear scan (works with broken xref tables,
     which also sidesteps xref-stream parsing),
   * filters: FlateDecode (incl. PNG predictors), DCTDecode, ASCIIHexDecode,
-    ASCII85Decode, RunLengthDecode, CCITTFaxDecode (Group 3/4 fax — the
-    scanned-document encoding — via TIFF framing + PIL/libtiff),
+    ASCII85Decode, RunLengthDecode, LZWDecode (incl. predictors),
+    CCITTFaxDecode (Group 3/4 fax — the scanned-document encoding — via
+    TIFF framing + PIL/libtiff),
   * rasterization: image XObjects (the scanned-document case) composited
     under the full affine CTM; Form XObjects (recursive); vector paths
     (m/l/c/v/y/h/re with fills and CTM-scaled strokes, Beziers flattened);
@@ -340,6 +341,60 @@ def _flate_decode(data: bytes, parms: Optional[dict]) -> bytes:
     return raw
 
 
+def _lzw_decode(data: bytes, parms: Optional[dict]) -> bytes:
+    """LZWDecode (PDF 1.7 §7.4.4 / TIFF LZW): variable-width codes 9-12
+    bits MSB-first, 256 = clear, 257 = EOD; EarlyChange (default 1) bumps
+    the code width one code early. Dominant in 1990s-2000s PDFs."""
+    early = 1
+    if parms:
+        early = int(parms.get("EarlyChange", 1) or 0)
+    out = bytearray()
+    table: List[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: Optional[bytes] = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(_maybe_unpredict(out, parms))
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) + early - 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(_maybe_unpredict(out, parms))
+
+
+def _maybe_unpredict(raw: bytes, parms: Optional[dict]) -> bytes:
+    if parms:
+        predictor = int(parms.get("Predictor", 1) or 1)
+        if predictor > 1:
+            return _png_unpredict(
+                raw,
+                predictor,
+                int(parms.get("Columns", 1) or 1),
+                int(parms.get("Colors", 1) or 1),
+                int(parms.get("BitsPerComponent", 8) or 8),
+            )
+    return raw
+
+
 def _ascii_hex_decode(data: bytes) -> bytes:
     data = data.split(b">")[0]
     data = re.sub(rb"\s", b"", data)
@@ -406,6 +461,8 @@ def apply_filters(sdict: Dict[Name, Any], data: bytes, doc: "PDFDocument") -> by
             data = _ascii85_decode(data)
         elif f in ("RunLengthDecode", "RL"):
             data = _runlength_decode(data)
+        elif f in ("LZWDecode", "LZW"):
+            data = _lzw_decode(data, p if isinstance(p, dict) else None)
         elif f in IMAGE_CODEC_FILTERS:
             return data  # terminal: PIL decodes the codec payload
         else:

@@ -1089,3 +1089,18 @@ def test_annotation_appearance_stream_renders():
     # Page content (red square) still present.
     r, g, b = px[75, 25]
     assert r > 180 and b < 80
+
+
+def test_lzw_decode_spec_vector_and_filter_dispatch():
+    """LZWDecode: the PDF 32000-1 §7.4.4.2 worked example decodes
+    byte-exactly, and the filter dispatch routes LZW/LZWDecode names."""
+    from dots_ocr_tpu.ingest.minipdf import (
+        Name, PDFDocument, _lzw_decode, apply_filters,
+    )
+
+    enc = bytes.fromhex("800B6050220C0C8501")
+    want = bytes([45, 45, 45, 45, 45, 65, 45, 45, 45, 66])
+    assert _lzw_decode(enc, None) == want
+
+    doc = PDFDocument(_content_pdf_bytes(b"q Q"))  # any doc for resolve()
+    assert apply_filters({Name("Filter"): Name("LZWDecode")}, enc, doc) == want
