@@ -10,6 +10,9 @@ Scope (an OCR front end, not a full viewer):
   * object model: full PDF object syntax, streams, object streams (ObjStm);
     robust object discovery by linear scan (works with broken xref tables,
     which also sidesteps xref-stream parsing),
+  * encryption: standard security handler (RC4-128 / AES-128 / AES-256)
+    with the EMPTY user password — the permissions-only class PyMuPDF
+    opens silently; real passwords raise;
   * filters: FlateDecode (incl. PNG predictors), DCTDecode, ASCIIHexDecode,
     ASCII85Decode, RunLengthDecode, LZWDecode (incl. predictors),
     CCITTFaxDecode (Group 3/4 fax — the scanned-document encoding — via
@@ -477,6 +480,150 @@ def apply_filters(sdict: Dict[Name, Any], data: bytes, doc: "PDFDocument") -> by
 _OBJ_HEADER_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
+_PW_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """AES-CBC with the 16-byte IV prefixed to the payload (PDF §7.6.2)."""
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    if len(data) < 16:
+        return b""
+    body = data[16:]
+    body = body[: len(body) - len(body) % 16]
+    if not body:
+        return b""
+    dec = Cipher(algorithms.AES(key), modes.CBC(data[:16])).decryptor()
+    out = dec.update(body) + dec.finalize()
+    pad = out[-1] if out else 0
+    if 1 <= pad <= 16:  # strip PKCS#7
+        out = out[:-pad]
+    return out
+
+
+class _StdCrypt:
+    """PDF standard security handler, EMPTY-user-password open only
+    (the common permissions-only encryption PyMuPDF opens silently).
+    R2-R4: RC4 / AES-128 with per-object keys; R6: AES-256 (ISO 32000-2
+    algorithm 2.A/2.B). Raises ValueError when a real password is needed
+    (callers surface "password required")."""
+
+    def __init__(self, enc: Dict[Name, Any], file_id: bytes, resolve):
+        import hashlib
+
+        self.v = int(resolve(enc.get("V")) or 0)
+        self.r = int(resolve(enc.get("R")) or 2)
+        o = resolve(enc.get("O"))
+        u = resolve(enc.get("U"))
+        self.o = bytes(o or b"")
+        self.u = bytes(u or b"")
+        p = int(resolve(enc.get("P")) or -1)
+        self.p = p & 0xFFFFFFFF
+        length = int(resolve(enc.get("Length")) or 40)
+        self.aes = False
+        if self.v >= 4:
+            cf = resolve(enc.get("CF")) or {}
+            stmf = resolve(enc.get("StmF")) or Name("Identity")
+            std = resolve(cf.get(stmf)) if isinstance(cf, dict) else None
+            cfm = resolve(std.get("CFM")) if isinstance(std, dict) else None
+            self.aes = cfm in (Name("AESV2"), Name("AESV3"))
+            if isinstance(std, dict) and std.get("Length"):
+                cfl = int(resolve(std.get("Length")))
+                length = cfl * 8 if cfl <= 32 else cfl
+        if self.r >= 5:
+            # AES-256: validate the empty user password and unwrap /UE.
+            vs, ks = self.u[32:40], self.u[40:48]
+            if self._hash_r6(b"", vs, b"") != self.u[:32]:
+                raise ValueError("PDF requires a user password")
+            ikey = self._hash_r6(b"", ks, b"")
+            ue = bytes(resolve(enc.get("UE")) or b"")
+            from cryptography.hazmat.primitives.ciphers import (
+                Cipher, algorithms, modes,
+            )
+            dec = Cipher(
+                algorithms.AES(ikey), modes.CBC(b"\x00" * 16)
+            ).decryptor()
+            self.key = dec.update(ue[:32]) + dec.finalize()
+            self.aes = True
+            return
+        n = max(5, min(16, length // 8))
+        md = hashlib.md5()
+        md.update(_PW_PAD)
+        md.update(self.o[:32])
+        md.update(self.p.to_bytes(4, "little"))
+        md.update(file_id)
+        if self.r >= 4 and resolve(enc.get("EncryptMetadata")) is False:
+            md.update(b"\xff\xff\xff\xff")
+        key = md.digest()
+        if self.r >= 3:
+            for _ in range(50):
+                key = hashlib.md5(key[:n]).digest()
+        self.key = key[:n]
+
+    def _hash_r6(self, pw: bytes, salt: bytes, udata: bytes) -> bytes:
+        """ISO 32000-2 algorithm 2.B (R6 hardened hash)."""
+        import hashlib
+
+        from cryptography.hazmat.primitives.ciphers import (
+            Cipher, algorithms, modes,
+        )
+
+        k = hashlib.sha256(pw + salt + udata).digest()
+        if self.r < 6:
+            return k
+        i = 0
+        while True:
+            k1 = (pw + k + udata) * 64
+            enc = Cipher(
+                algorithms.AES(k[:16]), modes.CBC(k[16:32])
+            ).encryptor()
+            e = enc.update(k1) + enc.finalize()
+            mod = e[0] % 3
+            k = (
+                hashlib.sha256(e).digest() if mod == 0
+                else hashlib.sha384(e).digest() if mod == 1
+                else hashlib.sha512(e).digest()
+            )
+            i += 1
+            if i >= 64 and e[-1] <= i - 32:
+                return k[:32]
+
+    def decrypt(self, data: bytes, num: int, gen: int) -> bytes:
+        import hashlib
+
+        if self.r >= 5:
+            return _aes_cbc_decrypt(self.key, data)
+        ok = (
+            self.key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        )
+        if self.aes:
+            ok += b"\x73\x41\x6c\x54"  # "sAlT"
+        okey = hashlib.md5(ok).digest()[: min(len(self.key) + 5, 16)]
+        if self.aes:
+            return _aes_cbc_decrypt(okey, data)
+        return _rc4(okey, data)
+
+
 class PDFDocument:
     """Parsed PDF: object map + page list.
 
@@ -488,7 +635,9 @@ class PDFDocument:
     def __init__(self, data: bytes):
         self.data = data
         self.objects: Dict[int, Any] = {}
+        self._gens: Dict[int, int] = {}
         self._scan_objects()
+        self._setup_decryption()
         self._expand_object_streams()
         self._pages: Optional[List[Dict[Name, Any]]] = None
 
@@ -532,7 +681,64 @@ class PDFDocument:
             # First definition wins unless a later one exists (linearized PDFs
             # repeat objects; incremental updates append newer versions last).
             self.objects[num] = obj
+            self._gens[num] = int(m.group(2))
             pos = max(end, m.end())
+
+    def _setup_decryption(self) -> None:
+        """Open encrypted PDFs (trailer /Encrypt, standard handler) with
+        the EMPTY user password — the common permissions-only encryption
+        the reference's PyMuPDF opens silently. Streams and strings are
+        decrypted EAGERLY per object so the rest of the pipeline never
+        sees ciphertext; password-protected files raise ValueError."""
+        enc_ref = file_id = None
+        for m in re.finditer(rb"trailer\b", self.data):
+            try:
+                t = Lexer(self.data, m.end()).parse_value()
+            except Exception:
+                continue
+            if isinstance(t, dict):
+                if t.get("Encrypt") is not None:
+                    enc_ref = t.get("Encrypt")
+                if isinstance(t.get("ID"), list) and t["ID"]:
+                    file_id = t["ID"][0]
+        if enc_ref is None:  # xref-stream PDFs keep /Encrypt there instead
+            for obj in self.objects.values():
+                if isinstance(obj, StreamObj) and obj.dict.get("Type") == Name("XRef"):
+                    if obj.dict.get("Encrypt") is not None:
+                        enc_ref = obj.dict.get("Encrypt")
+                        fid = obj.dict.get("ID")
+                        if isinstance(fid, list) and fid:
+                            file_id = fid[0]
+        if enc_ref is None:
+            return
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict) or enc.get("Filter") != Name("Standard"):
+            raise ValueError("unsupported PDF encryption handler")
+        crypt = _StdCrypt(
+            enc, bytes(file_id or b""), self.resolve
+        )
+        enc_num = enc_ref.num if isinstance(enc_ref, Ref) else None
+
+        def walk_strings(value, num, gen):
+            if isinstance(value, bytes):
+                return crypt.decrypt(value, num, gen)
+            if isinstance(value, list):
+                return [walk_strings(v, num, gen) for v in value]
+            if isinstance(value, dict):
+                return {k: walk_strings(v, num, gen) for k, v in value.items()}
+            return value
+
+        for num, obj in list(self.objects.items()):
+            if num == enc_num:
+                continue
+            gen = self._gens.get(num, 0)
+            if isinstance(obj, StreamObj):
+                if obj.dict.get("Type") == Name("XRef"):
+                    continue  # never encrypted (holds the xref itself)
+                obj.dict = walk_strings(obj.dict, num, gen)
+                obj.raw = crypt.decrypt(obj.raw, num, gen)
+            else:
+                self.objects[num] = walk_strings(obj, num, gen)
 
     def _expand_object_streams(self) -> None:
         for obj in list(self.objects.values()):

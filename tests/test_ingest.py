@@ -1104,3 +1104,145 @@ def test_lzw_decode_spec_vector_and_filter_dispatch():
 
     doc = PDFDocument(_content_pdf_bytes(b"q Q"))  # any doc for resolve()
     assert apply_filters({Name("Filter"): Name("LZWDecode")}, enc, doc) == want
+
+
+def _build_encrypted_pdf(mode: str) -> bytes:
+    """Forward-construct an encrypted PDF (empty user password) with a red
+    square, per the standard security handler algorithms."""
+    import hashlib
+
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes,
+    )
+
+    from dots_ocr_tpu.ingest.minipdf import _PW_PAD, _rc4
+
+    file_id = b"\x01\x02" * 8
+    p = (-4) & 0xFFFFFFFF
+    content = b"1 0 0 rg 30 30 80 80 re f\n"
+
+    if mode in ("rc4", "aesv2"):
+        n = 16
+        # Algorithm 3: /O from the (empty) owner password.
+        ok = hashlib.md5(_PW_PAD).digest()
+        for _ in range(50):
+            ok = hashlib.md5(ok[:n]).digest()
+        o = _PW_PAD
+        for i in range(20):
+            o = _rc4(bytes(b ^ i for b in ok[:n]), o)
+        # Algorithm 2: file key.
+        md = hashlib.md5(_PW_PAD + o[:32] + p.to_bytes(4, "little") + file_id)
+        key = md.digest()
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+        key = key[:n]
+        # Algorithm 5: /U.
+        u = hashlib.md5(_PW_PAD + file_id).digest()
+        for i in range(20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        u = u + b"\x00" * 16
+
+        def enc_obj(data, num):
+            okey = hashlib.md5(
+                key + num.to_bytes(3, "little") + b"\x00\x00"
+                + (b"sAlT" if mode == "aesv2" else b"")
+            ).digest()[:16]
+            if mode == "rc4":
+                return _rc4(okey, data)
+            iv = bytes(range(16))
+            padlen = 16 - len(data) % 16
+            e = Cipher(algorithms.AES(okey), modes.CBC(iv)).encryptor()
+            return iv + e.update(data + bytes([padlen]) * padlen) + e.finalize()
+
+        if mode == "rc4":
+            enc_dict = (
+                b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -4 /O <"
+                + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> >>"
+            )
+        else:
+            enc_dict = (
+                b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P -4 "
+                b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                b"/StmF /StdCF /StrF /StdCF /O <" + o.hex().encode()
+                + b"> /U <" + u.hex().encode() + b"> >>"
+            )
+    else:  # aes256 (R6)
+        key = bytes(range(32))  # the file key we choose
+        vs, ks = b"VALSALT!", b"KEYSALT!"
+        u_hash = hashlib.sha256(b"" + vs + b"").digest()  # R6 hash(pw="")
+        # Run the 2.B hardening loop exactly as the reader does.
+        from dots_ocr_tpu.ingest.minipdf import _StdCrypt
+        h = _StdCrypt.__new__(_StdCrypt)
+        h.r = 6
+        u_hash = h._hash_r6(b"", vs, b"")
+        ikey = h._hash_r6(b"", ks, b"")
+        e = Cipher(algorithms.AES(ikey), modes.CBC(b"\x00" * 16)).encryptor()
+        ue = e.update(key) + e.finalize()
+        u = u_hash + vs + ks
+
+        def enc_obj(data, num):
+            iv = bytes(range(16))
+            padlen = 16 - len(data) % 16
+            e = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+            return iv + e.update(data + bytes([padlen]) * padlen) + e.finalize()
+
+        enc_dict = (
+            b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P -4 "
+            b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+            b"/StmF /StdCF /StrF /StdCF /O <" + (b"\x00" * 48).hex().encode()
+            + b"> /U <" + u.hex().encode() + b"> /UE <" + ue.hex().encode()
+            + b"> /OE <" + (b"\x00" * 32).hex().encode() + b"> >>"
+        )
+
+    stream = enc_obj(content, 4)
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 140 140] "
+        b"/Contents 4 0 R >>",
+        b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
+        + stream + b"\nendstream",
+        enc_dict,
+    ]
+    out = io.BytesIO()
+    out.write(b"%PDF-1.6\n")
+    offsets = []
+    for i, body in enumerate(objs, 1):
+        offsets.append(out.tell())
+        out.write(f"{i} 0 obj\n".encode() + body + b"\nendobj\n")
+    xref = out.tell()
+    out.write(f"xref\n0 {len(objs)+1}\n".encode() + b"0000000000 65535 f \n")
+    for o_ in offsets:
+        out.write(f"{o_:010d} 00000 n \n".encode())
+    out.write(
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R /Encrypt 5 0 R /ID [<" + file_id.hex().encode()
+        + b"> <" + file_id.hex().encode() + b">] >>\nstartxref\n"
+        + str(xref).encode() + b"\n%%EOF"
+    )
+    return out.getvalue()
+
+
+@pytest.mark.parametrize("mode", ["rc4", "aesv2", "aes256"])
+def test_encrypted_pdf_empty_user_password(mode):
+    """Permissions-only encrypted PDFs (RC4-128 / AES-128 / AES-256, empty
+    user password) open and render transparently — PyMuPDF parity for the
+    common protected-but-readable document class."""
+    import numpy as np
+
+    data = _build_encrypted_pdf(mode)
+    img = minipdf.render_page(minipdf.open_pdf(data), 0)
+    px = np.asarray(img)
+    r, g, b = px[70, 70]  # inside the red square
+    assert r > 180 and g < 80, f"{mode}: square not decrypted/rendered"
+    assert tuple(px[10, 10]) == (255, 255, 255)
+
+
+def test_encrypted_pdf_with_real_password_rejected():
+    """A document whose user password is NOT empty must fail loudly (we
+    never guess passwords), not render garbage."""
+    data = _build_encrypted_pdf("aes256")
+    # Corrupt the /U validation hash -> empty password no longer validates.
+    broken = data.replace(b"/U <", b"/U <ff", 1)
+    with pytest.raises(ValueError):
+        minipdf.open_pdf(broken).pages()
