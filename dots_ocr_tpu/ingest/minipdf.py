@@ -1570,6 +1570,22 @@ class PageRasterizer:
             (1, 0, 0, 1, -x0, -y0),
             (self.scale, 0.0, 0.0, -self.scale, 0.0, y1 * self.scale - y0 * self.scale),
         )
+        # Page /Rotate (90-degree steps, clockwise display): compose the
+        # rotation into the base map and swap the canvas dims for 90/270 —
+        # rotated scanned pages (stored landscape) render upright, like
+        # PyMuPDF's get_pixmap.
+        rot = int(doc.resolve(page.get("Rotate")) or 0) % 360
+        w0, h0 = self.width, self.height
+        if rot == 90:
+            self.base = mat_mul(self.base, (0.0, 1.0, -1.0, 0.0, float(h0), 0.0))
+            self.width, self.height = h0, w0
+        elif rot == 180:
+            self.base = mat_mul(
+                self.base, (-1.0, 0.0, 0.0, -1.0, float(w0), float(h0))
+            )
+        elif rot == 270:
+            self.base = mat_mul(self.base, (0.0, -1.0, 1.0, 0.0, 0.0, float(w0)))
+            self.width, self.height = h0, w0
         self.canvas = Image.new("RGB", (self.width, self.height), (255, 255, 255))
         self.draw = ImageDraw.Draw(self.canvas)
         self._font_cache: Dict[int, LoadedFont] = {}

@@ -1246,3 +1246,52 @@ def test_encrypted_pdf_with_real_password_rejected():
     broken = data.replace(b"/U <", b"/U <ff", 1)
     with pytest.raises(ValueError):
         minipdf.open_pdf(broken).pages()
+
+
+def test_page_rotate_renders_upright():
+    """/Rotate 90 (landscape scans stored rotated) swaps the canvas and
+    rotates content clockwise, like PyMuPDF's get_pixmap."""
+    import numpy as np
+
+    # 200x100 page, red square at the pdf lower-left corner (10..40).
+    content = b"1 0 0 rg 10 10 30 30 re f\n"
+
+    def build(rotate):
+        extra = f" /Rotate {rotate}".encode() if rotate else b""
+        stream = zlib.compress(content)
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 200 100]"
+            + extra + b" /Contents 4 0 R >>",
+            b"<< /Length " + str(len(stream)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + stream + b"\nendstream",
+        ]
+        out = io.BytesIO()
+        out.write(b"%PDF-1.4\n")
+        offsets = []
+        for i, body in enumerate(objs, 1):
+            offsets.append(out.tell())
+            out.write(f"{i} 0 obj\n".encode() + body + b"\nendobj\n")
+        xref = out.tell()
+        out.write(f"xref\n0 {len(objs)+1}\n".encode() + b"0000000000 65535 f \n")
+        for o in offsets:
+            out.write(f"{o:010d} 00000 n \n".encode())
+        out.write(
+            b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+            + b" /Root 1 0 R >>\nstartxref\n" + str(xref).encode() + b"\n%%EOF"
+        )
+        return out.getvalue()
+
+    base = minipdf.render_page(minipdf.open_pdf(build(0)), 0)
+    assert base.size == (200, 100)
+    for rot, method in (
+        (90, Image.ROTATE_270), (180, Image.ROTATE_180), (270, Image.ROTATE_90)
+    ):
+        got = minipdf.render_page(minipdf.open_pdf(build(rot)), 0)
+        # PIL ROTATE_* are counter-clockwise; /Rotate is clockwise display.
+        want = base.transpose(method)
+        assert got.size == want.size
+        a = np.asarray(got)
+        b = np.asarray(want)
+        assert (a == b).mean() > 0.99, f"Rotate {rot} mismatch"
