@@ -1561,7 +1561,23 @@ class PageRasterizer:
         self.doc = doc
         self.page = page
         media = [float(doc.resolve(v)) for v in (doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792])]
-        x0, y0, x1, y1 = media
+        # Viewers (and PyMuPDF's get_pixmap) render the CropBox — the
+        # visible region — intersected with the MediaBox; normalize corner
+        # order (some producers store decreasing coordinates).
+        crop = doc.resolve(page.get("CropBox"))
+        if isinstance(crop, list) and len(crop) == 4:
+            c = [float(doc.resolve(v)) for v in crop]
+            cx0, cx1 = sorted((c[0], c[2]))
+            cy0, cy1 = sorted((c[1], c[3]))
+            mx0, mx1 = sorted((media[0], media[2]))
+            my0, my1 = sorted((media[1], media[3]))
+            x0, x1 = max(cx0, mx0), min(cx1, mx1)
+            y0, y1 = max(cy0, my0), min(cy1, my1)
+            if x1 - x0 < 1 or y1 - y0 < 1:
+                x0, y0, x1, y1 = mx0, my0, mx1, my1
+        else:
+            x0, x1 = sorted((media[0], media[2]))
+            y0, y1 = sorted((media[1], media[3]))
         self.scale = dpi / 72.0
         self.width = max(1, round((x1 - x0) * self.scale))
         self.height = max(1, round((y1 - y0) * self.scale))

@@ -1295,3 +1295,41 @@ def test_page_rotate_renders_upright():
         a = np.asarray(got)
         b = np.asarray(want)
         assert (a == b).mean() > 0.99, f"Rotate {rot} mismatch"
+
+
+def test_cropbox_defines_visible_region():
+    """Rendering uses the CropBox (viewer-visible region) like PyMuPDF,
+    not the full MediaBox."""
+    import numpy as np
+
+    content = zlib.compress(b"1 0 0 rg 50 50 20 20 re f\n")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 300 300] "
+        b"/CropBox [40 40 140 140] /Contents 4 0 R >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + content + b"\nendstream",
+    ]
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, 1):
+        offsets.append(out.tell())
+        out.write(f"{i} 0 obj\n".encode() + body + b"\nendobj\n")
+    xref = out.tell()
+    out.write(f"xref\n0 {len(objs)+1}\n".encode() + b"0000000000 65535 f \n")
+    for o in offsets:
+        out.write(f"{o:010d} 00000 n \n".encode())
+    out.write(
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref).encode() + b"\n%%EOF"
+    )
+    img = minipdf.render_page(minipdf.open_pdf(out.getvalue()), 0)
+    assert img.size == (100, 100)  # the CropBox, not 300x300
+    px = np.asarray(img)
+    # pdf (50..70) inside crop origin 40 -> local (10..30); device rows
+    # 100-(10..30) = 70..90.
+    r, g, b = px[80, 20]
+    assert r > 180 and g < 80
+    assert tuple(px[20, 80]) == (255, 255, 255)
