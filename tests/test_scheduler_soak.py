@@ -93,8 +93,11 @@ def _random_requests(rng: random.Random, n: int):
                 images=images,
                 max_new_tokens=rng.randint(1, 10),
                 # Greedy rows must be deterministic under preemption replay;
-                # sampled rows exercise the nucleus/spec gating paths.
+                # sampled rows exercise the nucleus/spec paths — since r3
+                # top_p < 1 rows run the nucleus-exact VERIFY program, so
+                # randomize them in too.
                 temperature=0.0 if rng.random() < 0.7 else 0.8,
+                top_p=0.9 if rng.random() < 0.5 else 1.0,
                 stream=rng.random() < 0.4,
                 stop=["zzzyx"] if rng.random() < 0.3 else None,
                 cancel_after=rng.randint(1, 6) if rng.random() < 0.2 else None,
@@ -133,6 +136,7 @@ def test_soak_randomized_events(setup):
                 images=sp["images"],
                 max_new_tokens=sp["max_new_tokens"],
                 temperature=sp["temperature"],
+                top_p=sp["top_p"],
                 stop=sp["stop"],
                 stream_cb=cb,
             )
