@@ -351,6 +351,11 @@ def _lzw_decode(data: bytes, parms: Optional[dict]) -> bytes:
     early = 1
     if parms:
         early = int(parms.get("EarlyChange", 1) or 0)
+    from dots_ocr_tpu.native import lzw_decode_native
+
+    native = lzw_decode_native(data, early)
+    if native is not None:
+        return bytes(_maybe_unpredict(native, parms))
     out = bytearray()
     table: List[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     width = 9
@@ -488,6 +493,11 @@ _PW_PAD = bytes([
 
 
 def _rc4(key: bytes, data: bytes) -> bytes:
+    from dots_ocr_tpu.native import rc4_native
+
+    native = rc4_native(key, data)
+    if native is not None:
+        return native
     s = list(range(256))
     j = 0
     for i in range(256):

@@ -80,6 +80,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_void_p, ctypes.c_long, ctypes.c_int,
             ctypes.c_void_p,
         ]
+        lib.lzw_decode.restype = ctypes.c_long
+        lib.lzw_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_long,
+        ]
+        lib.rc4.restype = None
+        lib.rc4.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_void_p,
+        ]
         _LIB = lib
     except Exception:  # noqa: BLE001
         logger.exception("native library unavailable; using Python fallbacks")
@@ -119,6 +129,36 @@ def runlength_decode_native(data: bytes) -> Optional[bytes]:
     if written < 0:
         return None
     return out[:written].tobytes()
+
+
+def lzw_decode_native(data: bytes, early: int) -> Optional[bytes]:
+    """Native LZW decode; None = use the Python path, retries capacity."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = max(4096, len(data) * 8)
+    for _ in range(6):  # pathological expansion: grow and retry
+        out = np.empty(cap, np.uint8)
+        written = lib.lzw_decode(
+            data, len(data), early, out.ctypes.data_as(ctypes.c_void_p), cap
+        )
+        if written == -1:
+            cap *= 8
+            continue
+        if written < 0:
+            return None
+        return out[:written].tobytes()
+    return None
+
+
+def rc4_native(key: bytes, data: bytes) -> Optional[bytes]:
+    lib = get_lib()
+    if lib is None or not key:
+        return None
+    out = np.empty(len(data), np.uint8)
+    lib.rc4(key, len(key), data, len(data),
+            out.ctypes.data_as(ctypes.c_void_p))
+    return out.tobytes()
 
 
 def patchify_native(

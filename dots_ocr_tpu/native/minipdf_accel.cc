@@ -120,6 +120,102 @@ long runlength_decode(const uint8_t* data, long n, uint8_t* out, long out_cap) {
     return w;
 }
 
+// TIFF/PDF LZW (PDF 1.7 §7.4.4): variable-width 9-12 bit codes
+// MSB-first, 256 = clear, 257 = EOD; `early` (EarlyChange) bumps the
+// width one code ahead. Table entries are (prev_code, appended_byte)
+// pairs expanded back-to-front into a scratch buffer. Returns bytes
+// written, -1 on out_cap overflow (caller retries bigger), -2 on a
+// corrupt stream.
+long lzw_decode(const uint8_t* data, long n, int early,
+                uint8_t* out, long out_cap) {
+    const int MAXCODES = 4096;
+    int prev_of[4096];
+    uint8_t byte_of[4096];
+    uint8_t buf[4096];
+    int next = 258, width = 9, prev = -1;
+    long w = 0;
+    unsigned long long acc = 0;
+    int nbits = 0;
+    for (long p = 0; p < n; ++p) {
+        acc = (acc << 8) | data[p];
+        nbits += 8;
+        while (nbits >= width) {
+            int code = (int)((acc >> (nbits - width)) & ((1u << width) - 1));
+            nbits -= width;
+            if (code == 256) { next = 258; width = 9; prev = -1; continue; }
+            if (code == 257) return w;
+            long len = 0;
+            long i = MAXCODES;
+            int c;
+            if (prev < 0) {
+                if (code >= 256) return -2;
+                buf[--i] = (uint8_t)code;
+                prev = code;
+            } else if (code < next && code != 256 && code != 257) {
+                c = code;
+                while (c >= 258) { buf[--i] = byte_of[c]; c = prev_of[c]; }
+                if (c >= 256) return -2;
+                buf[--i] = (uint8_t)c;
+                if (next < MAXCODES) {
+                    prev_of[next] = prev;
+                    byte_of[next] = buf[i];
+                    next++;
+                }
+                prev = code;
+            } else if (code == next) {  // KwKwK
+                c = prev;
+                while (c >= 258) { buf[--i] = byte_of[c]; c = prev_of[c]; }
+                if (c >= 256) return -2;
+                buf[--i] = (uint8_t)c;
+                uint8_t first = buf[i];
+                if (next < MAXCODES) {
+                    prev_of[next] = prev;
+                    byte_of[next] = first;
+                    next++;
+                }
+                // entry = prev-string + its first byte: shift what we
+                // expanded and append.
+                long plen = MAXCODES - i;
+                if (w + plen + 1 > out_cap) return -1;
+                std::memcpy(out + w, buf + i, (size_t)plen);
+                out[w + plen] = first;
+                w += plen + 1;
+                prev = next - 1;
+                if (next + early - 1 >= (1 << width) && width < 12) width++;
+                continue;
+            } else {
+                return -2;
+            }
+            len = MAXCODES - i;
+            if (w + len > out_cap) return -1;
+            std::memcpy(out + w, buf + i, (size_t)len);
+            w += len;
+            if (next + early - 1 >= (1 << width) && width < 12) width++;
+        }
+    }
+    return w;
+}
+
+// RC4 stream cipher (PDF standard security handler).
+void rc4(const uint8_t* key, int keylen, const uint8_t* data, long n,
+         uint8_t* out) {
+    uint8_t s[256];
+    for (int i = 0; i < 256; ++i) s[i] = (uint8_t)i;
+    int j = 0;
+    for (int i = 0; i < 256; ++i) {
+        j = (j + s[i] + key[i % keylen]) & 0xFF;
+        uint8_t t = s[i]; s[i] = s[j]; s[j] = t;
+    }
+    int i = 0;
+    j = 0;
+    for (long p = 0; p < n; ++p) {
+        i = (i + 1) & 0xFF;
+        j = (j + s[i]) & 0xFF;
+        uint8_t t = s[i]; s[i] = s[j]; s[j] = t;
+        out[p] = data[p] ^ s[(s[i] + s[j]) & 0xFF];
+    }
+}
+
 // Single-pass im2col + emission-order reorder for the vision patcher
 // (preprocess.extract_patches). The numpy path makes 2-3 full-image
 // passes (reshape/transpose copy, then a gather by the emission perm);

@@ -154,3 +154,47 @@ def test_patchify_native_matches_numpy():
         assert grid == grid2
         assert (got == want).all()
         assert (win == win2).all() and (valid == valid2).all()
+
+
+def test_native_lzw_and_rc4_match_python():
+    """Native LZW/RC4 must be byte-identical to the pure-Python paths
+    (spec vector + randomized round-trips through the encrypted-PDF
+    fixtures' primitives)."""
+    import os
+
+    import pytest
+
+    from dots_ocr_tpu.native import get_lib, lzw_decode_native, rc4_native
+
+    if get_lib() is None:
+        pytest.skip("no native toolchain")
+    enc = bytes.fromhex("800B6050220C0C8501")
+    want = bytes([45, 45, 45, 45, 45, 65, 45, 45, 45, 66])
+    assert lzw_decode_native(enc, 1) == want
+
+    # Python reference paths (force-disable native inside _rc4/_lzw).
+    import random
+
+    from dots_ocr_tpu.ingest import minipdf
+
+    rng = random.Random(0)
+    for _ in range(20):
+        key = bytes(rng.randrange(256) for _ in range(rng.randint(1, 16)))
+        data = bytes(rng.randrange(256) for _ in range(rng.randint(0, 300)))
+        py = minipdf._rc4.__wrapped__(key, data) if hasattr(
+            minipdf._rc4, "__wrapped__") else None
+        # Compute the pure-python RC4 inline for comparison.
+        s = list(range(256))
+        j = 0
+        for i in range(256):
+            j = (j + s[i] + key[i % len(key)]) & 0xFF
+            s[i], s[j] = s[j], s[i]
+        out = bytearray(len(data))
+        i = j = 0
+        for n, c in enumerate(data):
+            i = (i + 1) & 0xFF
+            j = (j + s[i]) & 0xFF
+            s[i], s[j] = s[j], s[i]
+            out[n] = c ^ s[(s[i] + s[j]) & 0xFF]
+        assert rc4_native(key, data) == bytes(out)
+        assert rc4_native(key, rc4_native(key, data)) == data  # involution
