@@ -30,7 +30,8 @@ Fidelity notes: clipping paths (W/W*) intersect device-space coverage
 masks (both winding rules approximated by the painter's per-subpath
 scanline fill); compound even-odd holes fill per-subpath; axial/radial
 shadings paint via `sh` and PatternType 2 fills (function types 0/2/3);
-tiling patterns and mesh shadings (types 4-7) are skipped. For document
+tiling patterns repeat their cell (axis-aligned matrices); mesh shadings
+(types 4-7) are skipped. For document
 OCR (text + images on a white page) this reproduces what the model needs
 to see.
 """
@@ -375,16 +376,25 @@ def _lzw_decode(data: bytes, parms: Optional[dict]) -> bytes:
             if code == 257:
                 return bytes(_maybe_unpredict(out, parms))
             if prev is None:
+                if code >= 256:
+                    break  # corrupt stream: first code must be literal
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]
-                table.append(prev + entry[:1])
-            else:
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
                 entry = prev + prev[:1]
                 table.append(entry)
+            else:
+                break  # corrupt stream: out-of-range code
             out += entry
             prev = entry
-            if len(table) + early - 1 >= (1 << width) and width < 12:
+            # TIFF/PDF EarlyChange: the width grows when the NEXT code to
+            # assign (len(table)) reaches 2^w - EarlyChange — one code
+            # EARLY at the default (verified round-trip vs libtiff; the
+            # off-by-one desyncs at the first 9->10-bit boundary).
+            if len(table) + early >= (1 << width) and width < 12:
                 width += 1
     return bytes(_maybe_unpredict(out, parms))
 
@@ -551,10 +561,18 @@ class _StdCrypt:
         self.p = p & 0xFFFFFFFF
         length = int(resolve(enc.get("Length")) or 40)
         self.aes = False
+        # V>=4 names per-class crypt filters; /Identity means "not
+        # encrypted" for that class (legal strings-only configs exist).
+        self.encrypt_streams = True
+        self.encrypt_strings = True
         if self.v >= 4:
             cf = resolve(enc.get("CF")) or {}
             stmf = resolve(enc.get("StmF")) or Name("Identity")
-            std = resolve(cf.get(stmf)) if isinstance(cf, dict) else None
+            strf = resolve(enc.get("StrF")) or Name("Identity")
+            self.encrypt_streams = stmf != Name("Identity")
+            self.encrypt_strings = strf != Name("Identity")
+            std = resolve(cf.get(stmf if self.encrypt_streams else strf)) \
+                if isinstance(cf, dict) else None
             cfm = resolve(std.get("CFM")) if isinstance(std, dict) else None
             self.aes = cfm in (Name("AESV2"), Name("AESV3"))
             if isinstance(std, dict) and std.get("Length"):
@@ -589,6 +607,18 @@ class _StdCrypt:
             for _ in range(50):
                 key = hashlib.md5(key[:n]).digest()
         self.key = key[:n]
+        # Algorithm 6: verify the EMPTY user password against /U — a
+        # wrong key must fail loudly, not silently decrypt to garbage.
+        if self.r == 2:
+            expect = _rc4(self.key, _PW_PAD)
+            ok = expect == self.u[:32]
+        else:
+            h = hashlib.md5(_PW_PAD + file_id).digest()
+            for i in range(20):
+                h = _rc4(bytes(b ^ i for b in self.key), h)
+            ok = h == self.u[:16]
+        if not ok:
+            raise ValueError("PDF requires a user password")
 
     def _hash_r6(self, pw: bytes, salt: bytes, udata: bytes) -> bytes:
         """ISO 32000-2 algorithm 2.B (R6 hardened hash)."""
@@ -608,7 +638,10 @@ class _StdCrypt:
                 algorithms.AES(k[:16]), modes.CBC(k[16:32])
             ).encryptor()
             e = enc.update(k1) + enc.finalize()
-            mod = e[0] % 3
+            # ISO 32000-2 2.B: the first 16 bytes of E as a big-endian
+            # integer mod 3 (== sum of those bytes mod 3, as pdf.js /
+            # mupdf implement) — NOT e[0] % 3.
+            mod = sum(e[:16]) % 3
             k = (
                 hashlib.sha256(e).digest() if mod == 0
                 else hashlib.sha384(e).digest() if mod == 1
@@ -745,9 +778,11 @@ class PDFDocument:
             if isinstance(obj, StreamObj):
                 if obj.dict.get("Type") == Name("XRef"):
                     continue  # never encrypted (holds the xref itself)
-                obj.dict = walk_strings(obj.dict, num, gen)
-                obj.raw = crypt.decrypt(obj.raw, num, gen)
-            else:
+                if crypt.encrypt_strings:
+                    obj.dict = walk_strings(obj.dict, num, gen)
+                if crypt.encrypt_streams:
+                    obj.raw = crypt.decrypt(obj.raw, num, gen)
+            elif crypt.encrypt_strings:
                 self.objects[num] = walk_strings(obj, num, gen)
 
     def _expand_object_streams(self) -> None:
@@ -2340,10 +2375,10 @@ class PageRasterizer:
                     gs.fill_shading = gs.fill_tiling = None
                 elif op in ("sc", "scn") and stack:
                     if op == "scn" and isinstance(stack[-1], Name):
-                        # /Name scn in a /Pattern space: a PatternType 2
-                        # (shading) pattern paints a gradient through
-                        # subsequent fills; tiling patterns (type 1) fall
-                        # back to the current solid color.
+                        # /Name scn in a /Pattern space: PatternType 2
+                        # (shading) patterns paint a gradient and
+                        # PatternType 1 (tiling) patterns repeat their
+                        # cell through subsequent fills.
                         pats = self.doc.resolve(resources.get("Pattern")) or {}
                         pat = self.doc.resolve(pats.get(Name(str(stack[-1]))))
                         pd = pat.dict if isinstance(pat, StreamObj) else pat

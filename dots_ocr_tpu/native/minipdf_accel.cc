@@ -181,7 +181,7 @@ long lzw_decode(const uint8_t* data, long n, int early,
                 out[w + plen] = first;
                 w += plen + 1;
                 prev = next - 1;
-                if (next + early - 1 >= (1 << width) && width < 12) width++;
+                if (next + early >= (1 << width) && width < 12) width++;
                 continue;
             } else {
                 return -2;
@@ -190,7 +190,7 @@ long lzw_decode(const uint8_t* data, long n, int early,
             if (w + len > out_cap) return -1;
             std::memcpy(out + w, buf + i, (size_t)len);
             w += len;
-            if (next + early - 1 >= (1 << width) && width < 12) width++;
+            if (next + early >= (1 << width) && width < 12) width++;
         }
     }
     return w;

@@ -1333,3 +1333,51 @@ def test_cropbox_defines_visible_region():
     r, g, b = px[80, 20]
     assert r > 180 and g < 80
     assert tuple(px[20, 80]) == (255, 255, 255)
+
+
+def test_lzw_long_stream_roundtrip_vs_libtiff():
+    """LZW width transitions (9->10->11->12 bits) decode byte-exactly
+    against a REAL encoder: libtiff's TIFF-LZW strips (same bitstream as
+    PDF LZWDecode, EarlyChange=1). The short spec vector cannot catch
+    width-boundary desyncs — a 64k-byte image crosses every boundary."""
+    import numpy as np
+    from PIL import Image
+
+    from dots_ocr_tpu.ingest.minipdf import _lzw_decode
+    from dots_ocr_tpu.native import get_lib, lzw_decode_native
+
+    rng = np.random.RandomState(42)
+    # Compressible but entropy-rich: block gradient + speckle.
+    arr = (
+        np.add.outer(np.arange(256), np.arange(256)) // 4
+        + rng.randint(0, 8, (256, 256))
+    ).astype(np.uint8)
+    img = Image.fromarray(arr, "L")
+    buf = io.BytesIO()
+    img.save(buf, format="TIFF", compression="tiff_lzw")
+    t = Image.open(io.BytesIO(buf.getvalue()))
+    offs = t.tag_v2[273]
+    cnts = t.tag_v2[279]
+    rows_per_strip = t.tag_v2.get(278, 256)
+    raw = buf.getvalue()
+    want = arr.tobytes()
+    got = b"".join(
+        _lzw_decode(raw[o : o + c], None) for o, c in zip(offs, cnts)
+    )
+    assert got == want, "python LZW desyncs vs libtiff"
+    if get_lib() is not None:
+        got_native = b"".join(
+            lzw_decode_native(raw[o : o + c], 1) for o, c in zip(offs, cnts)
+        )
+        assert got_native == want, "native LZW desyncs vs libtiff"
+    assert rows_per_strip  # silence unused
+
+
+def test_encrypted_pdf_rc4_wrong_password_rejected():
+    """R3 (RC4) documents whose user password is not empty must raise —
+    not silently decrypt content streams to garbage (review finding: /U
+    was never validated on the RC4/AES-128 path)."""
+    data = _build_encrypted_pdf("rc4")
+    broken = data.replace(b"/U <", b"/U <ffff", 1)
+    with pytest.raises(ValueError):
+        minipdf.open_pdf(broken)

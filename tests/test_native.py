@@ -181,8 +181,6 @@ def test_native_lzw_and_rc4_match_python():
     for _ in range(20):
         key = bytes(rng.randrange(256) for _ in range(rng.randint(1, 16)))
         data = bytes(rng.randrange(256) for _ in range(rng.randint(0, 300)))
-        py = minipdf._rc4.__wrapped__(key, data) if hasattr(
-            minipdf._rc4, "__wrapped__") else None
         # Compute the pure-python RC4 inline for comparison.
         s = list(range(256))
         j = 0
