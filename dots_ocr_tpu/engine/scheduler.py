@@ -1384,8 +1384,28 @@ class ContinuousBatchingEngine:
         requests instead of as one multi-minute startup outage. A request
         arriving mid-compile waits for at most one program. Returns the
         number of queued programs.
+
+        The first thunk warms the VISION + prompt-bucket programs (the
+        multi-minute encoder compiles) by SUBMITTING tiny warm requests
+        into the engine itself — they drain through the normal step loop
+        at chunk granularity, so real traffic arriving mid-warm simply
+        joins the batch instead of waiting behind a monolithic compile.
+        Decode-program thunks follow once the engine is idle again.
         """
-        self._warm_queue = list(self.warmup_plan(max_len, nucleus_variants))
+
+        def warm_requests():
+            import numpy as _np
+            from PIL import Image as _Image
+
+            dummy = _Image.fromarray(_np.zeros((560, 420, 3), _np.uint8))
+            self.submit(
+                "warmup", images=[dummy], temperature=0.0, max_new_tokens=8
+            )
+            self.submit("warmup text", temperature=0.0, max_new_tokens=8)
+
+        self._warm_queue = [warm_requests] + list(
+            self.warmup_plan(max_len, nucleus_variants)
+        )
         return len(self._warm_queue)
 
     @property

@@ -380,13 +380,14 @@ def test_warmup_decode_max_len_bounds_widths(cb_engine):
 
 
 def test_incremental_warmup_ticks_drain_and_yield_to_traffic(cb_engine):
-    """queue_warmup + warm_tick compiles the same plan one program per
-    tick, refuses to run while requests are live, and leaves subsequent
-    greedy output unchanged."""
+    """queue_warmup + warm_tick compiles the plan one thunk per tick
+    (first thunk SUBMITS vision+text warm requests that drain through the
+    normal step loop), refuses to run while requests are live, and leaves
+    subsequent greedy output unchanged."""
     before = cb_engine.generate_one("inc warm probe", temperature=0.0,
                                     max_new_tokens=6)
     n = cb_engine.queue_warmup(nucleus_variants=(False,))
-    assert n == cb_engine.warm_pending > 0
+    assert n == cb_engine.warm_pending > 1
     # A live request blocks warm ticks.
     rid = cb_engine.submit("busy", max_new_tokens=4, temperature=0.0)
     assert cb_engine.warm_tick() is False
@@ -394,10 +395,17 @@ def test_incremental_warmup_ticks_drain_and_yield_to_traffic(cb_engine):
         cb_engine.step()
     cb_engine.take_finished(rid)
     ticks = 0
-    while cb_engine.warm_tick():
-        ticks += 1
+    while cb_engine.warm_pending:
+        if cb_engine.warm_tick():
+            ticks += 1
+        # The warm-request thunk leaves live work; drain like the server
+        # loop does before the next tick.
+        while cb_engine.has_work():
+            cb_engine.step()
     assert ticks == n and cb_engine.warm_pending == 0
     assert cb_engine.warm_tick() is False  # drained queue is inert
+    for wrid in list(cb_engine._finished):
+        cb_engine.take_finished(wrid)
     after = cb_engine.generate_one("inc warm probe", temperature=0.0,
                                    max_new_tokens=6)
     assert before == after
