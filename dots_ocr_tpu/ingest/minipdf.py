@@ -1245,6 +1245,12 @@ def _decode_image_payload(doc: PDFDocument, xobj: StreamObj) -> Optional[Image.I
     filter_names = {str(doc.resolve(f)) for f in filters}
 
     data = apply_filters(d, xobj.raw, doc)
+    # /Decode [1 0] inverts single-component samples (fax/gray scans).
+    dec_arr = doc.resolve(d.get("Decode") or d.get("D"))
+    inverted = (
+        isinstance(dec_arr, list) and len(dec_arr) == 2
+        and float(doc.resolve(dec_arr[0])) > float(doc.resolve(dec_arr[1]))
+    )
 
     if filter_names & {"DCTDecode", "DCT", "JPXDecode"}:
         try:
@@ -1276,7 +1282,8 @@ def _decode_image_payload(doc: PDFDocument, xobj: StreamObj) -> Optional[Image.I
                 byte_align=bool(doc.resolve(parms.get("EncodedByteAlign"))),
             )))
             img.load()
-            return img.convert("L")
+            img = img.convert("L")
+            return ImageChops.invert(img) if inverted else img
         except Exception:
             return None
     if filter_names & {"JBIG2Decode"}:
@@ -1286,7 +1293,8 @@ def _decode_image_payload(doc: PDFDocument, xobj: StreamObj) -> Optional[Image.I
     if is_mask or bpc == 1:
         row_bytes = (width + 7) // 8
         img = Image.frombytes("1", (width, height), data[: row_bytes * height])
-        return img.convert("L")
+        img = img.convert("L")
+        return ImageChops.invert(img) if inverted else img
 
     mode, palette, ncomp = _resolve_colorspace(doc, d.get("ColorSpace") or d.get("CS"))
     if bpc != 8:
@@ -2352,6 +2360,24 @@ class PageRasterizer:
                             fm = self.doc.resolve(xobj.dict.get("Matrix"))
                             if isinstance(fm, list) and len(fm) == 6:
                                 inner.ctm = mat_mul(tuple(float(v) for v in fm), inner.ctm)  # type: ignore[arg-type]
+                            # Forms clip to their /BBox (PDF 1.7 §8.10.1).
+                            fb = self.doc.resolve(xobj.dict.get("BBox"))
+                            if isinstance(fb, list) and len(fb) == 4:
+                                bx = [float(self.doc.resolve(v)) for v in fb]
+                                x0b, x1b = sorted((bx[0], bx[2]))
+                                y0b, y1b = sorted((bx[1], bx[3]))
+                                bb_mask = self._path_clip_mask(
+                                    [([(x0b, y0b), (x1b, y0b),
+                                       (x1b, y1b), (x0b, y1b)], True)],
+                                    inner.ctm,
+                                )
+                                if bb_mask is not None:
+                                    inner.clip = (
+                                        bb_mask if inner.clip is None
+                                        else ImageChops.multiply(
+                                            inner.clip, bb_mask
+                                        )
+                                    )
                             form_res = self.doc.resolve(xobj.dict.get("Resources")) or resources
                             try:
                                 self._execute(xobj.decoded(self.doc), form_res, inner, depth + 1)

@@ -1381,3 +1381,62 @@ def test_encrypted_pdf_rc4_wrong_password_rejected():
     broken = data.replace(b"/U <", b"/U <ffff", 1)
     with pytest.raises(ValueError):
         minipdf.open_pdf(broken)
+
+
+def test_form_xobject_clips_to_bbox_and_decode_inverts():
+    """Form XObjects clip content to their /BBox (PDF §8.10.1); image
+    /Decode [1 0] inverts 1-bit samples (inverted fax/gray scans)."""
+    import numpy as np
+
+    # Form paints a big rect; only the BBox part may show.
+    form = b"0 0 1 rg 0 0 500 500 re f\n"
+    # 2x2 1-bit image, raw bits 0b1000_0000 rows -> with Decode [1 0]
+    # the set bit becomes BLACK.
+    imgbits = bytes([0b10000000, 0b00000000])
+    content = zlib.compress(
+        b"q 1 0 0 1 10 110 cm /Fx Do Q\n"
+        b"q 80 0 0 80 100 10 cm /Im1 Do Q\n"
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 200 200] "
+        b"/Contents 4 0 R /Resources << /XObject << /Fx 5 0 R /Im1 6 0 R "
+        b">> >> >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /XObject /Subtype /Form /BBox [0 0 40 40] /Length "
+        + str(len(form)).encode() + b" >>\nstream\n" + form + b"endstream",
+        b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 1 /Decode [1 0] "
+        b"/Length " + str(len(imgbits)).encode() + b" >>\nstream\n"
+        + imgbits + b"\nendstream",
+    ]
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, 1):
+        offsets.append(out.tell())
+        out.write(f"{i} 0 obj\n".encode() + body + b"\nendobj\n")
+    xref = out.tell()
+    out.write(f"xref\n0 {len(objs)+1}\n".encode() + b"0000000000 65535 f \n")
+    for o in offsets:
+        out.write(f"{o:010d} 00000 n \n".encode())
+    out.write(
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref).encode() + b"\n%%EOF"
+    )
+    img = minipdf.render_page(minipdf.open_pdf(out.getvalue()), 0)
+    px = np.asarray(img)
+    # Form at (10,110), BBox 40x40 -> device rows 50..90, cols 10..50 blue;
+    # outside the BBox (but inside the painted 500x500 rect) stays white.
+    r, g, b = px[70, 30]
+    assert b > 180 and r < 80
+    assert tuple(px[70, 70]) == (255, 255, 255)  # clipped by BBox
+    assert tuple(px[30, 30]) == (255, 255, 255)
+    # Image: top-left quadrant bit SET + Decode [1 0] -> black; the other
+    # quadrants stay white. Placed at (100..180, 10..90) pdf -> device
+    # rows 110..190.
+    assert px[130, 120][0] < 80   # top-left quadrant: black
+    assert px[130, 160][0] > 200  # top-right: white
+    assert px[170, 120][0] > 200  # bottom-left: white
