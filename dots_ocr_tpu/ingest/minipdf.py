@@ -30,8 +30,8 @@ Fidelity notes: clipping paths (W/W*) intersect device-space coverage
 masks (both winding rules approximated by the painter's per-subpath
 scanline fill); compound even-odd holes fill per-subpath; axial/radial
 shadings paint via `sh` and PatternType 2 fills (function types 0/2/3);
-tiling patterns repeat their cell (axis-aligned matrices); mesh shadings
-(types 4-7) are skipped. For document
+tiling patterns repeat their cell (general affine matrices); mesh
+shadings (types 4-7) are skipped. For document
 OCR (text + images on a white page) this reproduces what the model needs
 to see.
 """
@@ -1991,45 +1991,46 @@ class PageRasterizer:
         alpha: float = 1.0,
     ) -> None:
         """Fill through a PatternType 1 (tiling) pattern: render ONE cell
-        by executing the pattern's content stream onto a cell-sized
-        canvas, then repeat it across the fill mask at the pattern-space
-        period. Axis-aligned pattern matrices only (rotated tilings are
-        skipped); cells render over white, so unmarked cell area
-        approximates as white rather than transparent — fine for document
-        backgrounds, the common use."""
+        in PATTERN SPACE by executing the pattern's content stream, tile
+        it over the canvas's pattern-space footprint, and map the tiled
+        raster to device space with one affine transform — general
+        pattern matrices (incl. rotation/skew) supported. Cells render
+        over white, so unmarked cell area approximates as white rather
+        than transparent — fine for document backgrounds, the common
+        use."""
         import numpy as np
 
         pat, pmat = tiling
         d = pat.dict
         p2d = mat_mul(pmat, self.base)  # pattern space -> device px
         a, b, c, dd, e, f = p2d
-        if abs(b) > 1e-6 or abs(c) > 1e-6 or abs(a) < 1e-9 or abs(dd) < 1e-9:
+        det = a * dd - b * c
+        if abs(det) < 1e-12:
             return
+        s = math.sqrt(abs(det))  # pattern units -> device px scale
         bbox = [
             float(self.doc.resolve(v))
             for v in self.doc.resolve(d.get("BBox")) or [0, 0, 1, 1]
         ]
-        xstep = float(self.doc.resolve(d.get("XStep")) or 0) or (
+        bx0, by0 = min(bbox[0], bbox[2]), min(bbox[1], bbox[3])
+        xstep = abs(float(self.doc.resolve(d.get("XStep")) or 0)) or abs(
             bbox[2] - bbox[0]
         ) or 1.0
-        ystep = float(self.doc.resolve(d.get("YStep")) or 0) or (
+        ystep = abs(float(self.doc.resolve(d.get("YStep")) or 0)) or abs(
             bbox[3] - bbox[1]
         ) or 1.0
-        step_w, step_h = abs(xstep * a), abs(ystep * dd)
-        if not (0.5 <= step_w <= self.width * 4) or not (
-            0.5 <= step_h <= self.height * 4
-        ):
+        tw = max(1, round(xstep * s))
+        th = max(1, round(ystep * s))
+        if tw > self.width * 4 or th > self.height * 4:
             return
-        tw, th = max(1, round(step_w)), max(1, round(step_h))
-        # Device origin of cell (0,0): the lowest-coordinate corner of the
-        # bbox's device image (handles the base matrix's y flip).
-        xs = [e + a * bbox[0], e + a * (bbox[0] + xstep)]
-        ys = [f + dd * bbox[1], f + dd * (bbox[1] + ystep)]
-        ox, oy = min(xs), min(ys)
+        # Render one cell: pattern rect [bx0, bx0+xstep) x [by0, by0+ystep)
+        # onto a (tw, th) raster, y flipped to image convention.
         tile = Image.new("RGB", (tw, th), (255, 255, 255))
         saved = (self.canvas, self.draw, self.base, self.width, self.height)
         self.canvas, self.draw = tile, ImageDraw.Draw(tile)
-        self.base = mat_mul(p2d, (1.0, 0.0, 0.0, 1.0, -ox, -oy))
+        self.base = mat_mul(
+            (1.0, 0.0, 0.0, 1.0, -bx0, -by0), (s, 0.0, 0.0, -s, 0.0, float(th))
+        )
         self.width, self.height = tw, th
         try:
             self._execute(
@@ -2042,19 +2043,44 @@ class PageRasterizer:
             pass
         finally:
             self.canvas, self.draw, self.base, self.width, self.height = saved
-        t_arr = np.asarray(tile)
-        reps_y = self.height // th + 2
-        reps_x = self.width // tw + 2
-        big = np.tile(t_arr, (reps_y, reps_x, 1))
-        sy = int((-oy) % th)
-        sx = int((-ox) % tw)
-        full = big[sy : sy + self.height, sx : sx + self.width]
+        # Pattern-space footprint of the device canvas (inverse corners).
+        W, H = self.width, self.height
+        inv = lambda X, Y: (  # noqa: E731 — device -> pattern space
+            (dd * (X - e) - c * (Y - f)) / det,
+            (-b * (X - e) + a * (Y - f)) / det,
+        )
+        corners = [inv(0, 0), inv(W, 0), inv(0, H), inv(W, H)]
+        pxs = [p[0] for p in corners]
+        pys = [p[1] for p in corners]
+        k0 = math.floor((min(pxs) - bx0) / xstep)
+        k1 = math.floor((max(pxs) - bx0) / xstep)
+        l0 = math.floor((min(pys) - by0) / ystep)
+        l1 = math.floor((max(pys) - by0) / ystep)
+        nx, ny = k1 - k0 + 1, l1 - l0 + 1
+        if nx < 1 or ny < 1 or nx * ny > 16384:
+            return  # degenerate matrix / absurd tile count
+        big = np.tile(np.asarray(tile), (ny, nx, 1))
+        big_h = ny * th
+        ox = bx0 + k0 * xstep
+        oy = by0 + l0 * ystep
+        # Image.transform wants DEVICE -> big-raster coeffs:
+        #   u = s*(px - ox); v = big_h - s*(py - oy), px/py from inv().
+        A = s * dd / det
+        B = -s * c / det
+        C = s * ((c * f - dd * e) / det - ox)
+        D = s * b / det
+        E = -s * a / det
+        F = big_h - s * ((b * e - a * f) / det - oy)
+        full = Image.fromarray(big, "RGB").transform(
+            (W, H), Image.AFFINE, (A, B, C, D, E, F),
+            fillcolor=(255, 255, 255),
+        )
         cover = mask
         if alpha < 1.0:
             cover = cover.point(lambda v: int(v * alpha))
         if clip is not None:
             cover = ImageChops.multiply(cover, clip)
-        self.canvas.paste(Image.fromarray(full, "RGB"), (0, 0), cover)
+        self.canvas.paste(full, (0, 0), cover)
 
     # -- main loop ------------------------------------------------------------
 

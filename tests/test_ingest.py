@@ -1440,3 +1440,54 @@ def test_form_xobject_clips_to_bbox_and_decode_inverts():
     assert px[130, 120][0] < 80   # top-left quadrant: black
     assert px[130, 160][0] > 200  # top-right: white
     assert px[170, 120][0] > 200  # bottom-left: white
+
+
+def test_tiling_pattern_rotated_matrix():
+    """A 45-degree-rotated tiling matrix still fills the path with the
+    cell's ink at roughly the same coverage (general-affine tiling)."""
+    import math
+
+    import numpy as np
+
+    pat_content = b"1 0 0 rg 0 0 5 5 re f\n"
+    r = math.sqrt(0.5)  # 45-degree rotation components
+    matrix = f"{r:.6f} {r:.6f} {-r:.6f} {r:.6f} 0 0".encode()
+    content = zlib.compress(b"/Pattern cs /P1 scn 40 30 120 50 re f\n")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 200 100] "
+        b"/Contents 4 0 R /Resources << /Pattern << /P1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + content + b"\nendstream",
+        b"<< /PatternType 1 /PaintType 1 /TilingType 1 /Matrix ["
+        + matrix + b"] /BBox [0 0 10 10] /XStep 10 /YStep 10 "
+        b"/Resources << >> /Length " + str(len(pat_content)).encode()
+        + b" >>\nstream\n" + pat_content + b"endstream",
+    ]
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, 1):
+        offsets.append(out.tell())
+        out.write(f"{i} 0 obj\n".encode() + body + b"\nendobj\n")
+    xref = out.tell()
+    out.write(f"xref\n0 {len(objs)+1}\n".encode() + b"0000000000 65535 f \n")
+    for o in offsets:
+        out.write(f"{o:010d} 00000 n \n".encode())
+    out.write(
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref).encode() + b"\n%%EOF"
+    )
+    img = minipdf.render_page(minipdf.open_pdf(out.getvalue()), 0)
+    px = np.asarray(img)
+    red = (px[:, :, 0] > 160) & (px[:, :, 2] < 100)
+    inside = red[25:65, 45:155]  # fill rect interior (device rows 20..70)
+    frac = inside.mean()
+    assert 0.12 < frac < 0.40, f"rotated-tiling coverage {frac:.2f}"
+    # The red dot rows must NOT be axis-aligned: red pixels appear in
+    # diagonal bands, so some columns have red where others at the same
+    # row offset pattern differ — check rotation via the diagonal shift.
+    rows = np.nonzero(inside.any(axis=1))[0]
+    assert len(rows) > 20  # bands cross most of the rect vertically
+    assert not red[:18].any() and not red[72:].any()  # outside the rect
