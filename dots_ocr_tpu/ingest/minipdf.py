@@ -31,7 +31,8 @@ masks (both winding rules approximated by the painter's per-subpath
 scanline fill); compound even-odd holes fill per-subpath; axial/radial
 shadings paint via `sh` and PatternType 2 fills (function types 0/2/3);
 tiling patterns repeat their cell (general affine matrices); mesh
-shadings (types 4-7) are skipped. For document
+shadings (4/5) Gouraud-rasterize, Coons/tensor patches (6/7) approximate
+by corner triangles. For document
 OCR (text + images on a white page) this reproduces what the model needs
 to see.
 """
@@ -1905,6 +1906,9 @@ class PageRasterizer:
         if not isinstance(d, dict):
             return
         stype = int(self.doc.resolve(d.get("ShadingType")) or 0)
+        if stype in (4, 5, 6, 7) and isinstance(sh, StreamObj):
+            self._paint_mesh_shading(sh, user_to_device, clip, mask, alpha)
+            return
         if stype not in (2, 3):
             return
         coords = [
@@ -2081,6 +2085,201 @@ class PageRasterizer:
         if clip is not None:
             cover = ImageChops.multiply(cover, clip)
         self.canvas.paste(full, (0, 0), cover)
+
+    def _paint_mesh_shading(
+        self,
+        sh: "StreamObj",
+        user_to_device: Matrix,
+        clip: Optional[Image.Image],
+        mask: Optional[Image.Image],
+        alpha: float,
+    ) -> None:
+        """Mesh shadings (types 4-7, PDF 1.7 §8.7.4.5.5-8): decode the
+        packed vertex stream and Gouraud-rasterize triangles with numpy
+        barycentrics. Coons/tensor patches (6/7) are approximated by two
+        triangles over their four corner points — adequate for the soft
+        background gradients they carry in documents."""
+        import numpy as np
+
+        d = sh.dict
+        rs = self.doc.resolve
+        stype = int(rs(d.get("ShadingType")))
+        bpc = int(rs(d.get("BitsPerCoordinate")) or 16)
+        bpcomp = int(rs(d.get("BitsPerComponent")) or 8)
+        bpf = int(rs(d.get("BitsPerFlag")) or 8)
+        dec = [float(rs(v)) for v in rs(d.get("Decode")) or []]
+        if len(dec) < 6:
+            return
+        fn = d.get("Function")
+        _, _, cs_n = _resolve_colorspace(self.doc, d.get("ColorSpace"))
+        ncomp = 1 if fn is not None else cs_n
+        data = sh.decoded(self.doc)
+
+        pos = 0  # bit cursor
+
+        def bits(n):
+            nonlocal pos
+            byte0 = pos // 8
+            raw = int.from_bytes(
+                data[byte0 : byte0 + (pos % 8 + n + 7) // 8], "big"
+            )
+            shift = ((pos % 8 + n + 7) // 8) * 8 - (pos % 8) - n
+            pos += n
+            return (raw >> shift) & ((1 << n) - 1)
+
+        def val(nbits, lo, hi):
+            return lo + bits(nbits) / ((1 << nbits) - 1) * (hi - lo)
+
+        def vertex():
+            x = val(bpc, dec[0], dec[1])
+            y = val(bpc, dec[2], dec[3])
+            comps = tuple(
+                val(bpcomp, dec[4 + 2 * i], dec[5 + 2 * i])
+                for i in range(ncomp)
+            )
+            return (x, y), comps
+
+        total_bits = len(data) * 8
+        need = bpc * 2 + bpcomp * ncomp
+        tris = []  # ((pt, comps) x 3)
+        try:
+            if stype == 4:
+                va = vb = vc = None
+                while pos + bpf + need <= total_bits:
+                    f = bits(bpf)
+                    v = vertex()
+                    if f == 0:
+                        if pos + 2 * (bpf + need) > total_bits:
+                            break
+                        bits(bpf)
+                        v2 = vertex()
+                        bits(bpf)
+                        v3 = vertex()
+                        va, vb, vc = v, v2, v3
+                    elif f == 1 and vc is not None:
+                        va, vb, vc = vb, vc, v
+                    elif f == 2 and vc is not None:
+                        vb, vc = vc, v
+                    else:
+                        break
+                    tris.append((va, vb, vc))
+            elif stype == 5:
+                per_row = int(rs(d.get("VerticesPerRow")) or 0)
+                if per_row < 2:
+                    return
+                rows = []
+                while pos + need <= total_bits:
+                    row = [vertex() for _ in range(per_row)
+                           if pos + need <= total_bits]
+                    if len(row) < per_row:
+                        break
+                    rows.append(row)
+                for r0, r1 in zip(rows, rows[1:]):
+                    for i in range(per_row - 1):
+                        tris.append((r0[i], r0[i + 1], r1[i]))
+                        tris.append((r0[i + 1], r1[i + 1], r1[i]))
+            else:  # 6 / 7: corner-triangle approximation
+                npts_new = 12 if stype == 6 else 16
+                npts_cont = 8 if stype == 6 else 12
+                prev_pts = prev_cols = None
+                while pos + bpf <= total_bits:
+                    f = bits(bpf)
+                    npts = npts_new if f == 0 else npts_cont
+                    ncols = 4 if f == 0 else 2
+                    if pos + npts * 2 * bpc + ncols * bpcomp * ncomp > total_bits:
+                        break
+                    pts = [
+                        (val(bpc, dec[0], dec[1]), val(bpc, dec[2], dec[3]))
+                        for _ in range(npts)
+                    ]
+                    cols = [
+                        tuple(
+                            val(bpcomp, dec[4 + 2 * i], dec[5 + 2 * i])
+                            for i in range(ncomp)
+                        )
+                        for _ in range(ncols)
+                    ]
+                    if f == 0:
+                        corners = [pts[0], pts[3], pts[6], pts[9]]
+                        ccols = cols
+                    elif prev_pts is not None:
+                        # Continuation shares one edge; approximate with the
+                        # new points' first/mid/last as three fresh corners.
+                        corners = [prev_pts[3], prev_pts[2],
+                                   pts[2] if len(pts) > 2 else pts[-1],
+                                   pts[5] if len(pts) > 5 else pts[-1]]
+                        ccols = [prev_cols[2], prev_cols[3], cols[0], cols[1]]
+                    else:
+                        break
+                    tris.append((
+                        (corners[0], ccols[0]), (corners[1], ccols[1]),
+                        (corners[2], ccols[2]),
+                    ))
+                    tris.append((
+                        (corners[0], ccols[0]), (corners[2], ccols[2]),
+                        (corners[3], ccols[3]),
+                    ))
+                    prev_pts, prev_cols = corners, ccols
+        except Exception:
+            pass
+        if not tris:
+            return
+
+        def to_rgb(comps):
+            if fn is not None:
+                arr = _eval_function(self.doc, fn, np.asarray([comps[0]]))
+                return _components_to_rgb(arr)[0]
+            return _components_to_rgb(np.asarray(comps, np.float64))
+
+        W, H = self.width, self.height
+        overlay = np.zeros((H, W, 3), np.uint8)
+        covered = np.zeros((H, W), bool)
+        for (p0, c0), (p1, c1), (p2, c2) in tris:
+            d0 = mat_apply(user_to_device, *p0)
+            d1 = mat_apply(user_to_device, *p1)
+            d2 = mat_apply(user_to_device, *p2)
+            xs = [d0[0], d1[0], d2[0]]
+            ys = [d0[1], d1[1], d2[1]]
+            x0 = max(0, int(math.floor(min(xs))))
+            x1 = min(W, int(math.ceil(max(xs))) + 1)
+            y0 = max(0, int(math.floor(min(ys))))
+            y1 = min(H, int(math.ceil(max(ys))) + 1)
+            if x1 <= x0 or y1 <= y0:
+                continue
+            area = (
+                (d1[0] - d0[0]) * (d2[1] - d0[1])
+                - (d2[0] - d0[0]) * (d1[1] - d0[1])
+            )
+            if abs(area) < 1e-9:
+                continue
+            gx, gy = np.meshgrid(
+                np.arange(x0, x1) + 0.5, np.arange(y0, y1) + 0.5
+            )
+            w0 = (
+                (d1[0] - gx) * (d2[1] - gy) - (d2[0] - gx) * (d1[1] - gy)
+            ) / area
+            w1 = (
+                (d2[0] - gx) * (d0[1] - gy) - (d0[0] - gx) * (d2[1] - gy)
+            ) / area
+            w2 = 1.0 - w0 - w1
+            inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+            if not inside.any():
+                continue
+            r0, r1c, r2c = to_rgb(c0), to_rgb(c1), to_rgb(c2)
+            col = (
+                w0[..., None] * r0 + w1[..., None] * r1c + w2[..., None] * r2c
+            )
+            patch = overlay[y0:y1, x0:x1]
+            patch[inside] = np.clip(col, 0, 255).astype(np.uint8)[inside]
+            covered[y0:y1, x0:x1] |= inside
+        cover = Image.fromarray(covered.astype(np.uint8) * 255, "L")
+        if alpha < 1.0:
+            cover = cover.point(lambda v: int(v * alpha))
+        if mask is not None:
+            cover = ImageChops.multiply(cover, mask)
+        if clip is not None:
+            cover = ImageChops.multiply(cover, clip)
+        self.canvas.paste(Image.fromarray(overlay, "RGB"), (0, 0), cover)
 
     # -- main loop ------------------------------------------------------------
 

@@ -1491,3 +1491,69 @@ def test_tiling_pattern_rotated_matrix():
     rows = np.nonzero(inside.any(axis=1))[0]
     assert len(rows) > 20  # bands cross most of the rect vertically
     assert not red[:18].any() and not red[72:].any()  # outside the rect
+
+
+def test_mesh_shading_type4_gouraud_triangle():
+    """Free-form triangle mesh (ShadingType 4): vertices decode from the
+    packed bit stream and Gouraud-interpolate vertex colors."""
+    import struct
+
+    import numpy as np
+
+    def vert(flag, x, y, r, g, b):
+        # bpf=8, bpc=16, bpcomp=8; Decode maps x:[0,200] y:[0,100] c:[0,1].
+        xi = round(x / 200 * 65535)
+        yi = round(y / 100 * 65535)
+        return struct.pack(
+            ">BHHBBB", flag, xi, yi,
+            round(r * 255), round(g * 255), round(b * 255),
+        )
+
+    stream = (
+        vert(0, 20, 10, 1, 0, 0)
+        + vert(0, 180, 10, 0, 1, 0)
+        + vert(0, 100, 90, 0, 0, 1)
+    )
+    content = zlib.compress(b"/Sh1 sh\n")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 200 100] "
+        b"/Contents 4 0 R /Resources << /Shading << /Sh1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + content + b"\nendstream",
+        b"<< /ShadingType 4 /ColorSpace /DeviceRGB /BitsPerCoordinate 16 "
+        b"/BitsPerComponent 8 /BitsPerFlag 8 "
+        b"/Decode [0 200 0 100 0 1 0 1 0 1] /Length "
+        + str(len(stream)).encode() + b" >>\nstream\n" + stream
+        + b"\nendstream",
+    ]
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, 1):
+        offsets.append(out.tell())
+        out.write(f"{i} 0 obj\n".encode() + body + b"\nendobj\n")
+    xref = out.tell()
+    out.write(f"xref\n0 {len(objs)+1}\n".encode() + b"0000000000 65535 f \n")
+    for o in offsets:
+        out.write(f"{o:010d} 00000 n \n".encode())
+    out.write(
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref).encode() + b"\n%%EOF"
+    )
+    img = minipdf.render_page(minipdf.open_pdf(out.getvalue()), 0)
+    px = np.asarray(img)
+    # Vertices: red at pdf (20,10) -> device (20, 90); green (180,10) ->
+    # (180, 90); blue (100,90) -> (100, 10).
+    r, g, b = px[88, 24]
+    assert r > 180 and g < 90 and b < 90
+    r, g, b = px[88, 176]
+    assert g > 180 and r < 90
+    r, g, b = px[14, 100]
+    assert b > 180 and r < 90
+    # Centroid blends roughly equal thirds.
+    r, g, b = px[63, 100]
+    assert 50 < r < 130 and 50 < g < 130 and 50 < b < 130
+    # Outside the triangle stays white.
+    assert tuple(px[90, 5]) == (255, 255, 255)
