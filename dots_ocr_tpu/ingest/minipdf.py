@@ -1288,7 +1288,22 @@ def _decode_image_payload(doc: PDFDocument, xobj: StreamObj) -> Optional[Image.I
         except Exception:
             return None
     if filter_names & {"JBIG2Decode"}:
-        return None  # JBIG2 not supported by the builtin backend
+        # MMR-coded generic regions decode (MMR == T.6/G4, via the same
+        # TIFF framing as CCITT); arithmetic-coded segments (symbol/text
+        # regions) are not supported and return None rather than garbage.
+        parms = doc.resolve(d.get("DecodeParms") or d.get("DP")) or {}
+        if isinstance(parms, list):
+            parms = next(
+                (p for p in (doc.resolve(x) for x in parms)
+                 if isinstance(p, dict)), {},
+            )
+        gl = doc.resolve(parms.get("JBIG2Globals")) if isinstance(
+            parms, dict) else None
+        gl_bytes = gl.decoded(doc) if isinstance(gl, StreamObj) else b""
+        try:
+            return _jbig2_decode(data, gl_bytes, width, height)
+        except Exception:
+            return None
 
     is_mask = bool(doc.resolve(d.get("ImageMask") or d.get("IM")))
     if is_mask or bpc == 1:
@@ -1312,6 +1327,98 @@ def _decode_image_payload(doc: PDFDocument, xobj: StreamObj) -> Optional[Image.I
     if mode == "CMYK":
         img = img.convert("RGB")
     return img
+
+
+def _jbig2_decode(
+    data: bytes, globals_data: bytes, width: int, height: int
+) -> Optional[Image.Image]:
+    """JBIG2 embedded-in-PDF decoder for the MMR profile (ITU T.88).
+
+    Walks the segment stream (embedded organization: no file header) and
+    composes IMMEDIATE GENERIC REGION segments whose flags select MMR
+    coding — MMR is exactly T.6/G4, decoded through the same TIFF framing
+    the CCITT path uses. Arithmetic-coded regions (generic templates,
+    symbol dictionaries + text regions) return None: an unsupported page
+    must fall through to the caller's no-image behavior, never render
+    wrong bits.
+    """
+    import numpy as np
+
+    page = np.zeros((height, width), bool)  # 1 = black (JBIG2 convention)
+    painted = False
+
+    def segments(buf: bytes):
+        pos = 0
+        n = len(buf)
+        while pos + 11 <= n:
+            seg_num = int.from_bytes(buf[pos : pos + 4], "big")
+            flags = buf[pos + 4]
+            seg_type = flags & 0x3F
+            page_assoc_4 = bool(flags & 0x40)
+            pos += 5
+            # Referred-to segments: count in the top 3 bits, long form
+            # when 7 (4-byte count + retain-bit bytes).
+            rts = buf[pos]
+            count = rts >> 5
+            if count == 7:
+                count = int.from_bytes(buf[pos : pos + 4], "big") & 0x1FFFFFFF
+                pos += 4 + (count + 8) // 8
+            else:
+                pos += 1
+            ref_size = 1 if seg_num <= 256 else (2 if seg_num <= 65536 else 4)
+            pos += count * ref_size
+            pos += 4 if page_assoc_4 else 1
+            length = int.from_bytes(buf[pos : pos + 4], "big")
+            pos += 4
+            if length == 0xFFFFFFFF:  # unknown length: cannot walk past
+                return
+            yield seg_type, buf[pos : pos + length]
+            pos += length
+
+    for buf in (globals_data, data):
+        for seg_type, payload in segments(buf):
+            if seg_type not in (36, 38, 39):  # generic region variants
+                # Page info (48), end markers etc. are skippable; any
+                # symbol/text machinery means the page needs the
+                # arithmetic decoder we do not have.
+                if seg_type in (0, 4, 6, 7, 16, 20, 22, 23, 40, 42, 43):
+                    return None
+                continue
+            if len(payload) < 18:
+                return None
+            rw = int.from_bytes(payload[0:4], "big")
+            rh = int.from_bytes(payload[4:8], "big")
+            rx = int.from_bytes(payload[8:12], "big")
+            ry = int.from_bytes(payload[12:16], "big")
+            comb_op = payload[16] & 0x7
+            gflags = payload[17]
+            if not gflags & 0x1:
+                return None  # arithmetic generic coding unsupported
+            if gflags & 0x8:
+                return None  # TPGDON with MMR is invalid anyway
+            mmr = payload[18:]
+            # MINISBLACK framing maps the T.6 black runs to dark pixels,
+            # which is JBIG2's 1 = black convention.
+            img = Image.open(io.BytesIO(_ccitt_to_tiff(
+                mmr, rw, rh, k=-1, black_is_1=False
+            )))
+            img.load()
+            bits = np.asarray(img.convert("L")) < 128
+            y1 = min(height, ry + rh)
+            x1 = min(width, rx + rw)
+            if y1 <= ry or x1 <= rx:
+                continue
+            sub = bits[: y1 - ry, : x1 - rx]
+            if comb_op == 2:  # XOR
+                page[ry:y1, rx:x1] ^= sub
+            elif comb_op == 1:  # AND
+                page[ry:y1, rx:x1] &= sub
+            else:  # OR / REPLACE
+                page[ry:y1, rx:x1] |= sub
+            painted = True
+    if not painted:
+        return None
+    return Image.fromarray(np.where(page, 0, 255).astype(np.uint8), "L")
 
 
 def _ccitt_to_tiff(

@@ -1557,3 +1557,67 @@ def test_mesh_shading_type4_gouraud_triangle():
     assert 50 < r < 130 and 50 < g < 130 and 50 < b < 130
     # Outside the triangle stays white.
     assert tuple(px[90, 5]) == (255, 255, 255)
+
+
+def test_jbig2_mmr_generic_region():
+    """JBIG2 (MMR profile): an embedded segment stream with an immediate
+    generic region coded as MMR (== T.6/G4) decodes and composes onto the
+    page; arithmetic-coded pages safely return no image."""
+    import numpy as np
+    from PIL import Image, TiffImagePlugin  # noqa: F401
+
+    from dots_ocr_tpu.ingest.minipdf import Name, StreamObj, _decode_image_payload
+    from dots_ocr_tpu.ingest import minipdf as mp
+
+    arr = np.ones((64, 96), bool)
+    arr[20:30, 10:80] = False  # black bar
+    src = Image.fromarray(arr).convert("1")
+    buf = io.BytesIO()
+    src.save(buf, format="TIFF", compression="group4")
+    t = Image.open(io.BytesIO(buf.getvalue()))
+    off, cnt = t.tag_v2[273][0], t.tag_v2[279][0]
+    mmr = buf.getvalue()[off : off + cnt]
+
+    def seg(num, styp, payload, page=1):
+        return (
+            num.to_bytes(4, "big") + bytes([styp]) + b"\x00"
+            + bytes([page]) + len(payload).to_bytes(4, "big") + payload
+        )
+
+    page_info = (
+        (96).to_bytes(4, "big") + (64).to_bytes(4, "big")
+        + b"\x00" * 8 + b"\x00" + b"\x00\x00"
+    )
+    region = (
+        (96).to_bytes(4, "big") + (64).to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + b"\x00"          # comb op OR
+        + b"\x01"          # generic flags: MMR
+        + mmr
+    )
+    stream = seg(0, 48, page_info) + seg(1, 38, region)
+
+    xobj = StreamObj(
+        {
+            Name("Subtype"): Name("Image"),
+            Name("Width"): 96,
+            Name("Height"): 64,
+            Name("BitsPerComponent"): 1,
+            Name("ColorSpace"): Name("DeviceGray"),
+            Name("Filter"): Name("JBIG2Decode"),
+        },
+        stream,
+    )
+    doc = mp.PDFDocument(_content_pdf_bytes(b"q Q"))
+    img = _decode_image_payload(doc, xobj)
+    assert img is not None
+    got = np.asarray(img.convert("L")) > 128
+    assert (got == arr).mean() > 0.99
+
+    # PIL's libtiff decodes the bar as black where arr is False.
+    assert not got[25, 40] and got[5, 40]
+
+    # A symbol-dictionary segment (arithmetic machinery) => None, not junk.
+    bad = seg(0, 0, b"\x00" * 8) + seg(1, 38, region)
+    xobj_bad = StreamObj(dict(xobj.dict), bad)
+    assert _decode_image_payload(doc, xobj_bad) is None
