@@ -300,3 +300,62 @@ def test_malformed_stop_token_ids_is_400():
             assert data["error"]["type"] == "invalid_request_error"
 
     asyncio.run(_with_client(scenario))
+
+
+def test_background_warmup_drains_while_serving():
+    """--warmup background: the worker loop runs warm ticks on idle, the
+    queue drains to zero, and a request served mid-warm still succeeds
+    (the first thunk's engine-submitted warm requests drain through the
+    normal step loop)."""
+    import time
+
+    import jax
+
+    from dots_ocr_tpu.engine.scheduler import (
+        ContinuousBatchingEngine,
+        SchedulerConfig,
+    )
+    from dots_ocr_tpu.models.config import DotsOCRConfig
+    from dots_ocr_tpu.models.init import init_params
+
+    cfg = DotsOCRConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    engine = ContinuousBatchingEngine(
+        params,
+        cfg,
+        sched=SchedulerConfig(
+            num_pages=64, page_size=8, max_slots=4, max_pages_per_seq=16,
+            prompt_bucket_step=32, vision_bucket_step=16, steps_per_sync=4,
+        ),
+        default_max_new_tokens=6,
+    )
+    n = engine.queue_warmup(nucleus_variants=(False,))
+    assert n > 1
+
+    async def run():
+        server = OpenAIServer(engine, model_name="cb-model")
+        client = TestClient(TestServer(server.build_app()))
+        await client.start_server()
+        try:
+            resp = await client.post(
+                "/v1/chat/completions",
+                json={
+                    "messages": [{"role": "user", "content": "mid warm"}],
+                    "max_tokens": 4,
+                    "temperature": 0,
+                },
+            )
+            assert resp.status == 200
+            # Idle loop ticks drain the queue (tiny programs, CPU).
+            deadline = time.time() + 120
+            while engine.warm_pending and time.time() < deadline:
+                await asyncio.sleep(0.5)
+            assert engine.warm_pending == 0
+            m = await (await client.get("/metrics")).text()
+            assert "dots_ocr_engine_warm_pending 0" in m
+        finally:
+            await client.close()
+
+    asyncio.run(run())
+    # Warm requests and the real one all drained; allocator leak-free.
+    assert engine.allocator.free_pages == 63
