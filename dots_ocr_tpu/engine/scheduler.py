@@ -25,7 +25,7 @@ import logging
 import time
 from collections import deque
 from functools import partial
-from typing import Any, Deque, Dict, List, Optional, Sequence, Union
+from typing import Any, Deque, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -1377,6 +1377,7 @@ class ContinuousBatchingEngine:
         self,
         max_len: Optional[int] = None,
         nucleus_variants: Sequence[bool] = (False, True),
+        vision_sizes: Sequence[Tuple[int, int]] = ((560, 420),),
     ) -> int:
         """Queue the warmup plan for INCREMENTAL execution via
         :meth:`warm_tick` (the serving loop calls it on idle ticks) —
@@ -1391,16 +1392,23 @@ class ContinuousBatchingEngine:
         at chunk granularity, so real traffic arriving mid-warm simply
         joins the batch instead of waiting behind a monolithic compile.
         Decode-program thunks follow once the engine is idle again.
+        ``vision_sizes`` picks the page classes to warm — each distinct
+        vision BUCKET compiles its own encoder program, so include the
+        production page size (the server passes its ``--warmup-pages``);
+        a size the traffic never uses still leaves the first real page
+        paying its own bucket's compile.
         """
 
         def warm_requests():
             import numpy as _np
             from PIL import Image as _Image
 
-            dummy = _Image.fromarray(_np.zeros((560, 420, 3), _np.uint8))
-            self.submit(
-                "warmup", images=[dummy], temperature=0.0, max_new_tokens=8
-            )
+            for h, w in vision_sizes:
+                dummy = _Image.fromarray(_np.zeros((h, w, 3), _np.uint8))
+                self.submit(
+                    "warmup", images=[dummy], temperature=0.0,
+                    max_new_tokens=8,
+                )
             self.submit("warmup text", temperature=0.0, max_new_tokens=8)
 
         self._warm_queue = [warm_requests] + list(

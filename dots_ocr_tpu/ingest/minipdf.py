@@ -1301,7 +1301,10 @@ def _decode_image_payload(doc: PDFDocument, xobj: StreamObj) -> Optional[Image.I
             parms, dict) else None
         gl_bytes = gl.decoded(doc) if isinstance(gl, StreamObj) else b""
         try:
-            return _jbig2_decode(data, gl_bytes, width, height)
+            img = _jbig2_decode(data, gl_bytes, width, height)
+            if img is not None and inverted:
+                img = ImageChops.invert(img)
+            return img
         except Exception:
             return None
 
@@ -1326,6 +1329,8 @@ def _decode_image_payload(doc: PDFDocument, xobj: StreamObj) -> Optional[Image.I
     img = Image.frombytes(mode, (width, height), data[:expected])
     if mode == "CMYK":
         img = img.convert("RGB")
+    if mode == "L" and inverted:
+        img = ImageChops.invert(img)
     return img
 
 
@@ -1409,11 +1414,15 @@ def _jbig2_decode(
             if y1 <= ry or x1 <= rx:
                 continue
             sub = bits[: y1 - ry, : x1 - rx]
-            if comb_op == 2:  # XOR
-                page[ry:y1, rx:x1] ^= sub
-            elif comb_op == 1:  # AND
+            if comb_op == 1:  # AND
                 page[ry:y1, rx:x1] &= sub
-            else:  # OR / REPLACE
+            elif comb_op == 2:  # XOR
+                page[ry:y1, rx:x1] ^= sub
+            elif comb_op == 3:  # XNOR
+                page[ry:y1, rx:x1] = ~(page[ry:y1, rx:x1] ^ sub)
+            elif comb_op == 4:  # REPLACE
+                page[ry:y1, rx:x1] = sub
+            else:  # OR
                 page[ry:y1, rx:x1] |= sub
             painted = True
     if not painted:
@@ -2168,8 +2177,13 @@ class PageRasterizer:
         l0 = math.floor((min(pys) - by0) / ystep)
         l1 = math.floor((max(pys) - by0) / ystep)
         nx, ny = k1 - k0 + 1, l1 - l0 + 1
-        if nx < 1 or ny < 1 or nx * ny > 16384:
-            return  # degenerate matrix / absurd tile count
+        if nx < 1 or ny < 1:
+            return
+        # Cap the BIG RASTER, not the tile count: fine hatches (4-unit
+        # periods on a letter page) legitimately need tens of thousands
+        # of small tiles, and their raster stays page-sized.
+        if (nx * tw) * (ny * th) > 16 * self.width * self.height + (1 << 22):
+            return
         big = np.tile(np.asarray(tile), (ny, nx, 1))
         big_h = ny * th
         ox = bx0 + k0 * xstep
@@ -2237,6 +2251,13 @@ class PageRasterizer:
         def val(nbits, lo, hi):
             return lo + bits(nbits) / ((1 << nbits) - 1) * (hi - lo)
 
+        def align():
+            # Per ISO 32000-1 §8.7.4.5.5-8 each vertex record (type 4),
+            # row (type 5), and patch (6/7) is padded to a byte boundary;
+            # a no-op for the common byte-aligned encodings.
+            nonlocal pos
+            pos = (pos + 7) // 8 * 8
+
         def vertex():
             x = val(bpc, dec[0], dec[1])
             y = val(bpc, dec[2], dec[3])
@@ -2258,8 +2279,10 @@ class PageRasterizer:
                     if f == 0:
                         if pos + 2 * (bpf + need) > total_bits:
                             break
+                        align()
                         bits(bpf)
                         v2 = vertex()
+                        align()
                         bits(bpf)
                         v3 = vertex()
                         va, vb, vc = v, v2, v3
@@ -2269,6 +2292,7 @@ class PageRasterizer:
                         vb, vc = vc, v
                     else:
                         break
+                    align()
                     tris.append((va, vb, vc))
             elif stype == 5:
                 per_row = int(rs(d.get("VerticesPerRow")) or 0)
@@ -2280,6 +2304,7 @@ class PageRasterizer:
                            if pos + need <= total_bits]
                     if len(row) < per_row:
                         break
+                    align()
                     rows.append(row)
                 for r0, r1 in zip(rows, rows[1:]):
                     for i in range(per_row - 1):
@@ -2326,17 +2351,25 @@ class PageRasterizer:
                         (corners[0], ccols[0]), (corners[2], ccols[2]),
                         (corners[3], ccols[3]),
                     ))
+                    align()
                     prev_pts, prev_cols = corners, ccols
         except Exception:
             pass
         if not tris:
             return
 
+        rgb_cache: Dict[tuple, "np.ndarray"] = {}
+
         def to_rgb(comps):
-            if fn is not None:
-                arr = _eval_function(self.doc, fn, np.asarray([comps[0]]))
-                return _components_to_rgb(arr)[0]
-            return _components_to_rgb(np.asarray(comps, np.float64))
+            got = rgb_cache.get(comps)
+            if got is None:
+                if fn is not None:
+                    arr = _eval_function(self.doc, fn, np.asarray([comps[0]]))
+                    got = _components_to_rgb(arr)[0]
+                else:
+                    got = _components_to_rgb(np.asarray(comps, np.float64))
+                rgb_cache[comps] = got
+            return got
 
         W, H = self.width, self.height
         overlay = np.zeros((H, W, 3), np.uint8)

@@ -665,6 +665,13 @@ def main(argv=None):
         "one program) — cuts the startup outage window to ~0",
     )
     parser.add_argument(
+        "--warmup-pages", type=str, default="560x420,1540x2044",
+        help="comma-separated HxW page classes the BACKGROUND warmup's "
+        "engine-submitted warm requests cover (each distinct vision "
+        "bucket compiles its own encoder program - include the "
+        "production page size)",
+    )
+    parser.add_argument(
         "--compile-cache", type=str, default=None,
         help="persistent XLA compilation cache dir (fast restarts)",
     )
@@ -847,7 +854,13 @@ def main(argv=None):
             )
         logging.getLogger(__name__).info("warmup complete")
     elif args.warmup == "background" and hasattr(engine, "queue_warmup"):
-        n = engine.queue_warmup()
+        sizes = []
+        for part in (args.warmup_pages or "").split(","):
+            part = part.strip().lower()
+            if "x" in part:
+                h, w = part.split("x", 1)
+                sizes.append((int(h), int(w)))
+        n = engine.queue_warmup(vision_sizes=tuple(sizes) or ((560, 420),))
         logging.getLogger(__name__).info(
             "background warmup: %d decode programs queued — serving now, "
             "compiling on idle engine ticks", n

@@ -1621,3 +1621,44 @@ def test_jbig2_mmr_generic_region():
     bad = seg(0, 0, b"\x00" * 8) + seg(1, 38, region)
     xobj_bad = StreamObj(dict(xobj.dict), bad)
     assert _decode_image_payload(doc, xobj_bad) is None
+
+
+def test_tiling_pattern_fine_hatch_small_period():
+    """Regression (review finding): a fine 4-unit hatch on a letter-size
+    page needs tens of thousands of small tiles — the cap must bound the
+    RASTER, not the tile count, or the fill silently blanks."""
+    import numpy as np
+
+    pat_content = b"1 0 0 rg 0 0 2 2 re f\n"
+    content = zlib.compress(b"/Pattern cs /P1 scn 100 100 300 300 re f\n")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Pattern << /P1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + content + b"\nendstream",
+        b"<< /PatternType 1 /PaintType 1 /TilingType 1 "
+        b"/BBox [0 0 4 4] /XStep 4 /YStep 4 /Resources << >> "
+        b"/Length " + str(len(pat_content)).encode() + b" >>\nstream\n"
+        + pat_content + b"endstream",
+    ]
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, 1):
+        offsets.append(out.tell())
+        out.write(f"{i} 0 obj\n".encode() + body + b"\nendobj\n")
+    xref = out.tell()
+    out.write(f"xref\n0 {len(objs)+1}\n".encode() + b"0000000000 65535 f \n")
+    for o in offsets:
+        out.write(f"{o:010d} 00000 n \n".encode())
+    out.write(
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref).encode() + b"\n%%EOF"
+    )
+    img = minipdf.render_page(minipdf.open_pdf(out.getvalue()), 0)
+    px = np.asarray(img)
+    red = (px[:, :, 0] > 160) & (px[:, :, 2] < 100)
+    frac = red[395:690, 105:395].mean()  # fill-rect interior
+    assert 0.10 < frac < 0.45, f"fine hatch coverage {frac:.3f}"
