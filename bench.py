@@ -137,12 +137,30 @@ def bench_serving(config, params) -> float:
 
 
 def main() -> None:
+    # Device acquisition watchdog: with the axon relay down, jax.devices()
+    # sleeps in a reconnect loop FOREVER (observed r3: hours) — bound it
+    # so the driver's bench run fails loudly instead of hanging.
+    import threading
+
+    devices_box: list = []
+
+    def _acquire():
+        import jax
+
+        devices_box.append(jax.devices())
+
+    t = threading.Thread(target=_acquire, daemon=True)
+    t.start()
+    t.join(timeout=float(os.environ.get("BENCH_DEVICE_TIMEOUT_S", 900)))
+    if not devices_box:
+        log("ERROR: no TPU device within the timeout (axon relay down?)")
+        sys.exit(3)
     import jax
 
     from dots_ocr_tpu.models.config import DotsOCRConfig
     from dots_ocr_tpu.models.init import count_params, zeros_params
 
-    dev = jax.devices()[0]
+    dev = devices_box[0][0]
     log(f"device: {dev} platform={dev.platform}")
 
     config = DotsOCRConfig.flagship()
