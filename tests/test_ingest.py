@@ -1662,3 +1662,81 @@ def test_tiling_pattern_fine_hatch_small_period():
     red = (px[:, :, 0] > 160) & (px[:, :, 2] < 100)
     frac = red[395:690, 105:395].mean()  # fill-rect interior
     assert 0.10 < frac < 0.45, f"fine hatch coverage {frac:.3f}"
+
+
+def test_encrypted_pdf_with_object_streams():
+    """Encryption + ObjStm ordering: the CONTAINER stream decrypts, the
+    objects inside it are plaintext and must not be double-decrypted."""
+    import hashlib
+
+    import numpy as np
+
+    from dots_ocr_tpu.ingest.minipdf import _PW_PAD, _rc4
+
+    file_id = b"\x07\x08" * 8
+    p = (-4) & 0xFFFFFFFF
+    n = 16
+    ok = hashlib.md5(_PW_PAD).digest()
+    for _ in range(50):
+        ok = hashlib.md5(ok[:n]).digest()
+    o = _PW_PAD
+    for i in range(20):
+        o = _rc4(bytes(b ^ i for b in ok[:n]), o)
+    md = hashlib.md5(_PW_PAD + o[:32] + p.to_bytes(4, "little") + file_id)
+    key = md.digest()
+    for _ in range(50):
+        key = hashlib.md5(key[:n]).digest()
+    key = key[:n]
+    u = hashlib.md5(_PW_PAD + file_id).digest()
+    for i in range(20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    u = u + b"\x00" * 16
+
+    def enc_obj(data, num):
+        okey = hashlib.md5(
+            key + num.to_bytes(3, "little") + b"\x00\x00"
+        ).digest()[:16]
+        return _rc4(okey, data)
+
+    # Catalog + pages + page live INSIDE an ObjStm (objects 1-3).
+    parts = [
+        b"<< /Type /Catalog /Pages 2 0 R >> ",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >> ",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 100 100] "
+        b"/Contents 5 0 R >>",
+    ]
+    inner = b"".join(parts)
+    off1 = len(parts[0])
+    off2 = off1 + len(parts[1])
+    hdr = f"1 0 2 {off1} 3 {off2} ".encode()
+    payload = hdr + inner
+    objstm = enc_obj(payload, 4)
+    content = enc_obj(b"1 0 0 rg 20 20 60 60 re f\n", 5)
+    objs = {
+        4: b"<< /Type /ObjStm /N 3 /First " + str(len(hdr)).encode()
+        + b" /Length " + str(len(objstm)).encode() + b" >>\nstream\n"
+        + objstm + b"\nendstream",
+        5: b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+        6: b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -4 /O <"
+        + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> >>",
+    }
+    out = io.BytesIO()
+    out.write(b"%PDF-1.5\n")
+    offsets = {}
+    for num, body in objs.items():
+        offsets[num] = out.tell()
+        out.write(f"{num} 0 obj\n".encode() + body + b"\nendobj\n")
+    xref = out.tell()
+    out.write(
+        b"trailer\n<< /Size 7 /Root 1 0 R /Encrypt 6 0 R /ID [<"
+        + file_id.hex().encode() + b"> <" + file_id.hex().encode()
+        + b">] >>\nstartxref\n" + str(xref).encode() + b"\n%%EOF"
+    )
+    doc = minipdf.open_pdf(out.getvalue())
+    assert doc.page_count == 1
+    img = minipdf.render_page(doc, 0)
+    px = np.asarray(img)
+    r, g, b = px[50, 50]
+    assert r > 180 and g < 80
+    assert tuple(px[10, 10]) == (255, 255, 255)
