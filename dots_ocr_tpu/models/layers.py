@@ -32,8 +32,28 @@ def linear(
     models/quantize.py): the dot consumes the int8 array through a fused
     unary convert (half the HBM read) and the per-output-channel dequant
     scale is applied to the output, where it commutes exactly.
+
+    Accepts a W8A8 kernel ({"qint8_act", "scale"}): activations are
+    dynamically quantized per token (symmetric, amax/127) and the dot runs
+    int8 x int8 -> int32 on the MXU at ~2x the bf16 rate — the
+    compute-bound-prefill variant (vision encoder). Both per-axis scales
+    commute out of the contraction, so dequant is one fused elementwise
+    multiply on the [tokens, out] output.
     """
-    if isinstance(kernel, dict):
+    if isinstance(kernel, dict) and "qint8_act" in kernel:
+        q, s = kernel["qint8_act"], kernel["scale"]
+        xf = x.astype(jnp.float32)
+        a_scale = jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-8
+        )
+        xq = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, q,
+            (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = acc.astype(jnp.float32) * a_scale * s
+    elif isinstance(kernel, dict):
         q, s = kernel["qint8"], kernel["scale"]
         out = jnp.einsum(
             "...i,io->...o", x, q.astype(x.dtype),

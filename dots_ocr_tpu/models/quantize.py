@@ -37,10 +37,17 @@ import jax
 import jax.numpy as jnp
 
 QUANT_KEYS = ("qint8", "scale")
+ACT_QUANT_KEYS = ("qint8_act", "scale")
 
 
 def is_quantized_kernel(obj: Any) -> bool:
     return isinstance(obj, dict) and set(obj.keys()) == set(QUANT_KEYS)
+
+
+def is_act_quantized_kernel(obj: Any) -> bool:
+    """W8A8 kernel marker: consumed via dynamic per-token activation
+    quantization + an int8 x int8 -> int32 MXU dot (layers.linear)."""
+    return isinstance(obj, dict) and set(obj.keys()) == set(ACT_QUANT_KEYS)
 
 
 def quantize_kernel(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -83,6 +90,67 @@ _BLOCK_KERNELS = (
     ("mlp", "up"),
     ("mlp", "down"),
 )
+
+
+def quantize_kernel_act(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """[in, out] -> {qint8_act, scale}: same per-output-channel symmetric
+    weight quantization as :func:`quantize_kernel`, but tagged for the
+    W8A8 path — ``layers.linear`` dynamically quantizes the ACTIVATIONS
+    per token to int8 too and runs an int8 x int8 -> int32 dot, which the
+    TPU MXU executes at ~2x the bf16 rate. Worth it only where the matmul
+    is compute-bound (the vision encoder's prefill); decode stays
+    weight-only (bandwidth-bound, the convert-in-dot path is optimal)."""
+    qk = quantize_kernel(w)
+    return {"qint8_act": qk["qint8"], "scale": qk["scale"]}
+
+
+_VISION_BLOCK_KERNELS = (
+    ("attn", "wq"),
+    ("attn", "wk"),
+    ("attn", "wv"),
+    ("attn", "wo"),
+    ("mlp", "gate"),
+    ("mlp", "up"),
+    ("mlp", "down"),
+)
+
+
+def quantize_vision_params(params: dict) -> dict:
+    """Return a new param tree with the vision tower's block linears as W8A8.
+
+    The encoder at a full 11-14k-token page is MXU-compute-bound (PERF.md:
+    ~90 TFLOP of which ~36 are the block matmuls); int8 x int8 dots double
+    the MXU rate on those. Patch embed, merger, norms, and qkv biases stay
+    bf16: they are <1% of the FLOPs and precision-sensitive (first-layer
+    normalization / final projection into decoder space).
+
+    Opt-in (``--vision-quantize int8``); accuracy vs the real checkpoint
+    must be validated weights-day (tools/weights_day.py) — dynamic
+    per-token activation quantization is robust on ViTs in the literature
+    but unverifiable on synthetic weights.
+    """
+    if "vision" in params:
+        out = dict(params)
+        out["vision"] = quantize_vision_params(params["vision"])
+        return out
+
+    vis = dict(params)
+    blocks = {k: v for k, v in vis["blocks"].items()}
+    for group, name in _VISION_BLOCK_KERNELS:
+        if group not in blocks or name not in blocks[group]:
+            continue
+        grp = dict(blocks[group])
+        w = grp[name]
+        if is_quantized_kernel(w) or is_act_quantized_kernel(w):
+            continue
+        if w.ndim == 3:  # stacked [L, in, out]
+            qs = jax.vmap(quantize_kernel)(w)
+            grp[name] = {"qint8_act": qs["qint8"], "scale": qs["scale"]}
+        else:
+            grp[name] = quantize_kernel_act(w)
+        blocks[group] = grp
+    vis["blocks"] = blocks
+    return vis
 
 
 def quantize_decoder_params(params: dict, include_embed: bool = True) -> dict:

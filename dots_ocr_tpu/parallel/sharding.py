@@ -121,18 +121,22 @@ def _expand_quant_specs(params, specs):
     models/quantize.py) in the spec tree: qint8 keeps the kernel's spec,
     the 1-D-per-layer scale keeps only the output-channel axis (the
     kernel's last spec entry)."""
-    from dots_ocr_tpu.models.quantize import is_quantized_kernel
+    from dots_ocr_tpu.models.quantize import (
+        is_act_quantized_kernel,
+        is_quantized_kernel,
+    )
 
     def walk(p, s):
-        if is_quantized_kernel(p):
-            q, scale = p["qint8"], p["scale"]
+        if is_quantized_kernel(p) or is_act_quantized_kernel(p):
+            qkey = "qint8" if is_quantized_kernel(p) else "qint8_act"
+            q, scale = p[qkey], p["scale"]
             if scale.ndim == 2:  # stacked [L, out] <- kernel [L, in, out]
                 scale_spec = P(s[0], s[-1])
             elif scale.shape[0] == q.shape[0]:  # per-row (embedding table)
                 scale_spec = P(s[0])
             else:  # per-output-column (lm_head)
                 scale_spec = P(s[-1])
-            return {"qint8": s, "scale": scale_spec}
+            return {qkey: s, "scale": scale_spec}
         if isinstance(p, dict):
             return {k: walk(p[k], s[k]) for k in p}
         return s

@@ -686,6 +686,14 @@ def main(argv=None):
         "scales; halves decode-time parameter HBM reads)",
     )
     parser.add_argument(
+        "--vision-quantize", choices=["none", "int8"], default="none",
+        help="W8A8 quantization of the vision tower's block matmuls "
+        "(dynamic per-token activation int8 + int8 MXU dots at ~2x the "
+        "bf16 rate; the encoder prefill is compute-bound). Opt-in: "
+        "validate output quality vs the real checkpoint before enabling "
+        "in production (tools/weights_day.py)",
+    )
+    parser.add_argument(
         "--speculate-k", type=int, default=0,
         help="n-gram speculative decoding: verify this many device-drafted "
         "tokens per decode iteration (big win on repetitive outputs like "
@@ -788,6 +796,15 @@ def main(argv=None):
         logging.getLogger(__name__).info(
             "int8 weight quantization: %.2f GB -> %.2f GB",
             before / 1e9, quantized_bytes(params) / 1e9,
+        )
+
+    if args.vision_quantize == "int8":
+        from dots_ocr_tpu.models.quantize import quantize_vision_params
+
+        params = quantize_vision_params(params)
+        logging.getLogger(__name__).info(
+            "vision tower quantized W8A8 (block matmuls int8 x int8; "
+            "patch embed / merger stay bf16)"
         )
 
     mesh = None

@@ -16,10 +16,13 @@ from dots_ocr_tpu.models.init import init_params
 from dots_ocr_tpu.models.layers import embed, linear, unembed
 from dots_ocr_tpu.models.quantize import (
     dequantize_kernel,
+    is_act_quantized_kernel,
     is_quantized_kernel,
     quantize_decoder_params,
     quantize_embedding,
     quantize_kernel,
+    quantize_kernel_act,
+    quantize_vision_params,
     quantized_bytes,
 )
 
@@ -60,6 +63,33 @@ def test_embedding_roundtrip_and_unembed():
     )[0, 1] > 0.999
 
 
+def test_linear_act_quantized_close_to_fp():
+    """W8A8 (dynamic per-token activation int8 + int8 dot) stays within
+    the combined two-sided 8-bit error envelope of the fp matmul."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    w = jax.random.normal(k1, (64, 48), jnp.float32) * 0.3
+    x = jax.random.normal(k2, (17, 64), jnp.float32)
+    qk = quantize_kernel_act(w)
+    assert is_act_quantized_kernel(qk) and not is_quantized_kernel(qk)
+    got = np.asarray(linear(x, qk))
+    want = np.asarray(x @ w)
+    # relative error of a length-64 int8 x int8 contraction: ~1% rms
+    denom = np.maximum(np.abs(want), 1.0)
+    assert float(np.max(np.abs(got - want) / denom)) < 0.08
+    assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.999
+
+
+def test_linear_act_quantized_batched_rank3():
+    """The int8 dot_general handles leading batch dims like einsum does."""
+    w = jax.random.normal(jax.random.PRNGKey(5), (32, 24), jnp.float32) * 0.2
+    x = jax.random.normal(jax.random.PRNGKey(6), (3, 7, 32), jnp.float32)
+    qk = quantize_kernel_act(w)
+    got = np.asarray(linear(x, qk))
+    assert got.shape == (3, 7, 24)
+    want = np.asarray(linear(x.reshape(21, 32), qk)).reshape(3, 7, 24)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 @pytest.fixture(scope="module")
 def tiny():
     cfg = DotsOCRConfig.tiny()
@@ -81,6 +111,87 @@ def test_quantize_decoder_params_structure(tiny):
     assert quantized_bytes(qp["decoder"]) < 0.6 * quantized_bytes(params["decoder"])
     # original tree untouched
     assert not is_quantized_kernel(params["decoder"]["blocks"]["attn"]["wq"])
+
+
+def test_quantize_vision_params_structure(tiny):
+    cfg, params = tiny
+    qp = quantize_vision_params(params)
+    # decoder untouched, vision block kernels W8A8, patch embed/merger bf16
+    assert jax.tree.structure(qp["decoder"]) == jax.tree.structure(
+        params["decoder"]
+    )
+    blocks = qp["vision"]["blocks"]
+    for group, name in (("attn", "wq"), ("attn", "wo"), ("mlp", "down")):
+        assert is_act_quantized_kernel(blocks[group][name])
+        assert blocks[group][name]["qint8_act"].ndim == 3  # stacked [L,...]
+        assert blocks[group][name]["scale"].ndim == 2  # [L, out]
+    assert not isinstance(qp["vision"]["patch_embed"]["kernel"], dict)
+    assert not isinstance(qp["vision"]["merger"]["fc1"], dict)
+    assert not isinstance(blocks["norm1"], dict)
+    # biases stay fp
+    assert not isinstance(blocks["attn"]["bq"], dict)
+    # original tree untouched
+    assert not isinstance(params["vision"]["blocks"]["attn"]["wq"], dict)
+
+
+def test_vision_quantized_encoder_close(tiny):
+    """encode_images with the W8A8 tower tracks the bf16 tower closely on
+    a real packed page (per-token dynamic activation quantization)."""
+    from PIL import Image
+
+    from dots_ocr_tpu.models import preprocess
+    from dots_ocr_tpu.models.vision import encode_images
+
+    cfg, params = tiny
+    qp = quantize_vision_params(params)
+    rng = np.random.RandomState(7)
+    img = Image.fromarray(rng.randint(0, 255, (84, 56, 3), np.uint8))
+    packed = preprocess.pack_images([img], cfg.vision, bucket_step=32)
+    args = (
+        jnp.asarray(packed.patches),
+        jnp.asarray(packed.rope_cos),
+        jnp.asarray(packed.rope_sin),
+        jnp.asarray(packed.segment_ids),
+    )
+    full = np.asarray(
+        encode_images(params["vision"], cfg.vision, *args)
+    )[: packed.num_merged]
+    quant = np.asarray(
+        encode_images(qp["vision"], cfg.vision, *args)
+    )[: packed.num_merged]
+    assert np.corrcoef(full.ravel(), quant.ravel())[0, 1] > 0.99
+
+
+def test_vision_quantized_shard_and_engine_runs(tiny):
+    """shard_params handles the W8A8 vision tree, and the continuous
+    engine parses an image request with the quantized tower."""
+    from dots_ocr_tpu.engine.scheduler import (
+        ContinuousBatchingEngine,
+        SchedulerConfig,
+    )
+    from dots_ocr_tpu.parallel.sharding import make_mesh, shard_params
+
+    cfg, params = tiny
+    qp = quantize_vision_params(quantize_decoder_params(params))
+    sharded = shard_params(qp, cfg, make_mesh(1, 1))
+    assert is_act_quantized_kernel(sharded["vision"]["blocks"]["attn"]["wq"])
+
+    from PIL import Image
+
+    rng = np.random.RandomState(8)
+    img = Image.fromarray(rng.randint(0, 255, (56, 56, 3), np.uint8))
+    cb = ContinuousBatchingEngine(
+        qp, cfg,
+        sched=SchedulerConfig(
+            num_pages=64, page_size=8, max_slots=2, max_pages_per_seq=16,
+            prompt_bucket_step=32, vision_bucket_step=16,
+        ),
+        default_max_new_tokens=5,
+    )
+    out = cb.generate_one("describe", images=[img], temperature=0.0,
+                          max_new_tokens=5)
+    assert isinstance(out, str)
+    assert cb.allocator.free_pages == 63
 
 
 def test_quantized_logits_close_and_engine_runs(tiny):

@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--windowed", action="store_true",
                     help="windowed vision attention (encoder fast path)")
     ap.add_argument("--quant", action="store_true", help="int8 weights")
+    ap.add_argument("--vision-quant", action="store_true",
+                    help="W8A8 vision tower (int8 MXU encoder matmuls)")
     ap.add_argument("--kv-int8", action="store_true",
                     help="int8 paged KV cache (halves decode attention "
                     "bytes; int8 MXU dots in-kernel)")
@@ -80,6 +82,11 @@ def main():
 
         params = quantize_decoder_params(params)
         log("int8 weight-only decoder")
+    if args.vision_quant:
+        from dots_ocr_tpu.models.quantize import quantize_vision_params
+
+        params = quantize_vision_params(params)
+        log("W8A8 vision tower (dynamic act int8 + int8 MXU dots)")
 
     # Page budget: merged vision tokens = (side/28)^2 (patch 14 + 2x2
     # merge) + prompt + max_new.
