@@ -1749,8 +1749,20 @@ class PageRasterizer:
             x0, x1 = sorted((media[0], media[2]))
             y0, y1 = sorted((media[1], media[3]))
         self.scale = dpi / 72.0
-        self.width = max(1, round((x1 - x0) * self.scale))
-        self.height = max(1, round((y1 - y0) * self.scale))
+        # Canvas guard: a corrupt/hostile MediaBox (e.g. [0 0 1e9 1e9])
+        # must not demand a multi-GB allocation — the ingest policy's
+        # 4500px -> 72dpi fallback (pdf.py::render_page_image) only runs
+        # AFTER a successful render. Clamp the scale so the canvas stays
+        # within PIL-safe bounds; legitimate pages (<= ~22.5in at 200 dpi,
+        # metre-long receipts at 72 dpi) are far below the cap.
+        pw, ph = max(x1 - x0, 1e-3), max(y1 - y0, 1e-3)
+        max_side, max_pixels = 65_000.0, 1.5e8
+        cap = min(max_side / pw, max_side / ph,
+                  (max_pixels / (pw * ph)) ** 0.5)
+        if self.scale > cap:
+            self.scale = cap
+        self.width = max(1, round(pw * self.scale))
+        self.height = max(1, round(ph * self.scale))
         # PDF user space (y up) -> device pixels (y down).
         self.base: Matrix = mat_mul(
             (1, 0, 0, 1, -x0, -y0),
