@@ -21,6 +21,37 @@ import jax.numpy as jnp
 NUCLEUS_TOP_K = 256
 
 
+def fold_positions(slot_keys: jax.Array, positions: jax.Array) -> jax.Array:
+    """Per-row sampling keys: fold each slot's base key with the absolute
+    position of the token being emitted.
+
+    This makes sampling STATELESS per request: the draw for position q is
+    ``fold_in(slot_key, q)`` regardless of co-batched requests, chunk
+    boundaries, speculation iterations, or preemption/replay — so a seeded
+    request's sampled stream is bit-reproducible under continuous batching
+    (the OpenAI ``seed`` param; vLLM offers per-request seeds, this design
+    additionally makes them scheduling-invariant on device).
+
+    slot_keys: [B, 2] uint32 raw PRNG keys; positions: [B] int32.
+    """
+    return jax.vmap(jax.random.fold_in)(slot_keys, positions)
+
+
+def _subkeys(rng: jax.Array, tag: int) -> jax.Array:
+    """Derive a tagged child key; works for one key [2] or rows [B, 2]."""
+    if rng.ndim == 2:
+        return jax.vmap(jax.random.fold_in, in_axes=(0, None))(rng, tag)
+    return jax.random.fold_in(rng, tag)
+
+
+def _categorical(rng: jax.Array, logits: jnp.ndarray) -> jnp.ndarray:
+    """Gumbel-max draw over the last axis; rng is one key [2] shared by
+    all rows (legacy) or per-row keys [B, 2] (scheduling-invariant)."""
+    if rng.ndim == 2:
+        return jax.vmap(jax.random.categorical)(rng, logits)
+    return jax.random.categorical(rng, logits, axis=-1)
+
+
 def nucleus_top_k(scaled: jnp.ndarray, k: int):
     """Descending top-k candidate pool over the last axis.
 
@@ -44,6 +75,10 @@ def sample_logits(
 ) -> jnp.ndarray:
     """Sample next tokens. logits: [B, V] float32; temperature/top_p: [B]
     (scalars broadcast). temperature <= 0 means greedy. Returns [B] int32.
+
+    ``rng`` is either ONE key [2] (legacy batch-shared draw — the
+    monolithic engine) or per-row keys [B, 2] (from
+    :func:`fold_positions`; the serving engine's per-request chains).
 
     ``nucleus`` is a STATIC flag: even the top-K path costs a lax.top_k
     over the vocab, so callers whose whole batch runs top_p >= 1 (the
@@ -82,13 +117,11 @@ def sample_logits(
         # Keep tokens while the cumulative mass *before* them is < top_p;
         # the first token is always kept.
         keep = (cumprobs - top_probs) < top_p[:, None]
-        rng_k, rng_full = jax.random.split(rng)
-        pick_k = jax.random.categorical(
-            rng_k, jnp.where(keep, top_vals, -jnp.inf), axis=-1
-        )
+        rng_k, rng_full = _subkeys(rng, 0), _subkeys(rng, 1)
+        pick_k = _categorical(rng_k, jnp.where(keep, top_vals, -jnp.inf))
         token_k = jnp.take_along_axis(top_idx, pick_k[:, None], axis=-1)[:, 0]
-        token_full = jax.random.categorical(rng_full, scaled, axis=-1)
+        token_full = _categorical(rng_full, scaled)
         sampled = jnp.where(top_p < 1.0, token_k, token_full).astype(jnp.int32)
     else:
-        sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
+        sampled = _categorical(rng, scaled).astype(jnp.int32)
     return jnp.where(temperature > 0, sampled, greedy_tokens)

@@ -35,6 +35,7 @@ from dots_ocr_tpu.engine.kv_cache import OutOfPages, PageAllocator, PagedKV, wri
 from dots_ocr_tpu.engine.request import prepare_request
 from dots_ocr_tpu.engine.sampling import (
     NUCLEUS_TOP_K,
+    fold_positions,
     nucleus_top_k,
     sample_logits,
 )
@@ -70,7 +71,7 @@ def prefill_program(
     input_ids,
     seq_lens,
     slot_mapping,
-    rng,
+    sample_keys,
     temperature,
     top_p,
     patches=None,
@@ -113,7 +114,12 @@ def prefill_program(
         mesh=mesh,
     )
     paged = write_prefill_kv(paged, cache.k, cache.v, slot_mapping)
-    first = sample_logits(rng, logits, temperature, top_p, nucleus=nucleus)
+    # First generated token lands at position seq_lens: fold the request
+    # key there so decode continues the same per-request chain.
+    first = sample_logits(
+        fold_positions(sample_keys, seq_lens), logits, temperature, top_p,
+        nucleus=nucleus,
+    )
     return first, paged
 
 
@@ -233,7 +239,7 @@ def prefill_extend_program(
     prompt_len,
     page_table,
     slots,
-    rng,
+    sample_keys,
     temperature,
     top_p,
     page_size: int,
@@ -286,7 +292,10 @@ def prefill_extend_program(
     logits = logits_from_hidden(
         params["decoder"], config.decoder, hidden[jnp.arange(b), last_row]
     )
-    first = sample_logits(rng, logits, temperature, top_p, nucleus=nucleus)
+    first = sample_logits(
+        fold_positions(sample_keys, prompt_len), logits, temperature, top_p,
+        nucleus=nucleus,
+    )
     return first, PagedKV(k, v, ks, vs)
 
 
@@ -308,7 +317,7 @@ def spec_decode_program(
     active,
     temperature,
     top_p,
-    rng,
+    slot_keys,
     page_size: int,
     num_steps: int = 1,
     spec_k: int = 4,
@@ -341,10 +350,12 @@ def spec_decode_program(
 
     tokens_buf: [S, L] generated-token history by LOGICAL position (L =
     max_pages_per_seq * page_size rows of the page table's coverage);
-    gen_start: [S] first generated position (= prompt length). Emits
-    BETWEEN 1 and spec_k + 1 tokens per live slot per iteration. Returns
-    (packed [S, num_steps*(spec_k+1) + 1], (tokens, positions, rng) carry,
-    paged, tokens_buf).
+    gen_start: [S] first generated position (= prompt length);
+    slot_keys: [S, 2] uint32 per-request sampling keys (draws fold the
+    iteration's first emitted position in — sampling.fold_positions).
+    Emits BETWEEN 1 and spec_k + 1 tokens per live slot per iteration.
+    Returns (packed [S, num_steps*(spec_k+1) + 1], (tokens, positions)
+    carry, paged, tokens_buf).
     """
     eos = config.special.eos_token_id
     pad = config.special.pad_token_id
@@ -364,7 +375,7 @@ def spec_decode_program(
     done0 = ~active
 
     def body(state):
-        i, current, buf, caches, pos, done, out, n_out, rng = state
+        i, current, buf, caches, pos, done, out, n_out = state
         k_list, v_list, ks_list, vs_list = caches
         live = ~done
         # Record the current token at its position (idempotent for frozen
@@ -426,8 +437,15 @@ def spec_decode_program(
         argmax = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [S, nq]
         t_safe = jnp.maximum(temperature, 1e-6)[:, None, None]
         logp = jax.nn.log_softmax(logits / t_safe, axis=-1)
-        rng, r_acc, r_cor = jax.random.split(rng, 3)
-        u = jax.random.uniform(r_acc, (s, nq - 1), minval=1e-20)
+        # Per-row keys folded at this iteration's first emitted position
+        # (pos + 1): draws are reproducible per request and advance with
+        # the variable number of tokens each iteration emits.
+        it_keys = fold_positions(slot_keys, pos + 1)
+        r_acc = jax.vmap(jax.random.fold_in, in_axes=(0, None))(it_keys, 0)
+        r_cor = jax.vmap(jax.random.fold_in, in_axes=(0, None))(it_keys, 1)
+        u = jax.vmap(
+            lambda k: jax.random.uniform(k, (nq - 1,), minval=1e-20)
+        )(r_acc)
         logp_draft = jnp.take_along_axis(
             logp[:, : nq - 1], x_all[:, 1:, None], axis=2
         )[..., 0]
@@ -477,7 +495,7 @@ def spec_decode_program(
             kv_a = kv_a + jnp.where(
                 (ti_a == d_a[:, None]) & (a[:, None] < nq - 1), -1e30, 0.0
             )
-            pick = jax.random.categorical(r_cor, kv_a, axis=-1)
+            pick = jax.vmap(jax.random.categorical)(r_cor, kv_a)
             corr_nuc = jnp.take_along_axis(
                 ti_a, pick[:, None], axis=-1
             )[:, 0].astype(jnp.int32)
@@ -514,7 +532,7 @@ def spec_decode_program(
         pos = pos + m
         done = done | (live & row_done)
         return (i + 1, current, buf,
-                (k_list, v_list, ks_list, vs_list), pos, done, out, n_out, rng)
+                (k_list, v_list, ks_list, vs_list), pos, done, out, n_out)
 
     def cond(state):
         return (state[0] < num_steps) & ~jnp.all(state[5])
@@ -522,14 +540,14 @@ def spec_decode_program(
     state = (
         jnp.int32(0), tokens, tokens_buf,
         (paged.k, paged.v, paged.k_scale, paged.v_scale),
-        positions, done0, out0, n0, rng,
+        positions, done0, out0, n0,
     )
     (_, current, buf, (k_list, v_list, ks_list, vs_list),
-     pos, _, out, n_out, rng) = jax.lax.while_loop(cond, body, state)
+     pos, _, out, n_out) = jax.lax.while_loop(cond, body, state)
     packed = jnp.concatenate([out, n_out[:, None]], axis=1)
     return (
         packed,
-        (current, pos, rng),
+        (current, pos),
         PagedKV(k_list, v_list, ks_list, vs_list),
         buf,
     )
@@ -551,7 +569,7 @@ def decode_program(
     active,
     temperature,
     top_p,
-    rng,
+    slot_keys,
     page_size: int,
     num_steps: int = 1,
     attn_impl: str = "paged",
@@ -568,10 +586,14 @@ def decode_program(
     every row is done).
 
     tokens/positions: [S] current token + its cache write position;
-    active: [S] bool. Returns (packed [S, num_steps+1] — sampled tokens
-    (pad after EOS) with the per-slot cache-write count as the last column,
-    fetched by the host in ONE transfer; (next_tokens, next_positions,
-    next_rng) — the device-resident carry for the next chunk; paged cache).
+    active: [S] bool; slot_keys: [S, 2] uint32 per-request sampling keys
+    (each step's draw folds the emitted position in — see
+    sampling.fold_positions — so sampled streams are reproducible per
+    request and invariant to co-batching/chunking). Returns (packed
+    [S, num_steps+1] — sampled tokens (pad after EOS) with the per-slot
+    cache-write count as the last column, fetched by the host in ONE
+    transfer; (next_tokens, next_positions) — the device-resident carry
+    for the next chunk; paged cache).
     """
     eos = config.special.eos_token_id
     pad = config.special.pad_token_id
@@ -588,11 +610,11 @@ def decode_program(
     done0 = ~active
 
     def cond(state):
-        i, _, _, done, _, _, _, _ = state
+        i, _, _, done, _, _, _ = state
         return (i < num_steps) & ~jnp.all(done)
 
     def body(state):
-        i, current, caches, done, tokens_out, num_decoded, pos, rng = state
+        i, current, caches, done, tokens_out, num_decoded, pos = state
         k_list, v_list, ks_list, vs_list = caches
         live = ~done
         write_pos = jnp.where(live, pos, 0)
@@ -617,8 +639,10 @@ def decode_program(
             mesh=mesh,
         )
         logits = logits_from_hidden(params["decoder"], config.decoder, hidden)
-        rng, step_rng = jax.random.split(rng)
-        nxt = sample_logits(step_rng, logits, temperature, top_p, nucleus=nucleus)
+        # The sampled token lands at position pos + 1: its draw key is
+        # fold_in(slot_key, pos + 1) — stateless, so no RNG carry.
+        step_keys = fold_positions(slot_keys, pos + 1)
+        nxt = sample_logits(step_keys, logits, temperature, top_p, nucleus=nucleus)
 
         tokens_out = tokens_out.at[:, i].set(jnp.where(live, nxt, pad))
         num_decoded = num_decoded + live.astype(jnp.int32)
@@ -626,7 +650,7 @@ def decode_program(
         pos = pos + live.astype(jnp.int32)
         return (i + 1, jnp.where(live, nxt, current),
                 (k_list, v_list, ks_list, vs_list), done,
-                tokens_out, num_decoded, pos, rng)
+                tokens_out, num_decoded, pos)
 
     # The cache is ALREADY per-layer tuples (PagedKV): each layer's scatter
     # updates its own while_loop carry leaf in place, and the donated input
@@ -637,17 +661,17 @@ def decode_program(
     # chunk.)
     state = (
         jnp.int32(0), tokens, (paged.k, paged.v, paged.k_scale, paged.v_scale),
-        done0, tokens_out0, num_decoded0, positions, rng,
+        done0, tokens_out0, num_decoded0, positions,
     )
     (_, current, (k_list, v_list, ks_list, vs_list), _,
-     tokens_out, num_decoded, pos, rng) = jax.lax.while_loop(cond, body, state)
+     tokens_out, num_decoded, pos) = jax.lax.while_loop(cond, body, state)
     out_paged = PagedKV(k_list, v_list, ks_list, vs_list)
     # ONE fetched array per chunk (tokens_out || num_decoded column): every
     # extra device->host read costs a full RTT on a tunneled host. The
-    # (current, pos, rng) carry is returned ON DEVICE so event-free chunks
+    # (current, pos) carry is returned ON DEVICE so event-free chunks
     # can chain with zero host->device uploads (see step()).
     packed = jnp.concatenate([tokens_out, num_decoded[:, None]], axis=1)
-    return packed, (current, pos, rng), out_paged
+    return packed, (current, pos), out_paged
 
 
 # ---------------------------------------------------------------------------
@@ -769,6 +793,10 @@ class ScheduledRequest:
     # vLLM's OpenAI surface).
     stop: List[str] = dataclasses.field(default_factory=list)
     stop_token_ids: frozenset = frozenset()
+    # Per-request sampling key (uint32[2]): PRNGKey(seed) for seeded
+    # requests (OpenAI `seed` param), else a split of the engine key.
+    # Fixed at submit so a preempted request REPLAYS its sampled stream.
+    sample_key: Any = None
     # Called from the engine thread with (text_delta, finish_reason|None);
     # finish_reason is non-None exactly once, on the final call.
     stream_cb: Optional[Any] = None
@@ -970,6 +998,11 @@ class ContinuousBatchingEngine:
         self._lengths = np.zeros(s, np.int32)  # tokens in cache per slot
         self._temps = np.zeros(s, np.float32)
         self._top_ps = np.ones(s, np.float32)
+        # Per-slot sampling keys: PRNGKey(seed) for seeded requests, a
+        # split of the engine key otherwise. Draws fold the emitted
+        # position in (sampling.fold_positions) — stateless, so sampled
+        # streams are per-request reproducible under continuous batching.
+        self._slot_keys = np.zeros((s, 2), np.uint32)
 
         self._waiting: Deque[ScheduledRequest] = deque()
         self._finished: Dict[int, ScheduledRequest] = {}
@@ -1023,6 +1056,7 @@ class ContinuousBatchingEngine:
         max_pixels: Optional[int] = None,
         stop: Optional[Sequence[str]] = None,
         stop_token_ids: Optional[Sequence[int]] = None,
+        seed: Optional[int] = None,
         stream_cb=None,
         prepared=None,
     ) -> int:
@@ -1053,6 +1087,11 @@ class ContinuousBatchingEngine:
             top_p=top_p,
             stop=stop,
             stop_token_ids=frozenset(int(t) for t in (stop_token_ids or [])),
+            sample_key=np.asarray(
+                jax.random.PRNGKey(int(seed)) if seed is not None
+                else self._next_rng(),
+                np.uint32,
+            ),
             stream_cb=stream_cb,
             detok=(
                 IncrementalDetokenizer(self.tokenizer)
@@ -1270,6 +1309,7 @@ class ContinuousBatchingEngine:
         positions = self._put(jnp.zeros(s, jnp.int32))
         temps = self._put(self._temps)
         top_ps = self._put(self._top_ps)
+        warm_keys = self._put(jnp.zeros((s, 2), jnp.uint32))
         depths = [self.sched.steps_per_sync]
         if self.sched.max_steps_per_sync > self.sched.steps_per_sync:
             depths.append(self.sched.max_steps_per_sync)
@@ -1298,7 +1338,7 @@ class ContinuousBatchingEngine:
                     idle,
                     temps,
                     top_ps,
-                    self._next_rng(),
+                    warm_keys,
                     page_size=self.sched.page_size,
                     num_steps=depth,
                     attn_impl=self.decode_impl,
@@ -1326,7 +1366,7 @@ class ContinuousBatchingEngine:
                     idle,
                     temps,
                     top_ps,
-                    self._next_rng(),
+                    warm_keys,
                     page_size=self.sched.page_size,
                     num_steps=depth,
                     spec_k=spec_k,
@@ -1558,6 +1598,7 @@ class ContinuousBatchingEngine:
             self._lengths[slot] = 0
             self._temps[slot] = req.temperature
             self._top_ps[slot] = req.top_p
+            self._slot_keys[slot] = req.sample_key
         # NOTE: self._dev stays valid — the decode active set (RUNNING slots)
         # is unchanged until each request's last chunk completes.
 
@@ -1593,6 +1634,7 @@ class ContinuousBatchingEngine:
         plens = np.zeros(b_bucket, np.int32)
         temps = np.zeros(b_bucket, np.float32)
         tps = np.ones(b_bucket, np.float32)
+        keys = np.zeros((b_bucket, 2), np.uint32)
         chunks = []
         for j, (slot, req) in enumerate(group):
             plen = len(req.prompt_ids)
@@ -1606,6 +1648,7 @@ class ContinuousBatchingEngine:
             )
             temps[j] = req.temperature
             tps[j] = req.top_p
+            keys[j] = req.sample_key
             # Static slice (python ints): tiny device op, no host round trip.
             chunks.append(req.embeds[start : start + ct])
         while len(chunks) < b_bucket:  # inert pad rows (prompt_len 0)
@@ -1620,7 +1663,7 @@ class ContinuousBatchingEngine:
             self._put(plens),
             self._put(tables),
             self._put(slots),
-            self._next_rng(),
+            self._put(keys),
             self._put(temps),
             self._put(tps),
             page_size=ps,
@@ -1673,6 +1716,7 @@ class ContinuousBatchingEngine:
         slot_mapping = np.full((b_fixed, t_bucket), -1, np.int32)
         temps = np.zeros(b_fixed, np.float32)
         tps = np.ones(b_fixed, np.float32)
+        keys = np.zeros((b_fixed, 2), np.uint32)
         now = time.monotonic()
         for j, req in enumerate(reqs):
             req.admitted_at = req.admitted_at or now
@@ -1683,6 +1727,7 @@ class ContinuousBatchingEngine:
             slot_mapping[j, :plen] = self.allocator.slot_mapping(req.req_id, 0, plen)
             temps[j] = req.temperature
             tps[j] = req.top_p
+            keys[j] = req.sample_key
 
         kwargs = {}
         packs = [r.packed for r in reqs if r.packed is not None]
@@ -1713,7 +1758,7 @@ class ContinuousBatchingEngine:
             self._put(input_ids),
             self._put(seq_lens),
             self._put(slot_mapping.reshape(-1)),
-            self._next_rng(),
+            self._put(keys),
             self._put(temps),
             self._put(tps),
             attn_impl=self.prefill_impl,
@@ -1735,6 +1780,7 @@ class ContinuousBatchingEngine:
             self._lengths[slot] = len(req.prompt_ids)
             self._temps[slot] = req.temperature
             self._top_ps[slot] = req.top_p
+            self._slot_keys[slot] = req.sample_key
             self.metrics["prefills"] += 1
             self._update_text(slot)  # may finish on a stop-string match
             self._maybe_finish(slot)
@@ -2011,7 +2057,7 @@ class ContinuousBatchingEngine:
                     "active": self._put(active_mask),
                     "temps": self._put(self._temps),
                     "top_ps": self._put(self._top_ps),
-                    "rng": self._next_rng(),
+                    "keys": self._put(self._slot_keys),
                     "nucleus": bool(np.any(self._top_ps[active] < 1.0)),
                     "spec": use_spec,
                 }
@@ -2049,7 +2095,7 @@ class ContinuousBatchingEngine:
                         dev["active"],
                         dev["temps"],
                         dev["top_ps"],
-                        dev["rng"],
+                        dev["keys"],
                         page_size=self.sched.page_size,
                         num_steps=chunk,
                         spec_k=spec_k,
@@ -2079,7 +2125,7 @@ class ContinuousBatchingEngine:
                         dev["active"],
                         dev["temps"],
                         dev["top_ps"],
-                        dev["rng"],
+                        dev["keys"],
                         page_size=self.sched.page_size,
                         num_steps=chunk,
                         attn_impl=self.decode_impl,
@@ -2088,7 +2134,7 @@ class ContinuousBatchingEngine:
                     )
                 # Chain the device-side carry BEFORE host accounting: a
                 # finish/preempt below just resets self._dev to None.
-                dev["tokens"], dev["positions"], dev["rng"] = carry
+                dev["tokens"], dev["positions"] = carry
                 packed = np.asarray(packed)  # the chunk's single fetch
                 tokens_out, num_decoded = packed[:, :-1], packed[:, -1]
                 if use_spec:

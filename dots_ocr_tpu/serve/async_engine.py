@@ -34,6 +34,8 @@ class Submission:
     # vLLM-parity stop conditions (OpenAI `stop` / `stop_token_ids`).
     stop: Sequence[str] = ()
     stop_token_ids: Sequence[int] = ()
+    # OpenAI `seed`: per-request sampled-stream reproducibility.
+    seed: Optional[int] = None
     # SSE streaming: called from the ENGINE thread with
     # (text_delta, finish_reason|None); the HTTP layer must trampoline into
     # its own event loop (e.g. loop.call_soon_threadsafe).
@@ -134,6 +136,7 @@ class EngineWorker:
                     max_pixels=sub.max_pixels,
                     stop=list(sub.stop),
                     stop_token_ids=list(sub.stop_token_ids),
+                    seed=sub.seed,
                     stream_cb=sub.stream_cb,
                     prepared=sub.prepared,
                 )

@@ -246,6 +246,9 @@ class OpenAIServer:
             or (isinstance(stop, list) and all(isinstance(s, str) for s in stop))
         ):
             return "'stop' must be a string or a list of strings"
+        sd = body.get("seed")
+        if sd is not None and (isinstance(sd, bool) or not isinstance(sd, int)):
+            return "'seed' must be an integer"
         sti = body.get("stop_token_ids")
         if sti is not None and not (
             isinstance(sti, list)
@@ -306,6 +309,7 @@ class OpenAIServer:
                     system_prompt=system_prompt,
                     stop=stop,
                     stop_token_ids=stop_token_ids,
+                    seed=body.get("seed"),
                 )
                 result = await asyncio.wrap_future(self._cb_worker.submit(sub))
                 text = result["text"]
@@ -486,6 +490,7 @@ class OpenAIServer:
                 system_prompt=system_prompt,
                 stop=stop,
                 stop_token_ids=stop_token_ids,
+                seed=body.get("seed"),
                 stream_cb=stream_cb,
             )
             fut = self._cb_worker.submit(sub)

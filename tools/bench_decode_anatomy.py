@@ -48,7 +48,7 @@ def timeit(name, fn, *args, reps=4):
 # full program at several slot counts
 for s in (64, 16, 8):
     paged, tables, tokens, positions, active, temps, top_ps = setup(s)
-    rng = jax.random.PRNGKey(0)
+    rng = jnp.tile(jax.random.PRNGKey(0)[None, :], (s, 1))
     def run(paged=paged):
         packed, carry, paged2 = decode_program(
             params, config, paged, tokens, positions, tables, active,

@@ -91,7 +91,7 @@ def main():
     temps = jnp.zeros((s,), jnp.float32)
     top_ps = jnp.full((s,), args.top_p, jnp.float32)
     nucleus = args.top_p < 1.0
-    rng = jax.random.PRNGKey(0)
+    rng = jnp.tile(jax.random.PRNGKey(0)[None, :], (s, 1))  # per-slot keys
 
     def run_decode(paged):
         return decode_program(
@@ -136,15 +136,15 @@ def main():
             # construction). Warm n_chain-1 chunks so the measured chunk
             # sees steady-state history — the realistic serving regime.
             buf = jnp.zeros((s, mp * ps), jnp.int32)
-            cur, pos, r = tokens, positions, rng
+            cur, pos = tokens, positions
             gstart = jnp.full((s,), ctx, jnp.int32)
             spec_best, spec_emitted = None, 0
             for chain in range(n_chain):
                 t0 = time.perf_counter()
-                packed, (cur, pos, r), paged, buf = spec_decode_program(
+                packed, (cur, pos), paged, buf = spec_decode_program(
                     params, config, paged, buf, cur, pos,
                     gstart, tables, active, temps_arr, top_ps,
-                    r, page_size=ps, num_steps=args.steps,
+                    rng, page_size=ps, num_steps=args.steps,
                     spec_k=args.spec_k, attn_impl="paged",
                     nucleus=nucleus,
                 )
