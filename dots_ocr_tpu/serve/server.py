@@ -229,8 +229,13 @@ class OpenAIServer:
         """Explicit conformance: unsupported OpenAI params are REJECTED, not
         silently ignored (vLLM-parity behavior for the knobs we don't serve).
         Returns an error message or None."""
-        if body.get("n") not in (None, 1):
-            return "'n' != 1 is not supported"
+        n = body.get("n")
+        if n is not None and (
+            isinstance(n, bool) or not isinstance(n, int) or not 1 <= n <= 8
+        ):
+            return "'n' must be an integer in [1, 8]"
+        if n not in (None, 1) and body.get("stream"):
+            return "'n' > 1 is not supported with streaming"
         if body.get("best_of") not in (None, 1):
             return "'best_of' != 1 is not supported"
         if body.get("logprobs"):
@@ -297,45 +302,64 @@ class OpenAIServer:
                     max_new, temperature, top_p, stop, stop_token_ids,
                 )
 
+            # OpenAI `n`: fan out n submissions — the continuous engine
+            # co-batches them, so n choices cost ~one request's wall time.
+            # Seeded requests derive choice i's seed as seed + i (equal
+            # seeds would return n identical completions).
+            n_choices = int(body.get("n") or 1)
+            seed = body.get("seed")
             if self._cb_worker is not None:
                 from dots_ocr_tpu.serve.async_engine import Submission
 
-                sub = Submission(
-                    prompt=prompt,
-                    images=images,
-                    max_new_tokens=max_new,
-                    temperature=temperature,
-                    top_p=top_p,
-                    system_prompt=system_prompt,
-                    stop=stop,
-                    stop_token_ids=stop_token_ids,
-                    seed=body.get("seed"),
+                subs = [
+                    Submission(
+                        prompt=prompt,
+                        images=images,
+                        max_new_tokens=max_new,
+                        temperature=temperature,
+                        top_p=top_p,
+                        system_prompt=system_prompt,
+                        stop=stop,
+                        stop_token_ids=stop_token_ids,
+                        seed=(seed + ci) if seed is not None else None,
+                    )
+                    for ci in range(n_choices)
+                ]
+                futs = [self._cb_worker.submit(s) for s in subs]
+                results = [await asyncio.wrap_future(f) for f in futs]
+                choice_texts = [
+                    (r["text"], r["finish_reason"]) for r in results
+                ]
+                prompt_tokens = results[0]["prompt_tokens"]
+                completion_tokens = sum(
+                    r["completion_tokens"] for r in results
                 )
-                result = await asyncio.wrap_future(self._cb_worker.submit(sub))
-                text = result["text"]
-                prompt_tokens = result["prompt_tokens"]
-                completion_tokens = result["completion_tokens"]
-                finish_reason = result["finish_reason"]
-                timing = result.get("timing") or None
+                timing = results[0].get("timing") or None
             else:
-                pending = _PendingRequest(
-                    prompt=prompt,
-                    images=images,
-                    temperature=temperature,
-                    top_p=top_p,
-                    max_new_tokens=max_new,
-                    system_prompt=system_prompt,
-                    future=asyncio.get_running_loop().create_future(),
-                )
-                await self._queue.put(pending)
-                text = await pending.future
+                loop = asyncio.get_running_loop()
+                pendings = [
+                    _PendingRequest(
+                        prompt=prompt,
+                        images=images,
+                        temperature=temperature,
+                        top_p=top_p,
+                        max_new_tokens=max_new,
+                        system_prompt=system_prompt,
+                        future=loop.create_future(),
+                    )
+                    for _ in range(n_choices)
+                ]
+                for pending in pendings:
+                    await self._queue.put(pending)
+                texts = [await p.future for p in pendings]
                 stats = self.engine.last_stats
                 prompt_tokens = stats.prompt_tokens
                 completion_tokens = stats.completion_tokens
                 # The micro-batch engine decodes to max_new; stop strings
                 # are applied post hoc (the continuous engine stops early).
-                text, _ = truncate_at_stop(text, stop)
-                finish_reason = "stop"
+                choice_texts = [
+                    (truncate_at_stop(t, stop)[0], "stop") for t in texts
+                ]
                 timing = None
 
             self.metrics.prompt_tokens_total += prompt_tokens
@@ -347,10 +371,11 @@ class OpenAIServer:
                 "model": body.get("model", self.model_name),
                 "choices": [
                     {
-                        "index": 0,
-                        "message": {"role": "assistant", "content": text},
-                        "finish_reason": finish_reason,
+                        "index": ci,
+                        "message": {"role": "assistant", "content": t},
+                        "finish_reason": fr,
                     }
+                    for ci, (t, fr) in enumerate(choice_texts)
                 ],
                 "usage": {
                     "prompt_tokens": prompt_tokens,

@@ -359,3 +359,74 @@ def test_background_warmup_drains_while_serving():
     asyncio.run(run())
     # Warm requests and the real one all drained; allocator leak-free.
     assert engine.allocator.free_pages == 63
+
+
+def test_n_choices_continuous_engine():
+    """OpenAI `n`: n co-batched choices in one response; seeded requests
+    derive choice i's seed as seed + i (distinct but reproducible)."""
+    import jax
+
+    from dots_ocr_tpu.engine.scheduler import (
+        ContinuousBatchingEngine,
+        SchedulerConfig,
+    )
+    from dots_ocr_tpu.models.config import DotsOCRConfig
+    from dots_ocr_tpu.models.init import init_params
+
+    cfg = DotsOCRConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    engine = ContinuousBatchingEngine(
+        params,
+        cfg,
+        sched=SchedulerConfig(
+            num_pages=64, page_size=8, max_slots=4, max_pages_per_seq=16,
+            prompt_bucket_step=32, vision_bucket_step=16, steps_per_sync=4,
+        ),
+        default_max_new_tokens=8,
+    )
+
+    async def run():
+        server = OpenAIServer(engine, model_name="cb-model")
+        client = TestClient(TestServer(server.build_app()))
+        await client.start_server()
+        try:
+            async def chat(**extra):
+                resp = await client.post(
+                    "/v1/chat/completions",
+                    json={
+                        "messages": [{"role": "user", "content": "vary me"}],
+                        "max_tokens": 8, "temperature": 0.9, "top_p": 0.9,
+                        **extra,
+                    },
+                )
+                assert resp.status == 200
+                return await resp.json()
+
+            data = await chat(n=3, seed=11)
+            assert [c["index"] for c in data["choices"]] == [0, 1, 2]
+            texts = [c["message"]["content"] for c in data["choices"]]
+            assert len(set(texts)) > 1  # sampled choices differ
+            # reproducible: same seed -> same 3 choices
+            again = await chat(n=3, seed=11)
+            assert [c["message"]["content"] for c in again["choices"]] == texts
+            # usage sums completions across choices
+            assert data["usage"]["completion_tokens"] >= 3
+
+            # invalid shapes
+            resp = await client.post(
+                "/v1/chat/completions",
+                json={"messages": [{"role": "user", "content": "x"}],
+                      "n": 99},
+            )
+            assert resp.status == 400
+            resp = await client.post(
+                "/v1/chat/completions",
+                json={"messages": [{"role": "user", "content": "x"}],
+                      "n": 2, "stream": True},
+            )
+            assert resp.status == 400
+        finally:
+            await client.close()
+
+    asyncio.run(run())
+    assert engine.allocator.free_pages == 63
