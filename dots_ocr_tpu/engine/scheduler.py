@@ -59,6 +59,20 @@ logger = logging.getLogger(__name__)
 # ---------------------------------------------------------------------------
 
 
+def _pack_first_with_logprob(first, logits):
+    """[B] sampled first tokens -> [B, 2] int32 (token, raw-model
+    logprob bits): the OpenAI `logprobs` surface needs the prefill-sampled
+    token's logprob too, and packing keeps the prefill fetch at ONE
+    array. The extra [B, V] logsumexp is noise next to prefill compute."""
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    lp = jnp.take_along_axis(logits, first[:, None], axis=-1)[:, 0] - lse
+    return jnp.stack(
+        [first, jax.lax.bitcast_convert_type(lp.astype(jnp.float32),
+                                             jnp.int32)],
+        axis=1,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("config", "attn_impl", "nucleus", "mesh"),
@@ -120,7 +134,7 @@ def prefill_program(
         fold_positions(sample_keys, seq_lens), logits, temperature, top_p,
         nucleus=nucleus,
     )
-    return first, paged
+    return _pack_first_with_logprob(first, logits), paged
 
 
 @partial(jax.jit, static_argnames=("config", "attn_impl", "mesh"))
@@ -296,7 +310,7 @@ def prefill_extend_program(
         fold_positions(sample_keys, prompt_len), logits, temperature, top_p,
         nucleus=nucleus,
     )
-    return first, PagedKV(k, v, ks, vs)
+    return _pack_first_with_logprob(first, logits), PagedKV(k, v, ks, vs)
 
 
 @partial(
@@ -556,7 +570,7 @@ def spec_decode_program(
 @partial(
     jax.jit,
     static_argnames=("config", "page_size", "num_steps", "attn_impl",
-                     "nucleus", "mesh"),
+                     "nucleus", "with_logprobs", "mesh"),
     donate_argnames=("paged",),
 )
 def decode_program(
@@ -574,6 +588,7 @@ def decode_program(
     num_steps: int = 1,
     attn_impl: str = "paged",
     nucleus: bool = False,
+    with_logprobs: bool = False,
     mesh=None,
 ):
     """Up to ``num_steps`` decode iterations for every slot in ONE dispatch.
@@ -608,13 +623,21 @@ def decode_program(
     tokens_out0 = jnp.full((s, num_steps), pad, jnp.int32)
     num_decoded0 = jnp.zeros((s,), jnp.int32)
     done0 = ~active
+    # OpenAI `logprobs`: the chosen token's RAW-model log-probability
+    # (temperature-independent — well-defined for greedy rows too),
+    # bitcast into the same single packed fetch. Static variant: the
+    # extra [S, V] logsumexp only costs requests that asked for it.
+    lp_out0 = jnp.zeros((s, num_steps), jnp.float32) if with_logprobs else None
 
     def cond(state):
-        i, _, _, done, _, _, _ = state
-        return (i < num_steps) & ~jnp.all(done)
+        return (state[0] < num_steps) & ~jnp.all(state[3])
 
     def body(state):
-        i, current, caches, done, tokens_out, num_decoded, pos = state
+        if with_logprobs:
+            (i, current, caches, done, tokens_out, num_decoded, pos,
+             lp_out) = state
+        else:
+            i, current, caches, done, tokens_out, num_decoded, pos = state
         k_list, v_list, ks_list, vs_list = caches
         live = ~done
         write_pos = jnp.where(live, pos, 0)
@@ -648,9 +671,15 @@ def decode_program(
         num_decoded = num_decoded + live.astype(jnp.int32)
         done = done | (live & (nxt == eos))
         pos = pos + live.astype(jnp.int32)
-        return (i + 1, jnp.where(live, nxt, current),
-                (k_list, v_list, ks_list, vs_list), done,
-                tokens_out, num_decoded, pos)
+        out_state = (i + 1, jnp.where(live, nxt, current),
+                     (k_list, v_list, ks_list, vs_list), done,
+                     tokens_out, num_decoded, pos)
+        if with_logprobs:
+            lse = jax.nn.logsumexp(logits, axis=-1)
+            lp = jnp.take_along_axis(logits, nxt[:, None], axis=-1)[:, 0] - lse
+            lp_out = lp_out.at[:, i].set(jnp.where(live, lp, 0.0))
+            out_state = out_state + (lp_out,)
+        return out_state
 
     # The cache is ALREADY per-layer tuples (PagedKV): each layer's scatter
     # updates its own while_loop carry leaf in place, and the donated input
@@ -663,14 +692,21 @@ def decode_program(
         jnp.int32(0), tokens, (paged.k, paged.v, paged.k_scale, paged.v_scale),
         done0, tokens_out0, num_decoded0, positions,
     )
+    if with_logprobs:
+        state = state + (lp_out0,)
+    final = jax.lax.while_loop(cond, body, state)
     (_, current, (k_list, v_list, ks_list, vs_list), _,
-     tokens_out, num_decoded, pos) = jax.lax.while_loop(cond, body, state)
+     tokens_out, num_decoded, pos) = final[:7]
+    lp_out = final[7] if with_logprobs else None
     out_paged = PagedKV(k_list, v_list, ks_list, vs_list)
     # ONE fetched array per chunk (tokens_out || num_decoded column): every
     # extra device->host read costs a full RTT on a tunneled host. The
     # (current, pos) carry is returned ON DEVICE so event-free chunks
     # can chain with zero host->device uploads (see step()).
-    packed = jnp.concatenate([tokens_out, num_decoded[:, None]], axis=1)
+    cols = [tokens_out]
+    if with_logprobs:
+        cols.append(jax.lax.bitcast_convert_type(lp_out, jnp.int32))
+    packed = jnp.concatenate(cols + [num_decoded[:, None]], axis=1)
     return packed, (current, pos), out_paged
 
 
@@ -797,6 +833,10 @@ class ScheduledRequest:
     # requests (OpenAI `seed` param), else a split of the engine key.
     # Fixed at submit so a preempted request REPLAYS its sampled stream.
     sample_key: Any = None
+    # OpenAI `logprobs`: collect the chosen token's raw-model logprob per
+    # generated token (aligned with prior_output + output_ids).
+    logprobs: bool = False
+    output_logprobs: List[float] = dataclasses.field(default_factory=list)
     # Called from the engine thread with (text_delta, finish_reason|None);
     # finish_reason is non-None exactly once, on the final call.
     stream_cb: Optional[Any] = None
@@ -1057,6 +1097,7 @@ class ContinuousBatchingEngine:
         stop: Optional[Sequence[str]] = None,
         stop_token_ids: Optional[Sequence[int]] = None,
         seed: Optional[int] = None,
+        logprobs: bool = False,
         stream_cb=None,
         prepared=None,
     ) -> int:
@@ -1092,6 +1133,7 @@ class ContinuousBatchingEngine:
                 else self._next_rng(),
                 np.uint32,
             ),
+            logprobs=bool(logprobs),
             stream_cb=stream_cb,
             detok=(
                 IncrementalDetokenizer(self.tokenizer)
@@ -1685,10 +1727,14 @@ class ContinuousBatchingEngine:
             if req.prefill_pos >= len(req.prompt_ids):
                 if first_host is None:
                     first_host = np.asarray(first)  # one fetch per chunk
-                token = int(first_host[j])
+                token = int(first_host[j, 0])
                 req.embeds = None
                 req.state = RUNNING
                 req.output_ids = [token]
+                if req.logprobs:
+                    req.output_logprobs.append(
+                        float(first_host[j, 1:2].view(np.float32)[0])
+                    )
                 req.first_token_at = req.first_token_at or time.monotonic()
                 self._tokens[slot] = token
                 self._lengths[slot] = len(req.prompt_ids)
@@ -1770,10 +1816,14 @@ class ContinuousBatchingEngine:
 
         for j, req in enumerate(reqs):
             slot = slots[j]
-            token = int(first[j])
+            token = int(first[j, 0])
             req.state = RUNNING
             req.slot = slot
             req.output_ids = [token]
+            if req.logprobs:
+                req.output_logprobs.append(
+                    float(first[j, 1:2].view(np.float32)[0])
+                )
             req.first_token_at = req.first_token_at or time.monotonic()
             self._slot_req[slot] = req
             self._tokens[slot] = token
@@ -1942,7 +1992,15 @@ class ContinuousBatchingEngine:
             # (incl. top_p < 1 via the nucleus-exact verify) are
             # distribution-preserving, so it engages for every mix.
             spec_k = self.sched.speculate_k
-            use_spec = spec_k > 0 and self._spec_enabled
+            # logprobs requests run plain decode chunks (the spec verify
+            # emits a variable number of tokens per iteration and does not
+            # surface per-token logprobs); one such request gates the
+            # whole chunk — acceptable for an observability feature.
+            use_lp = any(
+                self._slot_req[i] is not None and self._slot_req[i].logprobs
+                for i in active
+            )
+            use_spec = spec_k > 0 and self._spec_enabled and not use_lp
             tokens_per_iter = (spec_k + 1) if use_spec else 1
             # Deep chunks are counted in ITERATIONS; with speculation each
             # iteration emits up to tokens_per_iter tokens, so scale the
@@ -2130,6 +2188,7 @@ class ContinuousBatchingEngine:
                         num_steps=chunk,
                         attn_impl=self.decode_impl,
                         nucleus=dev["nucleus"],
+                        with_logprobs=use_lp,
                         mesh=self._kernel_mesh,
                     )
                 # Chain the device-side carry BEFORE host accounting: a
@@ -2137,6 +2196,13 @@ class ContinuousBatchingEngine:
                 dev["tokens"], dev["positions"] = carry
                 packed = np.asarray(packed)  # the chunk's single fetch
                 tokens_out, num_decoded = packed[:, :-1], packed[:, -1]
+                lps = None
+                if use_lp and not use_spec:
+                    w = (packed.shape[1] - 1) // 2
+                    tokens_out = packed[:, :w]
+                    lps = np.ascontiguousarray(
+                        packed[:, w : 2 * w]
+                    ).view(np.float32)
                 if use_spec:
                     emitted = int(num_decoded.sum())
                     self.metrics["spec_emitted"] = (
@@ -2148,8 +2214,10 @@ class ContinuousBatchingEngine:
                     req = self._slot_req[i]
                     n = int(num_decoded[i])
                     self._lengths[i] += n
-                    for token in tokens_out[i, :n].tolist():
+                    for t_idx, token in enumerate(tokens_out[i, :n].tolist()):
                         req.output_ids.append(int(token))
+                        if req.logprobs and lps is not None:
+                            req.output_logprobs.append(float(lps[i, t_idx]))
                         self.metrics["generated_tokens"] += 1
                         if (
                             token == self.config.special.eos_token_id

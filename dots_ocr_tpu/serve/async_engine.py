@@ -36,6 +36,8 @@ class Submission:
     stop_token_ids: Sequence[int] = ()
     # OpenAI `seed`: per-request sampled-stream reproducibility.
     seed: Optional[int] = None
+    # OpenAI `logprobs`: chosen-token raw-model logprobs per position.
+    logprobs: bool = False
     # SSE streaming: called from the ENGINE thread with
     # (text_delta, finish_reason|None); the HTTP layer must trampoline into
     # its own event loop (e.g. loop.call_soon_threadsafe).
@@ -137,6 +139,7 @@ class EngineWorker:
                     stop=list(sub.stop),
                     stop_token_ids=list(sub.stop_token_ids),
                     seed=sub.seed,
+                    logprobs=sub.logprobs,
                     stream_cb=sub.stream_cb,
                     prepared=sub.prepared,
                 )
@@ -216,12 +219,23 @@ class EngineWorker:
             return
         if text is None:
             text = req.final_text or ""
+        logprobs = None
+        if getattr(req, "logprobs", False):
+            toks = list(req.prior_output) + list(req.output_ids)
+            lps = list(req.output_logprobs)
+            # Trim the trailing EOS/stop-token entry like request_text does
+            # for the text, so tokens and content stay aligned.
+            eos = self.engine.config.special.eos_token_id
+            if toks and (toks[-1] == eos or toks[-1] in req.stop_token_ids):
+                toks, lps = toks[:-1], lps[: len(toks) - 1]
+            logprobs = list(zip(toks, lps))
         sub.future.set_result(
             {
                 "text": text,
                 "completion_tokens": len(req.prior_output) + len(req.output_ids),
                 "prompt_tokens": len(req.prompt_ids),
                 "finish_reason": req.finished_reason or "stop",
+                "logprobs": logprobs,
                 # Per-request latency split (queue/ttft/prefill/decode ms) —
                 # surfaced as a usage extension when the client asks.
                 "timing": req.timing() if hasattr(req, "timing") else {},

@@ -238,8 +238,13 @@ class OpenAIServer:
             return "'n' > 1 is not supported with streaming"
         if body.get("best_of") not in (None, 1):
             return "'best_of' != 1 is not supported"
-        if body.get("logprobs"):
-            return "'logprobs' is not supported"
+        lp = body.get("logprobs")
+        if lp is not None and not isinstance(lp, bool):
+            return "'logprobs' must be a boolean"
+        if body.get("top_logprobs") not in (None, 0):
+            return "'top_logprobs' > 0 is not supported"
+        if lp and body.get("stream"):
+            return "'logprobs' is not supported with streaming"
         if body.get("tools") or body.get("functions") or body.get("tool_choice"):
             return "tool / function calling is not supported"
         for knob in ("presence_penalty", "frequency_penalty"):
@@ -261,6 +266,23 @@ class OpenAIServer:
         ):
             return "'stop_token_ids' must be a list of integers"
         return None
+
+    def _format_logprobs(self, entries) -> Dict[str, Any]:
+        """OpenAI chat logprobs shape: choices[].logprobs.content =
+        [{token, logprob, bytes}]. Logprobs are the RAW model distribution
+        (temperature-independent; well-defined for greedy requests)."""
+        tok = getattr(self.engine, "tokenizer", None)
+        content = []
+        for tid, lp in entries:
+            text = tok.decode([tid], skip_special_tokens=False) if tok else ""
+            content.append(
+                {
+                    "token": text,
+                    "logprob": round(float(lp), 6),
+                    "bytes": list(text.encode("utf-8")),
+                }
+            )
+        return {"content": content}
 
     async def handle_chat_completions(self, request: web.Request) -> web.Response:
         self.metrics.requests_total += 1
@@ -322,6 +344,7 @@ class OpenAIServer:
                         stop=stop,
                         stop_token_ids=stop_token_ids,
                         seed=(seed + ci) if seed is not None else None,
+                        logprobs=bool(body.get("logprobs")),
                     )
                     for ci in range(n_choices)
                 ]
@@ -330,6 +353,7 @@ class OpenAIServer:
                 choice_texts = [
                     (r["text"], r["finish_reason"]) for r in results
                 ]
+                choice_logprobs = [r.get("logprobs") for r in results]
                 prompt_tokens = results[0]["prompt_tokens"]
                 completion_tokens = sum(
                     r["completion_tokens"] for r in results
@@ -360,6 +384,13 @@ class OpenAIServer:
                 choice_texts = [
                     (truncate_at_stop(t, stop)[0], "stop") for t in texts
                 ]
+                choice_logprobs = [None] * n_choices
+                if body.get("logprobs"):
+                    self.metrics.requests_failed += 1
+                    return self._bad_request(
+                        "'logprobs' needs the continuous engine "
+                        "(--engine continuous)"
+                    )
                 timing = None
 
             self.metrics.prompt_tokens_total += prompt_tokens
@@ -374,6 +405,13 @@ class OpenAIServer:
                         "index": ci,
                         "message": {"role": "assistant", "content": t},
                         "finish_reason": fr,
+                        **(
+                            {"logprobs": self._format_logprobs(
+                                choice_logprobs[ci]
+                            )}
+                            if choice_logprobs[ci] is not None
+                            else {}
+                        ),
                     }
                     for ci, (t, fr) in enumerate(choice_texts)
                 ],
