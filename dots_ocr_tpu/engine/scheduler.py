@@ -570,8 +570,8 @@ def spec_decode_program(
 @partial(
     jax.jit,
     static_argnames=("config", "page_size", "num_steps", "attn_impl",
-                     "nucleus", "with_logprobs", "mesh"),
-    donate_argnames=("paged",),
+                     "nucleus", "with_logprobs", "with_penalties", "mesh"),
+    donate_argnames=("paged", "counts"),
 )
 def decode_program(
     params,
@@ -589,6 +589,10 @@ def decode_program(
     attn_impl: str = "paged",
     nucleus: bool = False,
     with_logprobs: bool = False,
+    with_penalties: bool = False,
+    presence=None,
+    frequency=None,
+    counts=None,
     mesh=None,
 ):
     """Up to ``num_steps`` decode iterations for every slot in ONE dispatch.
@@ -633,11 +637,12 @@ def decode_program(
         return (state[0] < num_steps) & ~jnp.all(state[3])
 
     def body(state):
+        state = list(state)
+        if with_penalties:
+            cnts = state.pop()
         if with_logprobs:
-            (i, current, caches, done, tokens_out, num_decoded, pos,
-             lp_out) = state
-        else:
-            i, current, caches, done, tokens_out, num_decoded, pos = state
+            lp_out = state.pop()
+        i, current, caches, done, tokens_out, num_decoded, pos = state
         k_list, v_list, ks_list, vs_list = caches
         live = ~done
         write_pos = jnp.where(live, pos, 0)
@@ -662,6 +667,15 @@ def decode_program(
             mesh=mesh,
         )
         logits = logits_from_hidden(params["decoder"], config.decoder, hidden)
+        if with_penalties:
+            # OpenAI presence/frequency penalties, vLLM semantics (counts
+            # over GENERATED tokens only): subtracted before sampling, so
+            # greedy rows and the nucleus pool both see penalized logits.
+            logits = (
+                logits
+                - presence[:, None] * (cnts > 0)
+                - frequency[:, None] * cnts.astype(jnp.float32)
+            )
         # The sampled token lands at position pos + 1: its draw key is
         # fold_in(slot_key, pos + 1) — stateless, so no RNG carry.
         step_keys = fold_positions(slot_keys, pos + 1)
@@ -679,6 +693,11 @@ def decode_program(
             lp = jnp.take_along_axis(logits, nxt[:, None], axis=-1)[:, 0] - lse
             lp_out = lp_out.at[:, i].set(jnp.where(live, lp, 0.0))
             out_state = out_state + (lp_out,)
+        if with_penalties:
+            cnts = cnts.at[jnp.arange(s), nxt].add(
+                live.astype(cnts.dtype), mode="drop"
+            )
+            out_state = out_state + (cnts,)
         return out_state
 
     # The cache is ALREADY per-layer tuples (PagedKV): each layer's scatter
@@ -694,10 +713,13 @@ def decode_program(
     )
     if with_logprobs:
         state = state + (lp_out0,)
+    if with_penalties:
+        state = state + (counts,)
     final = jax.lax.while_loop(cond, body, state)
     (_, current, (k_list, v_list, ks_list, vs_list), _,
      tokens_out, num_decoded, pos) = final[:7]
     lp_out = final[7] if with_logprobs else None
+    counts_out = final[-1] if with_penalties else None
     out_paged = PagedKV(k_list, v_list, ks_list, vs_list)
     # ONE fetched array per chunk (tokens_out || num_decoded column): every
     # extra device->host read costs a full RTT on a tunneled host. The
@@ -707,6 +729,8 @@ def decode_program(
     if with_logprobs:
         cols.append(jax.lax.bitcast_convert_type(lp_out, jnp.int32))
     packed = jnp.concatenate(cols + [num_decoded[:, None]], axis=1)
+    if with_penalties:
+        return packed, (current, pos), out_paged, counts_out
     return packed, (current, pos), out_paged
 
 
@@ -837,6 +861,10 @@ class ScheduledRequest:
     # generated token (aligned with prior_output + output_ids).
     logprobs: bool = False
     output_logprobs: List[float] = dataclasses.field(default_factory=list)
+    # OpenAI presence/frequency penalties (vLLM semantics: counts over
+    # generated tokens only; applied before sampling incl. greedy rows).
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
     # Called from the engine thread with (text_delta, finish_reason|None);
     # finish_reason is non-None exactly once, on the final call.
     stream_cb: Optional[Any] = None
@@ -1038,6 +1066,8 @@ class ContinuousBatchingEngine:
         self._lengths = np.zeros(s, np.int32)  # tokens in cache per slot
         self._temps = np.zeros(s, np.float32)
         self._top_ps = np.ones(s, np.float32)
+        self._pres = np.zeros(s, np.float32)
+        self._freq = np.zeros(s, np.float32)
         # Per-slot sampling keys: PRNGKey(seed) for seeded requests, a
         # split of the engine key otherwise. Draws fold the emitted
         # position in (sampling.fold_positions) — stateless, so sampled
@@ -1098,6 +1128,8 @@ class ContinuousBatchingEngine:
         stop_token_ids: Optional[Sequence[int]] = None,
         seed: Optional[int] = None,
         logprobs: bool = False,
+        presence_penalty: float = 0.0,
+        frequency_penalty: float = 0.0,
         stream_cb=None,
         prepared=None,
     ) -> int:
@@ -1134,6 +1166,8 @@ class ContinuousBatchingEngine:
                 np.uint32,
             ),
             logprobs=bool(logprobs),
+            presence_penalty=float(presence_penalty),
+            frequency_penalty=float(frequency_penalty),
             stream_cb=stream_cb,
             detok=(
                 IncrementalDetokenizer(self.tokenizer)
@@ -1640,6 +1674,8 @@ class ContinuousBatchingEngine:
             self._lengths[slot] = 0
             self._temps[slot] = req.temperature
             self._top_ps[slot] = req.top_p
+            self._pres[slot] = req.presence_penalty
+            self._freq[slot] = req.frequency_penalty
             self._slot_keys[slot] = req.sample_key
         # NOTE: self._dev stays valid — the decode active set (RUNNING slots)
         # is unchanged until each request's last chunk completes.
@@ -1830,6 +1866,8 @@ class ContinuousBatchingEngine:
             self._lengths[slot] = len(req.prompt_ids)
             self._temps[slot] = req.temperature
             self._top_ps[slot] = req.top_p
+            self._pres[slot] = req.presence_penalty
+            self._freq[slot] = req.frequency_penalty
             self._slot_keys[slot] = req.sample_key
             self.metrics["prefills"] += 1
             self._update_text(slot)  # may finish on a stop-string match
@@ -2000,7 +2038,17 @@ class ContinuousBatchingEngine:
                 self._slot_req[i] is not None and self._slot_req[i].logprobs
                 for i in active
             )
-            use_spec = spec_k > 0 and self._spec_enabled and not use_lp
+            # Penalties mutate the sampling distribution per emitted token
+            # (token j changes token j+1's logits), which the multi-token
+            # spec verify cannot honor — plain chunks while active.
+            use_pen = any(
+                self._slot_req[i] is not None
+                and (self._slot_req[i].presence_penalty != 0.0
+                     or self._slot_req[i].frequency_penalty != 0.0)
+                for i in active
+            )
+            use_spec = (spec_k > 0 and self._spec_enabled
+                        and not use_lp and not use_pen)
             tokens_per_iter = (spec_k + 1) if use_spec else 1
             # Deep chunks are counted in ITERATIONS; with speculation each
             # iteration emits up to tokens_per_iter tokens, so scale the
@@ -2082,7 +2130,10 @@ class ContinuousBatchingEngine:
             # paged kernel's S x table_width grid shrinks at short
             # contexts (one compile per width bucket, see warmup_decode).
             active = [i for i in active if self._slot_req[i] is not None]
-            if self._dev is not None and self._dev.get("spec") != use_spec:
+            if self._dev is not None and (
+                self._dev.get("spec") != use_spec
+                or self._dev.get("pen") != use_pen
+            ):
                 self._dev = None  # decode mode flipped; rebuild inputs
             if active and self._dev is None:
                 positions = np.zeros(s, np.int32)
@@ -2118,7 +2169,18 @@ class ContinuousBatchingEngine:
                     "keys": self._put(self._slot_keys),
                     "nucleus": bool(np.any(self._top_ps[active] < 1.0)),
                     "spec": use_spec,
+                    "pen": use_pen,
                 }
+                if use_pen:
+                    vocab = self.config.decoder.vocab_size
+                    cnts = np.zeros((s, vocab), np.int32)
+                    for i in active:
+                        toks = self._slot_req[i].output_ids
+                        if toks:
+                            np.add.at(cnts[i], np.asarray(toks, np.int64), 1)
+                    self._dev["counts"] = self._put(cnts)
+                    self._dev["pres"] = self._put(self._pres)
+                    self._dev["freq"] = self._put(self._freq)
                 if use_spec:
                     # Generated-token history by logical position + each
                     # row's first generated position (the n-gram draft
@@ -2173,7 +2235,7 @@ class ContinuousBatchingEngine:
                         + chunk * len(active)
                     )
                 else:
-                    packed, carry, self.paged = decode_program(
+                    ret = decode_program(
                         self.params,
                         self.config,
                         self.paged,
@@ -2189,8 +2251,16 @@ class ContinuousBatchingEngine:
                         attn_impl=self.decode_impl,
                         nucleus=dev["nucleus"],
                         with_logprobs=use_lp,
+                        with_penalties=use_pen,
+                        presence=dev.get("pres"),
+                        frequency=dev.get("freq"),
+                        counts=dev.get("counts"),
                         mesh=self._kernel_mesh,
                     )
+                    if use_pen:
+                        packed, carry, self.paged, dev["counts"] = ret
+                    else:
+                        packed, carry, self.paged = ret
                 # Chain the device-side carry BEFORE host accounting: a
                 # finish/preempt below just resets self._dev to None.
                 dev["tokens"], dev["positions"] = carry

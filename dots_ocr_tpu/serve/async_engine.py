@@ -38,6 +38,9 @@ class Submission:
     seed: Optional[int] = None
     # OpenAI `logprobs`: chosen-token raw-model logprobs per position.
     logprobs: bool = False
+    # OpenAI presence/frequency penalties (vLLM semantics).
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
     # SSE streaming: called from the ENGINE thread with
     # (text_delta, finish_reason|None); the HTTP layer must trampoline into
     # its own event loop (e.g. loop.call_soon_threadsafe).
@@ -140,6 +143,8 @@ class EngineWorker:
                     stop_token_ids=list(sub.stop_token_ids),
                     seed=sub.seed,
                     logprobs=sub.logprobs,
+                    presence_penalty=sub.presence_penalty,
+                    frequency_penalty=sub.frequency_penalty,
                     stream_cb=sub.stream_cb,
                     prepared=sub.prepared,
                 )

@@ -248,8 +248,13 @@ class OpenAIServer:
         if body.get("tools") or body.get("functions") or body.get("tool_choice"):
             return "tool / function calling is not supported"
         for knob in ("presence_penalty", "frequency_penalty"):
-            if body.get(knob) not in (None, 0, 0.0):
-                return f"'{knob}' is not supported"
+            v = body.get(knob)
+            if v is None:
+                continue
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                return f"'{knob}' must be a number"
+            if not -2.0 <= float(v) <= 2.0:
+                return f"'{knob}' must be in [-2, 2]"
         stop = body.get("stop")
         if stop is not None and not (
             isinstance(stop, str)
@@ -300,6 +305,16 @@ class OpenAIServer:
             if err is not None:
                 self.metrics.requests_failed += 1
                 return self._bad_request(err)
+            if self._cb_worker is None and (
+                body.get("logprobs")
+                or body.get("presence_penalty")
+                or body.get("frequency_penalty")
+            ):
+                self.metrics.requests_failed += 1
+                return self._bad_request(
+                    "'logprobs' / penalties need the continuous engine "
+                    "(--engine continuous)"
+                )
             prompt, images, system_prompt = parse_chat_messages(messages)
             if not prompt and not images:
                 self.metrics.requests_failed += 1
@@ -345,6 +360,12 @@ class OpenAIServer:
                         stop_token_ids=stop_token_ids,
                         seed=(seed + ci) if seed is not None else None,
                         logprobs=bool(body.get("logprobs")),
+                        presence_penalty=float(
+                            body.get("presence_penalty") or 0.0
+                        ),
+                        frequency_penalty=float(
+                            body.get("frequency_penalty") or 0.0
+                        ),
                     )
                     for ci in range(n_choices)
                 ]
@@ -385,12 +406,6 @@ class OpenAIServer:
                     (truncate_at_stop(t, stop)[0], "stop") for t in texts
                 ]
                 choice_logprobs = [None] * n_choices
-                if body.get("logprobs"):
-                    self.metrics.requests_failed += 1
-                    return self._bad_request(
-                        "'logprobs' needs the continuous engine "
-                        "(--engine continuous)"
-                    )
                 timing = None
 
             self.metrics.prompt_tokens_total += prompt_tokens
@@ -554,6 +569,8 @@ class OpenAIServer:
                 stop=stop,
                 stop_token_ids=stop_token_ids,
                 seed=body.get("seed"),
+                presence_penalty=float(body.get("presence_penalty") or 0.0),
+                frequency_penalty=float(body.get("frequency_penalty") or 0.0),
                 stream_cb=stream_cb,
             )
             fut = self._cb_worker.submit(sub)
