@@ -88,6 +88,8 @@ def prefill_program(
     sample_keys,
     temperature,
     top_p,
+    bias_ids=None,
+    bias_vals=None,
     patches=None,
     pos2d=None,
     segment_ids=None,
@@ -128,6 +130,10 @@ def prefill_program(
         mesh=mesh,
     )
     paged = write_prefill_kv(paged, cache.k, cache.v, slot_mapping)
+    if bias_ids is not None:  # OpenAI logit_bias on the first token too
+        logits = logits.at[
+            jnp.arange(b)[:, None], bias_ids
+        ].add(bias_vals, mode="drop")
     # First generated token lands at position seq_lens: fold the request
     # key there so decode continues the same per-request chain.
     first = sample_logits(
@@ -259,6 +265,8 @@ def prefill_extend_program(
     page_size: int,
     kv_hi: int,
     q_offset: int,
+    bias_ids=None,
+    bias_vals=None,
     attn_impl: str = "flash",
     nucleus: bool = False,
     mesh=None,
@@ -306,6 +314,10 @@ def prefill_extend_program(
     logits = logits_from_hidden(
         params["decoder"], config.decoder, hidden[jnp.arange(b), last_row]
     )
+    if bias_ids is not None:  # OpenAI logit_bias on the first token too
+        logits = logits.at[
+            jnp.arange(b)[:, None], bias_ids
+        ].add(bias_vals, mode="drop")
     first = sample_logits(
         fold_positions(sample_keys, prompt_len), logits, temperature, top_p,
         nucleus=nucleus,
@@ -337,6 +349,8 @@ def spec_decode_program(
     spec_k: int = 4,
     attn_impl: str = "paged",
     nucleus: bool = False,
+    bias_ids=None,
+    bias_vals=None,
     mesh=None,
 ):
     """Speculative multi-step decode: n-gram drafting + multi-token verify,
@@ -445,6 +459,14 @@ def spec_decode_program(
         logits = logits_from_hidden(
             params["decoder"], config.decoder, hidden
         )  # [S, nq, V] f32
+        if bias_ids is not None:
+            # Position-independent per-request logit_bias: identical at
+            # every verify column, so acceptance stays exact vs the plain
+            # sampler (which applies the same bias). Scatter along the
+            # vocab axis for every (row, verify column).
+            logits = logits.at[
+                rows[:, None, None], offs[None, :, None], bias_ids[:, None, :]
+            ].add(bias_vals[:, None, :], mode="drop")
 
         # ---- acceptance
         greedy = temperature <= 0.0
@@ -593,6 +615,8 @@ def decode_program(
     presence=None,
     frequency=None,
     counts=None,
+    bias_ids=None,
+    bias_vals=None,
     mesh=None,
 ):
     """Up to ``num_steps`` decode iterations for every slot in ONE dispatch.
@@ -667,6 +691,14 @@ def decode_program(
             mesh=mesh,
         )
         logits = logits_from_hidden(params["decoder"], config.decoder, hidden)
+        if bias_ids is not None:
+            # OpenAI `logit_bias`: per-request sparse (token id, bias)
+            # pairs, inert rows padded with id = vocab (dropped). Constant
+            # per request, so — unlike penalties — it composes with the
+            # speculative verify.
+            logits = logits.at[
+                jnp.arange(s)[:, None], bias_ids
+            ].add(bias_vals, mode="drop")
         if with_penalties:
             # OpenAI presence/frequency penalties, vLLM semantics (counts
             # over GENERATED tokens only): subtracted before sampling, so
@@ -753,6 +785,9 @@ class SchedulerConfig:
     vision_bucket_step: int = 512
     # Admission watermark: keep this fraction of pages free for decode growth.
     admit_free_page_fraction: float = 0.05
+    # OpenAI logit_bias: fixed per-request (token id, bias) slots; requests
+    # with more entries are rejected at submit.
+    logit_bias_slots: int = 32
     # Decode iterations per device dispatch (multi-step scheduling): larger
     # amortizes host-link latency; smaller reacts to finishes/admissions
     # faster. Finished rows idle at most steps_per_sync - 1 iterations.
@@ -865,6 +900,9 @@ class ScheduledRequest:
     # generated tokens only; applied before sampling incl. greedy rows).
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
+    # OpenAI logit_bias: {token_id: bias} applied to every sampling step
+    # (first token included); None/{} = unused.
+    logit_bias: Optional[Dict[int, float]] = None
     # Called from the engine thread with (text_delta, finish_reason|None);
     # finish_reason is non-None exactly once, on the final call.
     stream_cb: Optional[Any] = None
@@ -1068,6 +1106,10 @@ class ContinuousBatchingEngine:
         self._top_ps = np.ones(s, np.float32)
         self._pres = np.zeros(s, np.float32)
         self._freq = np.zeros(s, np.float32)
+        vocab = config.decoder.vocab_size
+        kb = self.sched.logit_bias_slots
+        self._bias_ids = np.full((s, kb), vocab, np.int32)  # vocab = inert
+        self._bias_vals = np.zeros((s, kb), np.float32)
         # Per-slot sampling keys: PRNGKey(seed) for seeded requests, a
         # split of the engine key otherwise. Draws fold the emitted
         # position in (sampling.fold_positions) — stateless, so sampled
@@ -1130,6 +1172,7 @@ class ContinuousBatchingEngine:
         logprobs: bool = False,
         presence_penalty: float = 0.0,
         frequency_penalty: float = 0.0,
+        logit_bias: Optional[Dict[int, float]] = None,
         stream_cb=None,
         prepared=None,
     ) -> int:
@@ -1151,6 +1194,17 @@ class ContinuousBatchingEngine:
             )
             self.metrics["t_submit_s"] += time.perf_counter() - t_sub
         stop = [s for s in (stop or []) if s]
+        if logit_bias:
+            if len(logit_bias) > self.sched.logit_bias_slots:
+                raise ValueError(
+                    f"logit_bias supports at most "
+                    f"{self.sched.logit_bias_slots} entries"
+                )
+            vocab = self.config.decoder.vocab_size
+            logit_bias = {
+                int(k): float(v) for k, v in logit_bias.items()
+                if 0 <= int(k) < vocab
+            }
         req = ScheduledRequest(
             req_id=self._next_id,
             prompt_ids=prepared.prompt_ids,
@@ -1168,6 +1222,10 @@ class ContinuousBatchingEngine:
             logprobs=bool(logprobs),
             presence_penalty=float(presence_penalty),
             frequency_penalty=float(frequency_penalty),
+            logit_bias=(
+                {int(k): float(v) for k, v in logit_bias.items()}
+                if logit_bias else None
+            ),
             stream_cb=stream_cb,
             detok=(
                 IncrementalDetokenizer(self.tokenizer)
@@ -1333,6 +1391,31 @@ class ContinuousBatchingEngine:
         if self._replicated is not None:
             return jax.device_put(x, self._replicated)
         return x
+
+    def _batch_bias(self, reqs, b_fixed: int):
+        """[B, K] (ids, vals) for a prefill batch, or (None, None) when no
+        request biases (the bias-free program variant)."""
+        if not any(r.logit_bias for r in reqs):
+            return None, None
+        vocab = self.config.decoder.vocab_size
+        kb = self.sched.logit_bias_slots
+        ids = np.full((b_fixed, kb), vocab, np.int32)
+        vals = np.zeros((b_fixed, kb), np.float32)
+        for j, r in enumerate(reqs):
+            if r.logit_bias:
+                for jj, (tid, bv) in enumerate(sorted(r.logit_bias.items())):
+                    ids[j, jj] = tid
+                    vals[j, jj] = bv
+        return self._put(ids), self._put(vals)
+
+    def _set_slot_bias(self, slot: int, req) -> None:
+        vocab = self.config.decoder.vocab_size
+        self._bias_ids[slot] = vocab  # inert
+        self._bias_vals[slot] = 0.0
+        if req.logit_bias:
+            for j, (tid, bv) in enumerate(sorted(req.logit_bias.items())):
+                self._bias_ids[slot, j] = tid
+                self._bias_vals[slot, j] = bv
 
     def _next_rng(self):
         self._rng, out = jax.random.split(self._rng)
@@ -1676,6 +1759,7 @@ class ContinuousBatchingEngine:
             self._top_ps[slot] = req.top_p
             self._pres[slot] = req.presence_penalty
             self._freq[slot] = req.frequency_penalty
+            self._set_slot_bias(slot, req)
             self._slot_keys[slot] = req.sample_key
         # NOTE: self._dev stays valid — the decode active set (RUNNING slots)
         # is unchanged until each request's last chunk completes.
@@ -1732,6 +1816,9 @@ class ContinuousBatchingEngine:
         while len(chunks) < b_bucket:  # inert pad rows (prompt_len 0)
             chunks.append(jnp.zeros_like(chunks[0]))
         embeds_chunk = jnp.stack(chunks)
+        bias_group_ids, bias_group_vals = self._batch_bias(
+            [r for _, r in group], b_bucket
+        )
 
         first, self.paged = prefill_extend_program(
             self.params,
@@ -1747,6 +1834,8 @@ class ContinuousBatchingEngine:
             page_size=ps,
             kv_hi=kv_hi,
             q_offset=start,
+            bias_ids=bias_group_ids,
+            bias_vals=bias_group_vals,
             attn_impl=self.prefill_impl,
             mesh=self._kernel_mesh,
             # ALWAYS the nucleus sampler: prefill samples one token per
@@ -1833,6 +1922,7 @@ class ContinuousBatchingEngine:
             if merged.window_ids is not None:
                 kwargs["window_ids"] = self._put(merged.window_ids)
 
+        bias_ids_dev, bias_vals_dev = self._batch_bias(reqs, b_fixed)
         first, self.paged = prefill_program(
             self.params,
             self.config,
@@ -1843,6 +1933,8 @@ class ContinuousBatchingEngine:
             self._put(keys),
             self._put(temps),
             self._put(tps),
+            bias_ids=bias_ids_dev,
+            bias_vals=bias_vals_dev,
             attn_impl=self.prefill_impl,
             nucleus=True,  # see _run_prefill_chunk — never a static trap
             mesh=self._kernel_mesh,
@@ -1868,6 +1960,7 @@ class ContinuousBatchingEngine:
             self._top_ps[slot] = req.top_p
             self._pres[slot] = req.presence_penalty
             self._freq[slot] = req.frequency_penalty
+            self._set_slot_bias(slot, req)
             self._slot_keys[slot] = req.sample_key
             self.metrics["prefills"] += 1
             self._update_text(slot)  # may finish on a stop-string match
@@ -2047,6 +2140,13 @@ class ContinuousBatchingEngine:
                      or self._slot_req[i].frequency_penalty != 0.0)
                 for i in active
             )
+            # logit_bias is position-independent, so it composes with
+            # speculation (the verify applies the same bias per column).
+            use_bias = any(
+                self._slot_req[i] is not None
+                and self._slot_req[i].logit_bias
+                for i in active
+            )
             use_spec = (spec_k > 0 and self._spec_enabled
                         and not use_lp and not use_pen)
             tokens_per_iter = (spec_k + 1) if use_spec else 1
@@ -2133,6 +2233,7 @@ class ContinuousBatchingEngine:
             if self._dev is not None and (
                 self._dev.get("spec") != use_spec
                 or self._dev.get("pen") != use_pen
+                or self._dev.get("bias") != use_bias
             ):
                 self._dev = None  # decode mode flipped; rebuild inputs
             if active and self._dev is None:
@@ -2170,7 +2271,11 @@ class ContinuousBatchingEngine:
                     "nucleus": bool(np.any(self._top_ps[active] < 1.0)),
                     "spec": use_spec,
                     "pen": use_pen,
+                    "bias": use_bias,
                 }
+                if use_bias:
+                    self._dev["bias_ids"] = self._put(self._bias_ids)
+                    self._dev["bias_vals"] = self._put(self._bias_vals)
                 if use_pen:
                     vocab = self.config.decoder.vocab_size
                     cnts = np.zeros((s, vocab), np.int32)
@@ -2221,6 +2326,8 @@ class ContinuousBatchingEngine:
                         spec_k=spec_k,
                         attn_impl=self.decode_impl,
                         nucleus=dev["nucleus"],
+                        bias_ids=dev.get("bias_ids"),
+                        bias_vals=dev.get("bias_vals"),
                         mesh=self._kernel_mesh,
                     )
                     self.metrics["spec_chunks"] = (
@@ -2255,6 +2362,8 @@ class ContinuousBatchingEngine:
                         presence=dev.get("pres"),
                         frequency=dev.get("freq"),
                         counts=dev.get("counts"),
+                        bias_ids=dev.get("bias_ids"),
+                        bias_vals=dev.get("bias_vals"),
                         mesh=self._kernel_mesh,
                     )
                     if use_pen:

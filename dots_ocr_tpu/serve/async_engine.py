@@ -41,6 +41,8 @@ class Submission:
     # OpenAI presence/frequency penalties (vLLM semantics).
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
+    # OpenAI logit_bias: {token_id: bias}.
+    logit_bias: Optional[dict] = None
     # SSE streaming: called from the ENGINE thread with
     # (text_delta, finish_reason|None); the HTTP layer must trampoline into
     # its own event loop (e.g. loop.call_soon_threadsafe).
@@ -145,6 +147,7 @@ class EngineWorker:
                     logprobs=sub.logprobs,
                     presence_penalty=sub.presence_penalty,
                     frequency_penalty=sub.frequency_penalty,
+                    logit_bias=sub.logit_bias,
                     stream_cb=sub.stream_cb,
                     prepared=sub.prepared,
                 )

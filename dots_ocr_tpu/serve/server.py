@@ -261,6 +261,21 @@ class OpenAIServer:
             or (isinstance(stop, list) and all(isinstance(s, str) for s in stop))
         ):
             return "'stop' must be a string or a list of strings"
+        lb = body.get("logit_bias")
+        if lb is not None:
+            if not isinstance(lb, dict):
+                return "'logit_bias' must be an object"
+            if len(lb) > 32:
+                return "'logit_bias' supports at most 32 entries"
+            for k, v in lb.items():
+                try:
+                    int(k)
+                except (TypeError, ValueError):
+                    return "'logit_bias' keys must be token ids"
+                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                    return "'logit_bias' values must be numbers"
+                if not -100.0 <= float(v) <= 100.0:
+                    return "'logit_bias' values must be in [-100, 100]"
         sd = body.get("seed")
         if sd is not None and (isinstance(sd, bool) or not isinstance(sd, int)):
             return "'seed' must be an integer"
@@ -309,6 +324,7 @@ class OpenAIServer:
                 body.get("logprobs")
                 or body.get("presence_penalty")
                 or body.get("frequency_penalty")
+                or body.get("logit_bias")
             ):
                 self.metrics.requests_failed += 1
                 return self._bad_request(
@@ -365,6 +381,11 @@ class OpenAIServer:
                         ),
                         frequency_penalty=float(
                             body.get("frequency_penalty") or 0.0
+                        ),
+                        logit_bias=(
+                            {int(k): float(v)
+                             for k, v in body["logit_bias"].items()}
+                            if body.get("logit_bias") else None
                         ),
                     )
                     for ci in range(n_choices)
@@ -571,6 +592,11 @@ class OpenAIServer:
                 seed=body.get("seed"),
                 presence_penalty=float(body.get("presence_penalty") or 0.0),
                 frequency_penalty=float(body.get("frequency_penalty") or 0.0),
+                logit_bias=(
+                    {int(k): float(v)
+                     for k, v in body["logit_bias"].items()}
+                    if body.get("logit_bias") else None
+                ),
                 stream_cb=stream_cb,
             )
             fut = self._cb_worker.submit(sub)
