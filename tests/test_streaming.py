@@ -329,14 +329,22 @@ def test_unsupported_params_rejected():
         try:
             base = {"messages": [{"role": "user", "content": "x"}]}
             for bad in (
-                {"n": 2},
+                {"n": 99},
+                {"n": 2, "stream": True},
                 {"best_of": 4},
-                {"logprobs": True},
+                {"top_logprobs": 2, "logprobs": True},
                 {"tools": [{"type": "function"}]},
-                {"presence_penalty": 0.5},
-                {"frequency_penalty": -1},
+                {"presence_penalty": 5},
+                {"frequency_penalty": "x"},
+                {"seed": "abc"},
+                {"logit_bias": {"x": 1}},
                 {"stop": 42},
                 {"stop": ["ok", 7]},
+                # FakeEngine is a micro-batch engine (no continuous
+                # worker): engine-gated params reject with a clear error.
+                {"logprobs": True},
+                {"presence_penalty": 0.5},
+                {"frequency_penalty": -1},
             ):
                 resp = await client.post(
                     "/v1/chat/completions", json={**base, **bad}
@@ -344,9 +352,9 @@ def test_unsupported_params_rejected():
                 assert resp.status == 400, bad
                 data = await resp.json()
                 assert data["error"]["type"] == "invalid_request_error"
-            # Supported spellings still pass.
-            for ok in ({"n": 1}, {"presence_penalty": 0}, {"stop": "s"},
-                       {"stop": ["a", "b"]}):
+            # Supported spellings still pass (n fans out on any engine).
+            for ok in ({"n": 1}, {"n": 2}, {"presence_penalty": 0},
+                       {"seed": 7}, {"stop": "s"}, {"stop": ["a", "b"]}):
                 resp = await client.post(
                     "/v1/chat/completions", json={**base, **ok}
                 )
