@@ -18,7 +18,8 @@ global invariants that must survive ANY interleaving:
     prompt run alone on a fresh engine (preemption replay + carry
     invalidation + spec verify must all be output-invariant).
 
-Runs on the CPU backend with the tiny config; budget < 60 s.
+Runs on the CPU backend with the tiny config; budget ~3 min (the r3
+sampling-feature variants each compile their own tiny programs).
 """
 
 import random
@@ -101,6 +102,19 @@ def _random_requests(rng: random.Random, n: int):
                 stream=rng.random() < 0.4,
                 stop=["zzzyx"] if rng.random() < 0.3 else None,
                 cancel_after=rng.randint(1, 6) if rng.random() < 0.2 else None,
+                # r3 OpenAI surface: seeded sampled streams must be
+                # EVENT-INVARIANT (position-keyed chains); logprobs and
+                # penalties flip speculation off per chunk; logit_bias
+                # composes with speculation. Randomize them all in so the
+                # mode-flip interplay (dev rebuilds, spec gating) soaks.
+                seed=rng.randint(0, 10_000) if rng.random() < 0.5 else None,
+                logprobs=rng.random() < 0.2,
+                presence_penalty=0.6 if rng.random() < 0.15 else 0.0,
+                frequency_penalty=0.4 if rng.random() < 0.15 else 0.0,
+                logit_bias=(
+                    {rng.randint(0, 500): -100.0} if rng.random() < 0.15
+                    else None
+                ),
             )
         )
     return reqs
@@ -138,6 +152,11 @@ def test_soak_randomized_events(setup):
                 temperature=sp["temperature"],
                 top_p=sp["top_p"],
                 stop=sp["stop"],
+                seed=sp["seed"],
+                logprobs=sp["logprobs"],
+                presence_penalty=sp["presence_penalty"],
+                frequency_penalty=sp["frequency_penalty"],
+                logit_bias=sp["logit_bias"],
                 stream_cb=cb,
             )
             id_of[i] = rid
@@ -170,6 +189,17 @@ def test_soak_randomized_events(setup):
         )
         texts[i] = eng.request_text(rid)
         reasons[i] = req.finished_reason
+        # --- invariant: logprobs stay aligned with emitted tokens ------
+        if specs[i]["logprobs"] and req.finished_reason in (
+            "stop", "length", "repetition"
+        ):
+            n_tok = len(req.prior_output) + len(req.output_ids)
+            assert len(req.output_logprobs) == n_tok, (
+                f"logprob misalignment req {i}: "
+                f"{len(req.output_logprobs)} vs {n_tok}"
+            )
+        elif not specs[i]["logprobs"]:
+            assert req.output_logprobs == []
 
     # --- invariant: streamed deltas == final text ---------------------
     for i, deltas in streams.items():
@@ -191,16 +221,30 @@ def test_soak_randomized_events(setup):
         if sp["temperature"] == 0.0
         and reasons[i] in ("stop", "length")
     ]
-    sample = greedy[:4]
+    # Seeded SAMPLED requests are event-invariant too (position-keyed
+    # per-request chains): replaying one alone must reproduce it exactly.
+    seeded = [
+        i for i, sp in enumerate(specs)
+        if sp["temperature"] > 0.0 and sp["seed"] is not None
+        and reasons[i] in ("stop", "length")
+    ]
+    sample = greedy[:4] + seeded[:3]
     solo = build_engine(setup, num_pages=64, max_slots=2)
     for i in sample:
         sp = specs[i]
-        want = solo.generate_one(
+        rid = solo.submit(
             sp["prompt"], images=sp["images"],
-            max_new_tokens=sp["max_new_tokens"], temperature=0.0,
-            stop=sp["stop"],
+            max_new_tokens=sp["max_new_tokens"],
+            temperature=sp["temperature"], top_p=sp["top_p"],
+            stop=sp["stop"], seed=sp["seed"],
+            presence_penalty=sp["presence_penalty"],
+            frequency_penalty=sp["frequency_penalty"],
+            logit_bias=sp["logit_bias"],
         )
-        assert texts[i] == want, f"greedy divergence req {i}"
+        solo.run()
+        want = solo.take_finished(rid)
+        assert texts[i] == want, f"event-invariance divergence req {i}"
+    assert seeded[:3], "soak produced no finished seeded sampled requests"
 
 
 def test_soak_preemptions_actually_happen(setup):
