@@ -242,3 +242,36 @@ def test_tp2_pallas_int8_kv(setup):
     a = base.generate_one("int8 kernel tp", temperature=0.0, max_new_tokens=6)
     b = eng.generate_one("int8 kernel tp", temperature=0.0, max_new_tokens=6)
     assert a == b
+
+
+def test_tp2_r3_sampling_surface_matches_single_device(setup):
+    """Round-3 sampling features under a model-parallel mesh: seeded
+    sampled streams, logprobs (wider packed fetch), penalties (donated
+    [S, V] count plane — V shards over nothing, GSPMD replicates), and
+    logit_bias (sparse scatter) must all be token-identical to the
+    single-device engine."""
+    mesh = make_mesh(data=1, model=2)
+
+    def run(eng):
+        rids = [
+            eng.submit("seeded sampled", temperature=0.9, top_p=0.9,
+                       seed=77, max_new_tokens=8),
+            eng.submit("penalized row", temperature=0.0,
+                       frequency_penalty=1.5, max_new_tokens=8),
+            eng.submit("biased row", temperature=0.0,
+                       logit_bias={10: -100.0}, max_new_tokens=8),
+            eng.submit("logprob row", temperature=0.0, logprobs=True,
+                       max_new_tokens=8),
+        ]
+        eng.run()
+        out = []
+        for rid in rids:
+            req = eng.finished_request(rid)
+            out.append((list(req.prior_output) + list(req.output_ids),
+                        [round(x, 4) for x in req.output_logprobs]))
+            eng.take_finished(rid)
+        return out
+
+    a = run(build(setup))
+    b = run(build(setup, mesh=mesh))
+    assert a == b
