@@ -43,6 +43,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--model_name", type=str, default="model")
     parser.add_argument("--temperature", type=float, default=0.1)
     parser.add_argument("--top_p", type=float, default=1.0)
+    parser.add_argument(
+        "--seed", type=int, default=None,
+        help="reproducible sampled parses: page i uses seed + i",
+    )
     parser.add_argument("--dpi", type=int, default=200)
     parser.add_argument("--max_completion_tokens", type=int, default=16384)
     parser.add_argument("--num_thread", type=int, default=16)
@@ -81,6 +85,7 @@ def main(argv=None):
         model_name=args.model_name,
         temperature=args.temperature,
         top_p=args.top_p,
+        seed=args.seed,
         max_completion_tokens=args.max_completion_tokens,
         num_thread=args.num_thread,
         dpi=args.dpi,

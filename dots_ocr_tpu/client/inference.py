@@ -34,6 +34,7 @@ def inference_with_server(
     max_completion_tokens: int = 32768,
     model_name: str = "model",
     system_prompt: Optional[str] = None,
+    seed: Optional[int] = None,
     timeout: float = DEFAULT_TIMEOUT_S,
 ) -> Optional[str]:
     """One chat-completion request for one page. Returns the generated text,
@@ -63,6 +64,10 @@ def inference_with_server(
         "temperature": temperature,
         "top_p": top_p,
     }
+    if seed is not None:
+        # Reproducible sampled parses (eval sweeps): the TPU server's
+        # position-keyed chains make this bit-stable under co-batching.
+        payload["seed"] = seed
     headers = {
         "Content-Type": "application/json",
         "Authorization": f"Bearer {os.environ.get('API_KEY', '0')}",

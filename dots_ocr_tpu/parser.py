@@ -59,6 +59,7 @@ class DotsOCRParser:
         use_hf: bool = False,
         use_local: bool = False,
         engine=None,
+        seed: Optional[int] = None,
     ):
         self.dpi = dpi
         self.protocol = protocol
@@ -67,6 +68,10 @@ class DotsOCRParser:
         self.model_name = model_name
         self.temperature = temperature
         self.top_p = top_p
+        # Reproducible eval sweeps: page i of a parse uses seed + i (the
+        # serving engine's position-keyed chains make each page's sampled
+        # stream bit-stable under server-side co-batching). None = off.
+        self.seed = seed
         self.max_completion_tokens = max_completion_tokens
         self.num_thread = num_thread
         self.output_dir = output_dir
@@ -95,8 +100,10 @@ class DotsOCRParser:
             "(set DOTS_OCR_WEIGHTS) — or pass engine= explicitly"
         )
 
-    def _inference(self, image, prompt: str, temperature: Optional[float] = None):
+    def _inference(self, image, prompt: str, temperature: Optional[float] = None,
+                   page_no: int = 0):
         temperature = self.temperature if temperature is None else temperature
+        seed = None if self.seed is None else self.seed + page_no
         if self.use_local:
             return self._engine.generate_one(
                 prompt,
@@ -106,6 +113,7 @@ class DotsOCRParser:
                 max_new_tokens=self.max_completion_tokens,
                 min_pixels=self.min_pixels,
                 max_pixels=self.max_pixels,
+                seed=seed,
             )
         return inference_with_server(
             image,
@@ -117,6 +125,7 @@ class DotsOCRParser:
             top_p=self.top_p,
             max_completion_tokens=self.max_completion_tokens,
             model_name=self.model_name,
+            seed=seed,
         )
 
     def get_prompt(
@@ -187,7 +196,9 @@ class DotsOCRParser:
             max_pixels=max_pixels,
             custom_prompt=custom_prompt,
         )
-        response = self._inference(image, prompt, temperature=temperature)
+        response = self._inference(
+            image, prompt, temperature=temperature, page_no=page_idx
+        )
 
         result = {
             "page_no": page_idx,

@@ -199,3 +199,20 @@ def test_pixel_bound_asserts(tmp_path):
         DotsOCRParser(engine=FakeEngine(), min_pixels=100)
     with pytest.raises(AssertionError):
         DotsOCRParser(engine=FakeEngine(), max_pixels=10**9)
+
+
+def test_seed_passed_per_page(tmp_path, pdf_file):
+    """Parser seed knob: page i submits seed + i (reproducible eval
+    sweeps over the serving engine's position-keyed sampling chains)."""
+    engine = FakeEngine(response="s")
+    parser = _parser(tmp_path, engine=engine, seed=100)
+    parser.parse_file(pdf_file, prompt_mode="prompt_ocr")
+    seeds = sorted(c["kwargs"]["seed"] for c in engine.calls)
+    assert seeds == [100 + i for i in range(len(seeds))]
+
+
+def test_no_seed_by_default(tmp_path, image_file):
+    engine = FakeEngine(response="s")
+    parser = _parser(tmp_path, engine=engine)
+    parser.parse_file(image_file, prompt_mode="prompt_ocr")
+    assert engine.calls[0]["kwargs"]["seed"] is None
