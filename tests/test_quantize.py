@@ -246,3 +246,42 @@ def test_quantized_logits_close_and_engine_runs(tiny):
     out_cb = cb.generate_one("paged int8", temperature=0.0, max_new_tokens=5)
     assert isinstance(out_cb, str)
     assert cb.allocator.free_pages == 63
+
+
+def test_vision_quantized_windowed_path(tiny):
+    """W8A8 tower under the windowed-attention packing (window-major
+    reshape) still tracks bf16 — the r3 opt-in combo for fast prefill."""
+    import dataclasses
+
+    from PIL import Image
+
+    from dots_ocr_tpu.models import preprocess
+    from dots_ocr_tpu.models.vision import encode_images
+
+    cfg, params = tiny
+    vcfg = dataclasses.replace(
+        cfg.vision, window_size=2, full_attn_layers=(1,)
+    )
+    qp = quantize_vision_params(params)
+    rng = np.random.RandomState(11)
+    img = Image.fromarray(rng.randint(0, 255, (112, 84, 3), np.uint8))
+    packed = preprocess.pack_images([img], vcfg, bucket_step=32)
+    args = (
+        jnp.asarray(packed.patches),
+        jnp.asarray(packed.rope_cos),
+        jnp.asarray(packed.rope_sin),
+        jnp.asarray(packed.segment_ids),
+    )
+    kw = dict(
+        window_ids=(
+            jnp.asarray(packed.window_ids)
+            if packed.window_ids is not None else None
+        ),
+    )
+    full = np.asarray(
+        encode_images(params["vision"], vcfg, *args, **kw)
+    )[: packed.num_merged]
+    quant = np.asarray(
+        encode_images(qp["vision"], vcfg, *args, **kw)
+    )[: packed.num_merged]
+    assert np.corrcoef(full.ravel(), quant.ravel())[0, 1] > 0.99
