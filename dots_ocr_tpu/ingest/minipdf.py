@@ -1288,9 +1288,10 @@ def _decode_image_payload(doc: PDFDocument, xobj: StreamObj) -> Optional[Image.I
         except Exception:
             return None
     if filter_names & {"JBIG2Decode"}:
-        # MMR-coded generic regions decode (MMR == T.6/G4, via the same
-        # TIFF framing as CCITT); arithmetic-coded segments (symbol/text
-        # regions) are not supported and return None rather than garbage.
+        # Generic regions decode in both codings: MMR (== T.6/G4, via the
+        # same TIFF framing as CCITT) and arithmetic (MQ coder + template
+        # contexts, ingest/jbig2.py). Symbol/text segments are not
+        # supported and return None rather than garbage.
         parms = doc.resolve(d.get("DecodeParms") or d.get("DP")) or {}
         if isinstance(parms, list):
             parms = next(
@@ -1337,15 +1338,16 @@ def _decode_image_payload(doc: PDFDocument, xobj: StreamObj) -> Optional[Image.I
 def _jbig2_decode(
     data: bytes, globals_data: bytes, width: int, height: int
 ) -> Optional[Image.Image]:
-    """JBIG2 embedded-in-PDF decoder for the MMR profile (ITU T.88).
+    """JBIG2 embedded-in-PDF decoder for generic regions (ITU T.88).
 
     Walks the segment stream (embedded organization: no file header) and
-    composes IMMEDIATE GENERIC REGION segments whose flags select MMR
-    coding — MMR is exactly T.6/G4, decoded through the same TIFF framing
-    the CCITT path uses. Arithmetic-coded regions (generic templates,
-    symbol dictionaries + text regions) return None: an unsupported page
-    must fall through to the caller's no-image behavior, never render
-    wrong bits.
+    composes IMMEDIATE GENERIC REGION segments. MMR coding is exactly
+    T.6/G4, decoded through the same TIFF framing the CCITT path uses;
+    arithmetic coding goes through the MQ decoder + template contexts in
+    `ingest/jbig2.py` (templates 0-3, custom AT, TPGDON). Symbol
+    dictionaries + text regions return None: an unsupported page must
+    fall through to the caller's no-image behavior, never render wrong
+    bits.
     """
     import numpy as np
 
@@ -1398,17 +1400,41 @@ def _jbig2_decode(
             comb_op = payload[16] & 0x7
             gflags = payload[17]
             if not gflags & 0x1:
-                return None  # arithmetic generic coding unsupported
-            if gflags & 0x8:
-                return None  # TPGDON with MMR is invalid anyway
-            mmr = payload[18:]
-            # MINISBLACK framing maps the T.6 black runs to dark pixels,
-            # which is JBIG2's 1 = black convention.
-            img = Image.open(io.BytesIO(_ccitt_to_tiff(
-                mmr, rw, rh, k=-1, black_is_1=False
-            )))
-            img.load()
-            bits = np.asarray(img.convert("L")) < 128
+                # Arithmetic generic coding (T.88 6.2): GBTEMPLATE in
+                # bits 1-2, TPGDON bit 3, then the AT pixel pairs
+                # (4 for template 0, 1 for templates 1-3), then MQ data.
+                from .jbig2 import decode_generic_region
+
+                template = (gflags >> 1) & 0x3
+                tpgdon = bool(gflags & 0x8)
+                n_at = 4 if template == 0 else 1
+                at_end = 18 + 2 * n_at
+                if len(payload) < at_end:
+                    return None
+                at = [
+                    (
+                        int.from_bytes(payload[i : i + 1], "big", signed=True),
+                        int.from_bytes(payload[i + 1 : i + 2], "big", signed=True),
+                    )
+                    for i in range(18, at_end, 2)
+                ]
+                if rw * rh > 64_000_000:  # hostile header guard
+                    return None
+                bits = decode_generic_region(
+                    payload[at_end:], rw, rh,
+                    template=template, at=at, tpgdon=tpgdon,
+                )
+            else:
+                if gflags & 0x8:
+                    return None  # TPGDON with MMR is invalid anyway
+                mmr = payload[18:]
+                # MINISBLACK framing maps the T.6 black runs to dark
+                # pixels, which is JBIG2's 1 = black convention.
+                img = Image.open(io.BytesIO(_ccitt_to_tiff(
+                    mmr, rw, rh, k=-1, black_is_1=False
+                )))
+                img.load()
+                bits = np.asarray(img.convert("L")) < 128
             y1 = min(height, ry + rh)
             x1 = min(width, rx + rw)
             if y1 <= ry or x1 <= rx:

@@ -1623,6 +1623,108 @@ def test_jbig2_mmr_generic_region():
     assert _decode_image_payload(doc, xobj_bad) is None
 
 
+def test_jbig2_mq_coder_round_trip():
+    """The T.88 MQ arithmetic coder round-trips random multi-context bit
+    streams at several skew levels (encoder exists for test gating only)."""
+    import numpy as np
+
+    from dots_ocr_tpu.ingest.jbig2 import MQDecoder, MQEncoder
+
+    rng = np.random.default_rng(7)
+    for p in (0.02, 0.3, 0.5, 0.97):
+        n = 3000
+        bits = (rng.random(n) < p).astype(int)
+        cxs = rng.integers(0, 32, n)
+        enc = MQEncoder(32)
+        for c, b in zip(cxs, bits):
+            enc.encode(int(c), int(b))
+        dec = MQDecoder(enc.flush(), 32)
+        out = [dec.decode(int(c)) for c in cxs]
+        assert out == list(bits)
+
+
+def test_jbig2_generic_region_round_trip_all_templates():
+    """Arithmetic generic regions round-trip for GB templates 0-3, with
+    and without TPGDON, under the pdf.js/jbig2dec context-bit ordering."""
+    import numpy as np
+
+    from dots_ocr_tpu.ingest.jbig2 import (
+        decode_generic_region, encode_generic_region,
+    )
+
+    rng = np.random.default_rng(11)
+    bm = rng.random((48, 72)) < 0.25
+    bm[12:20] = bm[12]  # repeated rows exercise TPGDON's SLTP path
+    bm[30:34, :] = False
+    for template in range(4):
+        for tpgdon in (False, True):
+            data = encode_generic_region(bm, template=template, tpgdon=tpgdon)
+            out = decode_generic_region(
+                data, 72, 48, template=template, tpgdon=tpgdon
+            )
+            assert np.array_equal(out, bm), (template, tpgdon)
+
+
+def test_jbig2_arithmetic_generic_region_in_pdf():
+    """JBIG2 arithmetic profile end to end: an embedded segment stream
+    whose immediate generic region uses MQ coding (template 0, nominal
+    AT) decodes through the PDF image path."""
+    import numpy as np
+
+    from dots_ocr_tpu.ingest import minipdf as mp
+    from dots_ocr_tpu.ingest.jbig2 import NOMINAL_AT, encode_generic_region
+    from dots_ocr_tpu.ingest.minipdf import (
+        Name, StreamObj, _decode_image_payload,
+    )
+
+    w, h = 96, 64
+    arr = np.zeros((h, w), bool)
+    arr[20:30, 10:80] = True  # black bar (JBIG2: 1 = black)
+    arr[40:44, 50:60] = True
+    coded = encode_generic_region(arr, template=0)
+
+    def seg(num, styp, payload, page=1):
+        return (
+            num.to_bytes(4, "big") + bytes([styp]) + b"\x00"
+            + bytes([page]) + len(payload).to_bytes(4, "big") + payload
+        )
+
+    page_info = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + b"\x00" * 8 + b"\x00" + b"\x00\x00"
+    )
+    at_bytes = b"".join(
+        bytes([dx & 0xFF, dy & 0xFF]) for dx, dy in NOMINAL_AT[0]
+    )
+    region = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + b"\x00"          # comb op OR
+        + b"\x00"          # generic flags: arithmetic, template 0
+        + at_bytes
+        + coded
+    )
+    stream = seg(0, 48, page_info) + seg(1, 38, region)
+
+    xobj = StreamObj(
+        {
+            Name("Subtype"): Name("Image"),
+            Name("Width"): w,
+            Name("Height"): h,
+            Name("BitsPerComponent"): 1,
+            Name("ColorSpace"): Name("DeviceGray"),
+            Name("Filter"): Name("JBIG2Decode"),
+        },
+        stream,
+    )
+    doc = mp.PDFDocument(_content_pdf_bytes(b"q Q"))
+    img = _decode_image_payload(doc, xobj)
+    assert img is not None
+    # 1 = black maps to dark pixels.
+    got = np.asarray(img.convert("L")) < 128
+    assert np.array_equal(got, arr)
+
+
 def test_tiling_pattern_fine_hatch_small_period():
     """Regression (review finding): a fine 4-unit hatch on a letter-size
     page needs tens of thousands of small tiles — the cap must bound the
