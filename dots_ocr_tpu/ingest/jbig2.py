@@ -1,21 +1,32 @@
-"""JBIG2 arithmetic decoding: MQ coder + generic region (ITU-T T.88).
+"""JBIG2 arithmetic decoding (ITU-T T.88) for the builtin PDF backend.
 
-Completes the builtin PDF backend's JBIG2 support beyond the MMR profile
-(`minipdf._jbig2_decode`): IMMEDIATE GENERIC REGION segments whose flags
-select arithmetic coding decode here — the MQ arithmetic decoder
-(T.88 Annex E, the same coder JPEG2000 uses) driving the generic-region
-template contexts (T.88 6.2.5, GB templates 0-3, nominal or custom AT
-pixels, TPGDON typical-prediction rows).
+Completes `minipdf._jbig2_decode` beyond the MMR profile:
+
+- the MQ arithmetic decoder (T.88 Annex E, the same coder JPEG2000
+  uses), with coder state separated from context sets so one decoder
+  can drive many procedures within a segment;
+- arithmetic GENERIC REGIONS (T.88 6.2.5: GB templates 0-3, nominal or
+  custom AT pixels, TPGDON typical-prediction rows);
+- arithmetic integer decoding (Annex A: the IADH/IADW/IAEX/... prefix
+  code over a 512-context tree, and the IAID symbol-id tree);
+- SYMBOL DICTIONARY segments (T.88 6.5, SDHUFF=0, SDREFAGG=0) and
+  TEXT REGION segments (T.88 6.4, SBHUFF=0, REFINE=0: all reference
+  corners, transposed placement, strip T offsets, S offsets, the four
+  composition operators) — the profile PDF producers actually emit for
+  scanned text.
+
+Huffman-coded segments, refinement/aggregation, pattern/halftone
+regions are NOT implemented: pages needing them must fall through to
+the caller's no-image behavior rather than render wrong bits.
 
 Context-bit ordering follows the interop-proven convention (template
 pixels sorted by (y, x), MSB first) used by the open-source decoders
-(pdf.js, jbig2dec). Symbol dictionaries / text regions / refinement are
-NOT implemented: pages needing them must fall through to the caller's
-no-image behavior rather than render wrong bits.
+(pdf.js, jbig2dec).
 
-The MQ *encoder* in this module exists for round-trip testing only (no
+The *encoders* in this module exist for round-trip testing only (no
 PDF producer role): decoder correctness is gated by encode->decode
-round-trips over random and structured bitmaps across all templates.
+round-trips over random and structured inputs across templates,
+reference corners, and strip configurations.
 """
 
 from __future__ import annotations
@@ -45,14 +56,23 @@ QE_TABLE = [
 ]
 
 
-class MQDecoder:
-    """T.88 Annex E software-conventions MQ decoder over one context set."""
+class MQContexts:
+    """One adaptive context set (index + MPS per context id)."""
 
-    def __init__(self, data: bytes, num_contexts: int):
-        self.data = data
-        self.n = len(data)
+    __slots__ = ("icx", "mps")
+
+    def __init__(self, num_contexts: int):
         self.icx = np.zeros(num_contexts, np.uint8)
         self.mps = np.zeros(num_contexts, np.uint8)
+
+
+class MQDecoder:
+    """T.88 Annex E software-conventions MQ decoder (state only; context
+    sets are passed per call so one coder serves many procedures)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.n = len(data)
         # INITDEC
         self.bp = 0
         b0 = data[0] if self.n else 0xFF
@@ -80,20 +100,20 @@ class MQDecoder:
             self.c += b1 << 8
             self.ct = 8
 
-    def decode(self, cx: int) -> int:
-        icx = self.icx[cx]
+    def decode(self, ctx: MQContexts, cx: int) -> int:
+        icx = ctx.icx[cx]
         qe, nmps, nlps, switch = QE_TABLE[icx]
         self.a -= qe
         if ((self.c >> 16) & 0xFFFF) < qe:
             # LPS exchange path
             if self.a < qe:
-                d = int(self.mps[cx])
-                self.icx[cx] = nmps
+                d = int(ctx.mps[cx])
+                ctx.icx[cx] = nmps
             else:
-                d = 1 - int(self.mps[cx])
+                d = 1 - int(ctx.mps[cx])
                 if switch:
-                    self.mps[cx] ^= 1
-                self.icx[cx] = nlps
+                    ctx.mps[cx] ^= 1
+                ctx.icx[cx] = nlps
             self.a = qe
             # RENORMD
             while True:
@@ -107,16 +127,16 @@ class MQDecoder:
             return d
         self.c -= qe << 16
         if self.a & 0x8000:
-            return int(self.mps[cx])
+            return int(ctx.mps[cx])
         # MPS exchange path
         if self.a < qe:
-            d = 1 - int(self.mps[cx])
+            d = 1 - int(ctx.mps[cx])
             if switch:
-                self.mps[cx] ^= 1
-            self.icx[cx] = nlps
+                ctx.mps[cx] ^= 1
+            ctx.icx[cx] = nlps
         else:
-            d = int(self.mps[cx])
-            self.icx[cx] = nmps
+            d = int(ctx.mps[cx])
+            ctx.icx[cx] = nmps
         while True:
             if self.ct == 0:
                 self._bytein()
@@ -131,9 +151,7 @@ class MQDecoder:
 class MQEncoder:
     """T.88 Annex E MQ encoder — TEST SUPPORT ONLY (round-trip gating)."""
 
-    def __init__(self, num_contexts: int):
-        self.icx = np.zeros(num_contexts, np.uint8)
-        self.mps = np.zeros(num_contexts, np.uint8)
+    def __init__(self):
         self.a = 0x8000
         self.c = 0
         self.ct = 12
@@ -174,14 +192,14 @@ class MQEncoder:
         if self.b >= 0:
             self.out.append(self.b)
 
-    def encode(self, cx: int, d: int) -> None:
+    def encode(self, ctx: MQContexts, cx: int, d: int) -> None:
         # T.88 Figures E.3/E.4 (CODEMPS/CODELPS). Interval geometry matches
         # the decoder above: lower sub-interval [0,Qe) = LPS, upper = MPS,
         # exchanged when the MPS width A-Qe drops below Qe.
-        icx = self.icx[cx]
+        icx = ctx.icx[cx]
         qe, nmps, nlps, switch = QE_TABLE[icx]
         self.a -= qe
-        if d == self.mps[cx]:
+        if d == ctx.mps[cx]:
             if self.a & 0x8000:
                 self.c += qe
                 return
@@ -189,15 +207,15 @@ class MQEncoder:
                 self.a = qe  # exchange: MPS takes the lower interval
             else:
                 self.c += qe
-            self.icx[cx] = nmps
+            ctx.icx[cx] = nmps
         else:
             if self.a < qe:
                 self.c += qe  # exchange: LPS takes the upper interval
             else:
                 self.a = qe
             if switch:
-                self.mps[cx] ^= 1
-            self.icx[cx] = nlps
+                ctx.mps[cx] ^= 1
+            ctx.icx[cx] = nlps
         while True:
             self.a = (self.a << 1) & 0xFFFF
             self.c = (self.c << 1) & 0xFFFFFFFF
@@ -263,18 +281,23 @@ def decode_generic_region(
     at: Optional[Sequence[Tuple[int, int]]] = None,
     tpgdon: bool = False,
     mq: Optional[MQDecoder] = None,
+    gb: Optional[MQContexts] = None,
 ) -> np.ndarray:
     """Decode one arithmetic generic region -> bool[height, width]
-    (True = black, the JBIG2 convention)."""
+    (True = black, the JBIG2 convention).
+
+    `mq`/`gb` let a symbol dictionary share one coder + one GB context
+    set across all its symbol bitmaps (T.88 6.5.8.1)."""
     pixels = _template(template, at)
     nbits = len(pixels)
     bitmap = np.zeros((height, width), np.uint8)
-    dec = mq or MQDecoder(data, 1 << nbits)
+    dec = mq or MQDecoder(data)
+    ctx = gb if gb is not None else MQContexts(1 << nbits)
     ltp = 0
     sltp_cx = _TPGDON_CONTEXT[template]
     for y in range(height):
         if tpgdon:
-            if dec.decode(sltp_cx):
+            if dec.decode(ctx, sltp_cx):
                 ltp ^= 1
             if ltp:
                 if y > 0:
@@ -293,7 +316,7 @@ def decode_generic_region(
                 else:
                     bit = 0
                 cx = (cx << 1) | bit
-            row[x] = dec.decode(cx)
+            row[x] = dec.decode(ctx, cx)
     return bitmap.astype(bool)
 
 
@@ -302,20 +325,24 @@ def encode_generic_region(
     template: int = 0,
     at: Optional[Sequence[Tuple[int, int]]] = None,
     tpgdon: bool = False,
-) -> bytes:
+    mq: Optional[MQEncoder] = None,
+    gb: Optional[MQContexts] = None,
+) -> Optional[bytes]:
     """TEST SUPPORT: arithmetic-encode a bitmap with the same context
-    model the decoder uses (round-trip gating)."""
+    model the decoder uses (round-trip gating). With an external `mq`,
+    bits are appended and no flush happens (returns None)."""
     bitmap = np.asarray(bitmap, np.uint8)
     height, width = bitmap.shape
     pixels = _template(template, at)
-    enc = MQEncoder(1 << len(pixels))
+    enc = mq or MQEncoder()
+    ctx = gb if gb is not None else MQContexts(1 << len(pixels))
     sltp_cx = _TPGDON_CONTEXT[template]
     ltp = 0
     for y in range(height):
         if tpgdon:
             same = y > 0 and bool(np.array_equal(bitmap[y], bitmap[y - 1]))
             sltp = 1 if same != bool(ltp) else 0
-            enc.encode(sltp_cx, sltp)
+            enc.encode(ctx, sltp_cx, sltp)
             ltp ^= sltp
             if ltp:
                 continue
@@ -330,5 +357,441 @@ def encode_generic_region(
                 else:
                     bit = 0
                 cx = (cx << 1) | bit
-            enc.encode(cx, int(bitmap[y, x]))
-    return enc.flush()
+            enc.encode(ctx, cx, int(bitmap[y, x]))
+    return None if mq is not None else enc.flush()
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic integer decoding (T.88 Annex A) + symbol/text segments.
+# ---------------------------------------------------------------------------
+
+# (offset, suffix bits) per prefix class — A.2's IAx value tree. The class
+# prefix is a unary run of 1s terminated by 0 (last class: five 1s).
+_INT_CLASSES = [(0, 2), (4, 4), (20, 6), (84, 8), (340, 12), (4436, 32)]
+
+
+class ArithIntDecoder:
+    """One IAx procedure (IADH/IADW/IAEX/IAAI/IADT/IAFS/IADS/IAIT/IARI):
+    a 512-context tree over the MQ coder. Returns int, or None for OOB."""
+
+    def __init__(self) -> None:
+        self.ctx = MQContexts(512)
+
+    def decode(self, mq: MQDecoder) -> Optional[int]:
+        ctx = self.ctx
+        prev = 1
+
+        def bit() -> int:
+            nonlocal prev
+            b = mq.decode(ctx, prev)
+            if prev < 256:
+                prev = (prev << 1) | b
+            else:
+                prev = ((((prev << 1) | b) & 511) | 256)
+            return b
+
+        sign = bit()
+        for i, (offset, nbits) in enumerate(_INT_CLASSES):
+            if i < len(_INT_CLASSES) - 1 and bit():
+                continue
+            val = 0
+            for _ in range(nbits):
+                val = (val << 1) | bit()
+            val += offset
+            if sign:
+                return -val if val > 0 else None  # -0 encodes OOB
+            return val
+        raise AssertionError("unreachable")
+
+
+class ArithIntEncoder:
+    """TEST SUPPORT: mirror of :class:`ArithIntDecoder`."""
+
+    def __init__(self) -> None:
+        self.ctx = MQContexts(512)
+
+    def encode(self, mq: MQEncoder, value: Optional[int]) -> None:
+        ctx = self.ctx
+        prev = 1
+
+        def bit(b: int) -> None:
+            nonlocal prev
+            mq.encode(ctx, prev, b)
+            if prev < 256:
+                prev = (prev << 1) | b
+            else:
+                prev = ((((prev << 1) | b) & 511) | 256)
+
+        if value is None:
+            sign, mag = 1, 0  # OOB = negative zero
+        elif value < 0:
+            sign, mag = 1, -value
+        else:
+            sign, mag = 0, value
+        bit(sign)
+        for i, (offset, nbits) in enumerate(_INT_CLASSES):
+            hi = offset + (1 << nbits) - 1
+            last = i == len(_INT_CLASSES) - 1
+            if mag <= hi:
+                if not last:
+                    bit(0)
+                rem = mag - offset
+                for j in range(nbits - 1, -1, -1):
+                    bit((rem >> j) & 1)
+                return
+            bit(1)
+        raise ValueError(f"integer {value} out of JBIG2 range")
+
+
+class IAIDDecoder:
+    """Symbol-id decoding (A.3): a full binary tree of SBSYMCODELEN bits."""
+
+    def __init__(self, code_len: int) -> None:
+        self.code_len = code_len
+        self.ctx = MQContexts(1 << (code_len + 1))
+
+    def decode(self, mq: MQDecoder) -> int:
+        prev = 1
+        for _ in range(self.code_len):
+            prev = (prev << 1) | mq.decode(self.ctx, prev)
+        return prev - (1 << self.code_len)
+
+
+class IAIDEncoder:
+    """TEST SUPPORT: mirror of :class:`IAIDDecoder`."""
+
+    def __init__(self, code_len: int) -> None:
+        self.code_len = code_len
+        self.ctx = MQContexts(1 << (code_len + 1))
+
+    def encode(self, mq: MQEncoder, sym_id: int) -> None:
+        prev = 1
+        for i in range(self.code_len - 1, -1, -1):
+            b = (sym_id >> i) & 1
+            mq.encode(self.ctx, prev, b)
+            prev = (prev << 1) | b
+
+
+def _sym_code_len(num_symbols: int) -> int:
+    """SBSYMCODELEN = max(1, ceil(log2 n)) — the interop (pdf.js) reading
+    of the T.88 errata for single-symbol dictionaries."""
+    n = 0
+    while (1 << n) < num_symbols:
+        n += 1
+    return max(n, 1)
+
+
+_MAX_SYMBOL_PIXELS = 16_000_000
+_MAX_REGION_PIXELS = 64_000_000
+
+
+def decode_symbol_dictionary(
+    payload: bytes, input_symbols: Sequence[np.ndarray]
+) -> Optional[List[np.ndarray]]:
+    """Decode a symbol dictionary segment (T.88 6.5, arithmetic profile:
+    SDHUFF=0, SDREFAGG=0). Returns the exported symbol bitmaps in export
+    order, or None if the segment needs unsupported machinery."""
+    if len(payload) < 2:
+        return None
+    flags = int.from_bytes(payload[0:2], "big")
+    sdhuff = flags & 1
+    sdrefagg = (flags >> 1) & 1
+    ctx_used = flags & 0x100
+    ctx_retained = flags & 0x200
+    template = (flags >> 10) & 3
+    if sdhuff or sdrefagg or ctx_used or ctx_retained:
+        return None
+    pos = 2
+    n_at = 4 if template == 0 else 1
+    if len(payload) < pos + 2 * n_at + 8:
+        return None
+    at = [
+        (
+            int.from_bytes(payload[i : i + 1], "big", signed=True),
+            int.from_bytes(payload[i + 1 : i + 2], "big", signed=True),
+        )
+        for i in range(pos, pos + 2 * n_at, 2)
+    ]
+    pos += 2 * n_at
+    num_ex = int.from_bytes(payload[pos : pos + 4], "big")
+    num_new = int.from_bytes(payload[pos + 4 : pos + 8], "big")
+    pos += 8
+    if num_new > 100_000 or num_ex > 100_000:
+        return None
+    mq = MQDecoder(payload[pos:])
+    iadh = ArithIntDecoder()
+    iadw = ArithIntDecoder()
+    iaex = ArithIntDecoder()
+    gb = MQContexts(1 << 16)  # template 0 is the widest (16 context bits)
+    new_symbols: List[np.ndarray] = []
+    height = 0
+    while len(new_symbols) < num_new:
+        dh = iadh.decode(mq)
+        if dh is None:
+            return None
+        height += dh
+        width = 0
+        while True:
+            dw = iadw.decode(mq)
+            if dw is None:
+                break  # OOB ends this height class
+            width += dw
+            if (
+                width <= 0
+                or height <= 0
+                or width * height > _MAX_SYMBOL_PIXELS
+                or len(new_symbols) >= num_new
+            ):
+                return None
+            new_symbols.append(
+                decode_generic_region(
+                    b"", width, height, template=template, at=at, mq=mq, gb=gb
+                )
+            )
+    # Export flags: alternating runs (not-exported first) over
+    # input symbols ++ new symbols.
+    all_syms = list(input_symbols) + new_symbols
+    export_flags: List[int] = []
+    cur = 0
+    while len(export_flags) < len(all_syms):
+        run = iaex.decode(mq)
+        if run is None or run < 0:
+            return None
+        export_flags.extend([cur] * run)
+        cur ^= 1
+    return [s for s, f in zip(all_syms, export_flags) if f]
+
+
+def _compose(dst: np.ndarray, src: np.ndarray, x0: int, y0: int, op: int) -> None:
+    """Clip-composite src onto dst at (x0, y0) with a JBIG2 external
+    combination operator (0 OR, 1 AND, 2 XOR, 3 XNOR, 4 REPLACE)."""
+    H, W = dst.shape
+    h, w = src.shape
+    xa, ya = max(x0, 0), max(y0, 0)
+    xb, yb = min(x0 + w, W), min(y0 + h, H)
+    if xa >= xb or ya >= yb:
+        return
+    sub = src[ya - y0 : yb - y0, xa - x0 : xb - x0]
+    region = dst[ya:yb, xa:xb]
+    if op == 0:
+        region |= sub
+    elif op == 1:
+        region &= sub
+    elif op == 2:
+        region ^= sub
+    elif op == 3:
+        region[:] = ~(region ^ sub)
+    else:
+        region[:] = sub
+
+
+def decode_text_region(
+    payload: bytes, symbols: Sequence[np.ndarray]
+) -> Optional[Tuple[np.ndarray, int, int, int]]:
+    """Decode a text region segment (T.88 6.4, arithmetic profile:
+    SBHUFF=0, REFINE=0). Returns (bitmap, x, y, external_comb_op) or
+    None if the segment needs unsupported machinery."""
+    if len(payload) < 23 or not symbols:
+        return None
+    rw = int.from_bytes(payload[0:4], "big")
+    rh = int.from_bytes(payload[4:8], "big")
+    rx = int.from_bytes(payload[8:12], "big")
+    ry = int.from_bytes(payload[12:16], "big")
+    ext_comb = payload[16] & 0x7
+    flags = int.from_bytes(payload[17:19], "big")
+    sbhuff = flags & 1
+    refine = (flags >> 1) & 1
+    strips = 1 << ((flags >> 2) & 3)
+    ref_corner = (flags >> 4) & 3
+    transposed = (flags >> 6) & 1
+    sb_comb = (flags >> 7) & 3
+    def_pixel = (flags >> 9) & 1
+    ds_offset = (flags >> 10) & 0x1F
+    if ds_offset > 15:
+        ds_offset -= 32  # signed 5-bit field
+    if sbhuff or refine:
+        return None
+    if rw * rh > _MAX_REGION_PIXELS:
+        return None
+    pos = 19
+    num_instances = int.from_bytes(payload[pos : pos + 4], "big")
+    pos += 4
+    if num_instances > 1_000_000:
+        return None
+    code_len = _sym_code_len(len(symbols))
+    mq = MQDecoder(payload[pos:])
+    iadt = ArithIntDecoder()
+    iafs = ArithIntDecoder()
+    iads = ArithIntDecoder()
+    iait = ArithIntDecoder()
+    iaid = IAIDDecoder(code_len)
+
+    bitmap = np.full((rh, rw), bool(def_pixel))
+    dt0 = iadt.decode(mq)
+    if dt0 is None:
+        return None
+    stript = -dt0  # in strip units
+    firsts = 0
+    inst = 0
+    while inst < num_instances:
+        dt = iadt.decode(mq)
+        if dt is None:
+            return None
+        stript += dt
+        dfs = iafs.decode(mq)
+        if dfs is None:
+            return None
+        firsts += dfs
+        curs = firsts
+        first = True
+        while inst < num_instances:
+            if not first:
+                ids = iads.decode(mq)
+                if ids is None:
+                    break  # OOB ends this strip
+                curs += ids + ds_offset
+            first = False
+            curt = 0
+            if strips > 1:
+                curt_v = iait.decode(mq)
+                if curt_v is None:
+                    return None
+                curt = curt_v
+            t = strips * stript + curt
+            sym_id = iaid.decode(mq)
+            if sym_id >= len(symbols):
+                return None
+            sym = symbols[sym_id]
+            hi, wi = sym.shape
+            # Reference corners: 0 BL, 1 TL, 2 BR, 3 TR. Along the S axis
+            # the span is [curs, curs+adv] regardless of corner (T.88
+            # 6.4.5 advances CURS before drawing for the far corners);
+            # the T axis anchors top/left vs bottom/right.
+            if transposed:
+                x0 = t - (wi - 1 if ref_corner & 2 else 0)
+                y0 = curs
+                adv = hi - 1
+            else:
+                x0 = curs
+                y0 = t - (0 if ref_corner & 1 else hi - 1)
+                adv = wi - 1
+            _compose(bitmap, sym, x0, y0, sb_comb)
+            curs += adv
+            inst += 1
+        else:
+            # instance budget reached mid-strip: consume the strip's
+            # trailing OOB so well-formed streams end cleanly
+            iads.decode(mq)
+    return bitmap, rx, ry, ext_comb
+
+
+def encode_symbol_dictionary(
+    symbols: Sequence[np.ndarray], template: int = 0
+) -> bytes:
+    """TEST SUPPORT: build a symbol-dictionary segment payload exporting
+    every symbol. Symbols must be grouped by non-decreasing is not
+    required — consecutive equal heights form one height class."""
+    mq = MQEncoder()
+    iadh = ArithIntEncoder()
+    iadw = ArithIntEncoder()
+    iaex = ArithIntEncoder()
+    gb = MQContexts(1 << 16)
+    at = NOMINAL_AT[template]
+    height = 0
+    i = 0
+    n = len(symbols)
+    while i < n:
+        h = symbols[i].shape[0]
+        iadh.encode(mq, h - height)
+        height = h
+        width = 0
+        while i < n and symbols[i].shape[0] == h:
+            w = symbols[i].shape[1]
+            iadw.encode(mq, w - width)
+            width = w
+            encode_generic_region(
+                np.asarray(symbols[i], np.uint8), template=template,
+                at=at, mq=mq, gb=gb,
+            )
+            i += 1
+        iadw.encode(mq, None)  # OOB: height class done
+    iaex.encode(mq, 0)  # run of not-exported
+    iaex.encode(mq, n)  # run of exported: everything
+    data = mq.flush()
+    flags = (template & 3) << 10
+    at_bytes = b"".join(bytes([dx & 0xFF, dy & 0xFF]) for dx, dy in at)
+    return (
+        flags.to_bytes(2, "big") + at_bytes
+        + n.to_bytes(4, "big") + n.to_bytes(4, "big") + data
+    )
+
+
+def encode_text_region(
+    rw: int,
+    rh: int,
+    rx: int,
+    ry: int,
+    ext_comb: int,
+    symbols: Sequence[np.ndarray],
+    instances: Sequence[Tuple[int, int, int]],
+    strips: int = 1,
+    ref_corner: int = 1,
+    transposed: bool = False,
+    ds_offset: int = 0,
+    def_pixel: int = 0,
+    sb_comb: int = 0,
+) -> bytes:
+    """TEST SUPPORT: build a text-region segment payload. `instances` is
+    a list of (sym_id, s, t): s = the CURS value at draw time, t = the T
+    coordinate in pixels; consecutive instances with the same strip
+    (t // strips) share one strip record. Within a strip, s must be
+    reachable (non-first instances encode ids = s - curs - ds_offset)."""
+    log_strips = {1: 0, 2: 1, 4: 2, 8: 3}[strips]
+    code_len = _sym_code_len(len(symbols))
+    mq = MQEncoder()
+    iadt = ArithIntEncoder()
+    iafs = ArithIntEncoder()
+    iads = ArithIntEncoder()
+    iait = ArithIntEncoder()
+    iaid = IAIDEncoder(code_len)
+    iadt.encode(mq, 0)  # initial STRIPT = 0
+    # group consecutive instances by strip unit
+    groups: List[Tuple[int, List[Tuple[int, int, int]]]] = []
+    for sym_id, s, t in instances:
+        unit = t // strips
+        if groups and groups[-1][0] == unit:
+            groups[-1][1].append((sym_id, s, t))
+        else:
+            groups.append((unit, [(sym_id, s, t)]))
+    prev_unit = 0
+    firsts = 0
+    for unit, group in groups:
+        iadt.encode(mq, unit - prev_unit)
+        prev_unit = unit
+        iafs.encode(mq, group[0][1] - firsts)
+        firsts = group[0][1]
+        curs = firsts
+        for j, (sym_id, s, t) in enumerate(group):
+            if j > 0:
+                iads.encode(mq, s - curs - ds_offset)
+                curs = s
+            curt = t - unit * strips
+            if strips > 1:
+                iait.encode(mq, curt)
+            elif curt:
+                raise ValueError("t not on strip grid")
+            iaid.encode(mq, sym_id)
+            hi, wi = symbols[sym_id].shape
+            curs += (hi - 1) if transposed else (wi - 1)
+        iads.encode(mq, None)  # OOB ends strip
+    data = mq.flush()
+    flags = (
+        (log_strips << 2) | (ref_corner << 4) | (int(transposed) << 6)
+        | (sb_comb << 7) | (def_pixel << 9) | ((ds_offset & 0x1F) << 10)
+    )
+    return (
+        rw.to_bytes(4, "big") + rh.to_bytes(4, "big")
+        + rx.to_bytes(4, "big") + ry.to_bytes(4, "big")
+        + bytes([ext_comb]) + flags.to_bytes(2, "big")
+        + len(instances).to_bytes(4, "big") + data
+    )

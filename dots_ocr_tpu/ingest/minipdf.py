@@ -1373,22 +1373,73 @@ def _jbig2_decode(
             else:
                 pos += 1
             ref_size = 1 if seg_num <= 256 else (2 if seg_num <= 65536 else 4)
+            refs = [
+                int.from_bytes(buf[pos + i * ref_size : pos + (i + 1) * ref_size], "big")
+                for i in range(count)
+            ]
             pos += count * ref_size
             pos += 4 if page_assoc_4 else 1
             length = int.from_bytes(buf[pos : pos + 4], "big")
             pos += 4
             if length == 0xFFFFFFFF:  # unknown length: cannot walk past
                 return
-            yield seg_type, buf[pos : pos + length]
+            yield seg_num, seg_type, refs, buf[pos : pos + length]
             pos += length
 
+    def compose(bits, rx, ry, comb_op):
+        nonlocal painted
+        y1 = min(height, ry + bits.shape[0])
+        x1 = min(width, rx + bits.shape[1])
+        if y1 <= ry or x1 <= rx:
+            return
+        sub = bits[: y1 - ry, : x1 - rx]
+        if comb_op == 1:  # AND
+            page[ry:y1, rx:x1] &= sub
+        elif comb_op == 2:  # XOR
+            page[ry:y1, rx:x1] ^= sub
+        elif comb_op == 3:  # XNOR
+            page[ry:y1, rx:x1] = ~(page[ry:y1, rx:x1] ^ sub)
+        elif comb_op == 4:  # REPLACE
+            page[ry:y1, rx:x1] = sub
+        else:  # OR
+            page[ry:y1, rx:x1] |= sub
+        painted = True
+
+    sym_dicts: dict = {}  # segment number -> exported symbol bitmaps
     for buf in (globals_data, data):
-        for seg_type, payload in segments(buf):
+        for seg_num, seg_type, refs, payload in segments(buf):
+            if seg_type == 0:  # symbol dictionary
+                from .jbig2 import decode_symbol_dictionary
+
+                inputs = []
+                for r in refs:
+                    inputs.extend(sym_dicts.get(r, []))
+                syms = decode_symbol_dictionary(payload, inputs)
+                if syms is None:
+                    return None
+                sym_dicts[seg_num] = syms
+                continue
+            if seg_type in (6, 7):  # immediate text region
+                from .jbig2 import decode_text_region
+
+                symbols = []
+                for r in refs:
+                    symbols.extend(sym_dicts.get(r, []))
+                res = decode_text_region(payload, symbols)
+                if res is None:
+                    return None
+                tbits, trx, try_, tcomb = res
+                compose(tbits, trx, try_, tcomb)
+                continue
+            if seg_type == 48 and len(payload) >= 17:
+                if not painted and (payload[16] >> 2) & 1:
+                    page[:] = True  # page default pixel value = 1
+                continue
             if seg_type not in (36, 38, 39):  # generic region variants
-                # Page info (48), end markers etc. are skippable; any
-                # symbol/text machinery means the page needs the
-                # arithmetic decoder we do not have.
-                if seg_type in (0, 4, 6, 7, 16, 20, 22, 23, 40, 42, 43):
+                # End markers / extensions are skippable; halftone,
+                # refinement, huffman tables and intermediate text
+                # regions (4) mean machinery we do not have.
+                if seg_type in (4, 16, 20, 22, 23, 40, 42, 43, 53):
                     return None
                 continue
             if len(payload) < 18:
@@ -1435,22 +1486,7 @@ def _jbig2_decode(
                 )))
                 img.load()
                 bits = np.asarray(img.convert("L")) < 128
-            y1 = min(height, ry + rh)
-            x1 = min(width, rx + rw)
-            if y1 <= ry or x1 <= rx:
-                continue
-            sub = bits[: y1 - ry, : x1 - rx]
-            if comb_op == 1:  # AND
-                page[ry:y1, rx:x1] &= sub
-            elif comb_op == 2:  # XOR
-                page[ry:y1, rx:x1] ^= sub
-            elif comb_op == 3:  # XNOR
-                page[ry:y1, rx:x1] = ~(page[ry:y1, rx:x1] ^ sub)
-            elif comb_op == 4:  # REPLACE
-                page[ry:y1, rx:x1] = sub
-            else:  # OR
-                page[ry:y1, rx:x1] |= sub
-            painted = True
+            compose(bits, rx, ry, comb_op)
     if not painted:
         return None
     return Image.fromarray(np.where(page, 0, 255).astype(np.uint8), "L")

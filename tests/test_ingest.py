@@ -1628,18 +1628,20 @@ def test_jbig2_mq_coder_round_trip():
     streams at several skew levels (encoder exists for test gating only)."""
     import numpy as np
 
-    from dots_ocr_tpu.ingest.jbig2 import MQDecoder, MQEncoder
+    from dots_ocr_tpu.ingest.jbig2 import MQContexts, MQDecoder, MQEncoder
 
     rng = np.random.default_rng(7)
     for p in (0.02, 0.3, 0.5, 0.97):
         n = 3000
         bits = (rng.random(n) < p).astype(int)
         cxs = rng.integers(0, 32, n)
-        enc = MQEncoder(32)
+        enc = MQEncoder()
+        ectx = MQContexts(32)
         for c, b in zip(cxs, bits):
-            enc.encode(int(c), int(b))
-        dec = MQDecoder(enc.flush(), 32)
-        out = [dec.decode(int(c)) for c in cxs]
+            enc.encode(ectx, int(c), int(b))
+        dec = MQDecoder(enc.flush())
+        dctx = MQContexts(32)
+        out = [dec.decode(dctx, int(c)) for c in cxs]
         assert out == list(bits)
 
 
@@ -1723,6 +1725,176 @@ def test_jbig2_arithmetic_generic_region_in_pdf():
     # 1 = black maps to dark pixels.
     got = np.asarray(img.convert("L")) < 128
     assert np.array_equal(got, arr)
+
+
+def test_jbig2_arith_int_coder_round_trip():
+    """The Annex A arithmetic integer coder round-trips every prefix
+    class boundary, negatives, and the OOB sentinel."""
+    from dots_ocr_tpu.ingest.jbig2 import (
+        ArithIntDecoder, ArithIntEncoder, MQDecoder, MQEncoder,
+    )
+
+    vals = [
+        0, 1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436, 123456,
+        -1, -4, -20, -84, -340, -4436, -999999, None, 7, None,
+    ]
+    enc = MQEncoder()
+    ie = ArithIntEncoder()
+    for v in vals:
+        ie.encode(enc, v)
+    dec = MQDecoder(enc.flush())
+    idd = ArithIntDecoder()
+    assert [idd.decode(dec) for _ in vals] == vals
+
+
+def test_jbig2_symbol_dictionary_round_trip():
+    """Symbol dictionaries (SDHUFF=0, SDREFAGG=0) round-trip: height
+    classes, per-class width deltas, shared GB contexts, export runs."""
+    import numpy as np
+
+    from dots_ocr_tpu.ingest.jbig2 import (
+        decode_symbol_dictionary, encode_symbol_dictionary,
+    )
+
+    rng = np.random.default_rng(3)
+    symbols = [
+        rng.random((h, w)) < 0.4
+        for h, w in [(8, 5), (8, 7), (10, 6), (12, 12), (12, 4)]
+    ]
+    for template in (0, 2):
+        payload = encode_symbol_dictionary(symbols, template=template)
+        out = decode_symbol_dictionary(payload, [])
+        assert out is not None and len(out) == len(symbols)
+        for a, b in zip(out, symbols):
+            assert np.array_equal(a, b)
+    # Huffman-coded dictionaries are out of scope -> None, not garbage.
+    huff = bytearray(encode_symbol_dictionary(symbols))
+    huff[1] |= 1  # SDHUFF
+    assert decode_symbol_dictionary(bytes(huff), []) is None
+
+
+def test_jbig2_text_region_geometry():
+    """Text-region placement matches T.88 6.4.5 for all four reference
+    corners, transposed mode, multi-row strips, and negative SBDSOFFSET."""
+    import numpy as np
+
+    from dots_ocr_tpu.ingest.jbig2 import (
+        decode_text_region, encode_text_region,
+    )
+
+    rng = np.random.default_rng(5)
+    symbols = [rng.random((h, w)) < 0.5 for h, w in [(6, 4), (9, 7), (5, 11)]]
+
+    def ref_place(insts, corner, transposed, shape=(40, 50)):
+        ref = np.zeros(shape, bool)
+        for sid, s, t in insts:
+            sym = symbols[sid]
+            h, w = sym.shape
+            if transposed:
+                y0, x0 = s, t - (w - 1 if corner & 2 else 0)
+            else:
+                x0, y0 = s, t - (0 if corner & 1 else h - 1)
+            ya, xa = max(y0, 0), max(x0, 0)
+            yb = min(y0 + h, shape[0])
+            xb = min(x0 + w, shape[1])
+            if ya < yb and xa < xb:
+                ref[ya:yb, xa:xb] |= sym[ya - y0 : yb - y0, xa - x0 : xb - x0]
+        return ref
+
+    insts = [(0, 2, 12), (1, 14, 12), (2, 25, 30), (0, 4, 30)]
+    for corner in range(4):
+        for transposed in (False, True):
+            payload = encode_text_region(
+                50, 40, 0, 0, 0, symbols, insts,
+                strips=1, ref_corner=corner, transposed=transposed,
+            )
+            res = decode_text_region(payload, symbols)
+            assert res is not None
+            assert np.array_equal(res[0], ref_place(insts, corner, transposed)), (
+                corner, transposed,
+            )
+
+    # strips=4 (IAIT per-instance T offsets) + negative SBDSOFFSET
+    insts = [(0, 2, 13), (1, 14, 14), (2, 27, 12), (0, 5, 33)]
+    payload = encode_text_region(
+        50, 40, 0, 0, 0, symbols, insts, strips=4, ref_corner=1, ds_offset=-3,
+    )
+    res = decode_text_region(payload, symbols)
+    assert np.array_equal(res[0], ref_place(insts, 1, False))
+
+    # SBDEFPIXEL=1 with AND composition
+    payload = encode_text_region(
+        30, 20, 0, 0, 0, symbols, [(1, 5, 3)],
+        strips=1, ref_corner=1, def_pixel=1, sb_comb=1,
+    )
+    res = decode_text_region(payload, symbols)
+    ref = np.ones((20, 30), bool)
+    ref[3:12, 5:12] &= symbols[1]
+    assert np.array_equal(res[0], ref)
+
+
+def test_jbig2_symbol_text_page_in_pdf():
+    """The scanned-text JBIG2 profile end to end: a symbol dictionary +
+    an immediate text region referring to it decode through the PDF
+    image path into the expected page bitmap."""
+    import numpy as np
+
+    from dots_ocr_tpu.ingest import minipdf as mp
+    from dots_ocr_tpu.ingest.jbig2 import (
+        encode_symbol_dictionary, encode_text_region,
+    )
+    from dots_ocr_tpu.ingest.minipdf import (
+        Name, StreamObj, _decode_image_payload,
+    )
+
+    rng = np.random.default_rng(9)
+    glyphs = [rng.random((10, w)) < 0.45 for w in (6, 8, 5, 9)]
+    w, h = 120, 60
+    # Two "lines of text": symbol instances along two baselines.
+    insts = [
+        (0, 5, 8), (1, 14, 8), (2, 26, 8), (3, 34, 8), (0, 46, 8),
+        (3, 5, 30), (2, 17, 30), (1, 25, 30), (0, 36, 30),
+    ]
+    dict_payload = encode_symbol_dictionary(glyphs, template=0)
+    text_payload = encode_text_region(w, h, 0, 0, 0, glyphs, insts, ref_corner=1)
+
+    def seg(num, styp, payload, refs=(), page=1):
+        # short referred-to form: count<=4 in the top 3 bits, 1-byte refs
+        return (
+            num.to_bytes(4, "big") + bytes([styp])
+            + bytes([len(refs) << 5]) + bytes(refs)
+            + bytes([page]) + len(payload).to_bytes(4, "big") + payload
+        )
+
+    page_info = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + b"\x00" * 8 + b"\x00" + b"\x00\x00"
+    )
+    stream = (
+        seg(0, 48, page_info)
+        + seg(1, 0, dict_payload)
+        + seg(2, 6, text_payload, refs=[1])
+    )
+    xobj = StreamObj(
+        {
+            Name("Subtype"): Name("Image"),
+            Name("Width"): w,
+            Name("Height"): h,
+            Name("BitsPerComponent"): 1,
+            Name("ColorSpace"): Name("DeviceGray"),
+            Name("Filter"): Name("JBIG2Decode"),
+        },
+        stream,
+    )
+    doc = mp.PDFDocument(_content_pdf_bytes(b"q Q"))
+    img = _decode_image_payload(doc, xobj)
+    assert img is not None
+    got = np.asarray(img.convert("L")) < 128
+    ref = np.zeros((h, w), bool)
+    for sid, s, t in insts:
+        g = glyphs[sid]
+        ref[t : t + g.shape[0], s : s + g.shape[1]] |= g
+    assert np.array_equal(got, ref)
 
 
 def test_tiling_pattern_fine_hatch_small_period():
