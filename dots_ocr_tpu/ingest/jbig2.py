@@ -289,6 +289,16 @@ def decode_generic_region(
     `mq`/`gb` let a symbol dictionary share one coder + one GB context
     set across all its symbol bitmaps (T.88 6.5.8.1)."""
     pixels = _template(template, at)
+    if mq is None and gb is None:
+        # Standalone region (no shared coder state): the C++ fast path
+        # decodes full-page regions ~2 orders of magnitude faster.
+        from ..native import jbig2_generic_native
+
+        out = jbig2_generic_native(
+            data, width, height, pixels, tpgdon, _TPGDON_CONTEXT[template]
+        )
+        if out is not None:
+            return out
     nbits = len(pixels)
     bitmap = np.zeros((height, width), np.uint8)
     dec = mq or MQDecoder(data)

@@ -90,6 +90,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_long,
             ctypes.c_void_p,
         ]
+        lib.jbig2_generic.restype = ctypes.c_int
+        lib.jbig2_generic.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p,
+        ]
         _LIB = lib
     except Exception:  # noqa: BLE001
         logger.exception("native library unavailable; using Python fallbacks")
@@ -159,6 +165,32 @@ def rc4_native(key: bytes, data: bytes) -> Optional[bytes]:
     lib.rc4(key, len(key), data, len(data),
             out.ctypes.data_as(ctypes.c_void_p))
     return out.tobytes()
+
+
+def jbig2_generic_native(
+    data: bytes,
+    width: int,
+    height: int,
+    pixels: "list[tuple[int, int]]",
+    tpgdon: bool,
+    sltp_cx: int,
+) -> "Optional[np.ndarray]":
+    """Native arithmetic JBIG2 generic-region decode (full MQ coder in
+    C++). Returns bool[height, width], or None (use the Python path)."""
+    lib = get_lib()
+    if lib is None or not (0 < len(pixels) <= 16):
+        return None
+    dx = np.array([p[0] for p in pixels], np.int8)
+    dy = np.array([p[1] for p in pixels], np.int8)
+    out = np.empty((height, width), np.uint8)
+    rc = lib.jbig2_generic(
+        data, len(data), width, height, len(pixels),
+        dx.ctypes.data_as(ctypes.c_void_p), dy.ctypes.data_as(ctypes.c_void_p),
+        int(tpgdon), sltp_cx, out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        return None
+    return out.astype(bool)
 
 
 def patchify_native(

@@ -12,6 +12,7 @@
 //   composite_over(dst, src, mask, n)       -> alpha-composite helper
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 
 extern "C" {
@@ -250,6 +251,154 @@ long patchify(const unsigned char* img, int H, int W, int C, int p,
                         (size_t)row_bytes);
         }
     }
+    return 0;
+}
+
+// ---------------------------------------------------------------------
+// JBIG2 arithmetic generic-region decode (ITU-T T.88). Mirrors
+// ingest/jbig2.py exactly (MQ coder Annex E + template contexts with
+// the (y,x)-sorted MSB-first bit ordering); full-page generic regions
+// are per-pixel sequential and ~2 orders of magnitude faster here.
+
+static const uint16_t kQe[47] = {
+    0x5601, 0x3401, 0x1801, 0x0AC1, 0x0521, 0x0221, 0x5601, 0x5401,
+    0x4801, 0x3801, 0x3001, 0x2401, 0x1C01, 0x1601, 0x5601, 0x5401,
+    0x5101, 0x4801, 0x3801, 0x3401, 0x3001, 0x2801, 0x2401, 0x2201,
+    0x1C01, 0x1801, 0x1601, 0x1401, 0x1201, 0x1101, 0x0AC1, 0x09C1,
+    0x08A1, 0x0521, 0x0441, 0x02A1, 0x0221, 0x0141, 0x0111, 0x0085,
+    0x0049, 0x0025, 0x0015, 0x0009, 0x0005, 0x0001, 0x5601};
+static const uint8_t kNMPS[47] = {
+    1,  2,  3,  4,  5,  38, 7,  8,  9,  10, 11, 12, 13, 29, 15, 16,
+    17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32,
+    33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 45, 46};
+static const uint8_t kNLPS[47] = {
+    1,  6,  9,  12, 29, 33, 6,  14, 14, 14, 17, 18, 20, 21, 14, 14,
+    15, 16, 17, 18, 19, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29,
+    30, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 46};
+static const uint8_t kSwitch[47] = {
+    1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0};
+
+typedef struct {
+    const uint8_t* data;
+    long n, bp;
+    uint32_t c, a;
+    int ct;
+} MQDec;
+
+static void mq_bytein(MQDec* d) {
+    uint8_t b = d->bp < d->n ? d->data[d->bp] : 0xFF;
+    if (b == 0xFF) {
+        uint8_t b1 = d->bp + 1 < d->n ? d->data[d->bp + 1] : 0xFF;
+        if (b1 > 0x8F) {
+            d->c += 0xFF00;
+            d->ct = 8;
+        } else {
+            d->bp += 1;
+            d->c += (uint32_t)b1 << 9;
+            d->ct = 7;
+        }
+    } else {
+        d->bp += 1;
+        uint8_t b1 = d->bp < d->n ? d->data[d->bp] : 0xFF;
+        d->c += (uint32_t)b1 << 8;
+        d->ct = 8;
+    }
+}
+
+static void mq_init(MQDec* d, const uint8_t* data, long n) {
+    d->data = data;
+    d->n = n;
+    d->bp = 0;
+    d->c = (uint32_t)(n ? data[0] : 0xFF) << 16;
+    mq_bytein(d);
+    d->c <<= 7;
+    d->ct -= 7;
+    d->a = 0x8000;
+}
+
+static int mq_decode(MQDec* d, uint8_t* icx, uint8_t* mps, int cx) {
+    uint8_t i = icx[cx];
+    uint32_t qe = kQe[i];
+    int dbit;
+    d->a -= qe;
+    if (((d->c >> 16) & 0xFFFF) < qe) {
+        if (d->a < qe) {
+            dbit = mps[cx];
+            icx[cx] = kNMPS[i];
+        } else {
+            dbit = 1 - mps[cx];
+            if (kSwitch[i]) mps[cx] ^= 1;
+            icx[cx] = kNLPS[i];
+        }
+        d->a = qe;
+        do {
+            if (d->ct == 0) mq_bytein(d);
+            d->a = (d->a << 1) & 0xFFFF;
+            d->c <<= 1;
+            d->ct -= 1;
+        } while (!(d->a & 0x8000));
+        return dbit;
+    }
+    d->c -= qe << 16;
+    if (d->a & 0x8000) return mps[cx];
+    if (d->a < qe) {
+        dbit = 1 - mps[cx];
+        if (kSwitch[i]) mps[cx] ^= 1;
+        icx[cx] = kNLPS[i];
+    } else {
+        dbit = mps[cx];
+        icx[cx] = kNMPS[i];
+    }
+    do {
+        if (d->ct == 0) mq_bytein(d);
+        d->a = (d->a << 1) & 0xFFFF;
+        d->c <<= 1;
+        d->ct -= 1;
+    } while (!(d->a & 0x8000));
+    return dbit;
+}
+
+// out: uint8[height*width] (0/1). dx/dy: template pixel offsets sorted
+// by (dy, dx), MSB first — npix <= 16. Returns 0, or -1 on bad input.
+int jbig2_generic(const uint8_t* data, long n, int width, int height,
+                  int npix, const int8_t* dx, const int8_t* dy,
+                  int tpgdon, int sltp_cx, uint8_t* out) {
+    if (npix <= 0 || npix > 16 || width <= 0 || height <= 0) return -1;
+    int ncx = 1 << npix;
+    uint8_t* icx = (uint8_t*)calloc((size_t)ncx * 2, 1);
+    if (!icx) return -1;
+    uint8_t* mps = icx + ncx;
+    MQDec d;
+    mq_init(&d, data, n);
+    int ltp = 0;
+    for (int y = 0; y < height; ++y) {
+        if (tpgdon) {
+            if (mq_decode(&d, icx, mps, sltp_cx)) ltp ^= 1;
+            if (ltp) {
+                if (y > 0)
+                    std::memcpy(out + (long)y * width,
+                                out + (long)(y - 1) * width, (size_t)width);
+                else
+                    std::memset(out + (long)y * width, 0, (size_t)width);
+                continue;
+            }
+        }
+        uint8_t* row = out + (long)y * width;
+        for (int x = 0; x < width; ++x) {
+            int cx = 0;
+            for (int k = 0; k < npix; ++k) {
+                int xx = x + dx[k], yy = y + dy[k];
+                int bit = 0;
+                if (yy >= 0 && yy < height && xx >= 0 && xx < width &&
+                    (yy < y || (yy == y && xx < x)))
+                    bit = out[(long)yy * width + xx];
+                cx = (cx << 1) | bit;
+            }
+            row[x] = (uint8_t)mq_decode(&d, icx, mps, cx);
+        }
+    }
+    free(icx);
     return 0;
 }
 

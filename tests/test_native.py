@@ -196,3 +196,41 @@ def test_native_lzw_and_rc4_match_python():
             out[n] = c ^ s[(s[i] + s[j]) & 0xFF]
         assert rc4_native(key, data) == bytes(out)
         assert rc4_native(key, rc4_native(key, data)) == data  # involution
+
+
+def test_jbig2_generic_native_matches_python():
+    """The C++ JBIG2 generic-region decoder is bit-identical to the
+    Python MQ path across templates, TPGDON, and custom AT pixels."""
+    import numpy as np
+
+    from dots_ocr_tpu.ingest.jbig2 import (
+        MQContexts, MQDecoder, _template, _TPGDON_CONTEXT,
+        decode_generic_region, encode_generic_region,
+    )
+    from dots_ocr_tpu.native import jbig2_generic_native
+
+    if jbig2_generic_native(b"", 1, 1, [(-1, 0)], False, 0) is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(17)
+    for template in range(4):
+        for tpgdon in (False, True):
+            at = [(1, -1)] if template else [(1, -1), (-2, -1), (2, -2), (-1, -2)]
+            bm = rng.random((37, 53)) < 0.35
+            bm[8:14] = bm[8]
+            data = encode_generic_region(
+                bm, template=template, at=at, tpgdon=tpgdon
+            )
+            pixels = _template(template, at)
+            nat = jbig2_generic_native(
+                data, 53, 37, pixels, tpgdon, _TPGDON_CONTEXT[template]
+            )
+            # Force the pure-Python path by supplying shared coder state.
+            py = decode_generic_region(
+                data, 53, 37, template=template, at=at, tpgdon=tpgdon,
+                mq=MQDecoder(data), gb=MQContexts(1 << len(pixels)),
+            )
+            assert nat is not None
+            assert np.array_equal(nat, py) and np.array_equal(nat, bm)
