@@ -528,6 +528,22 @@ def decode_symbol_dictionary(
     pos += 8
     if num_new > 100_000 or num_ex > 100_000:
         return None
+    from ..native import jbig2_symbol_dict_native
+
+    native = jbig2_symbol_dict_native(
+        payload[pos:], _template(template, at), num_new, len(input_symbols)
+    )
+    if native is not None:
+        dims, bits, export = native
+        new_symbols = []
+        used = 0
+        for h, w in dims[:num_new]:
+            new_symbols.append(
+                bits[used : used + h * w].reshape(h, w).astype(bool)
+            )
+            used += h * w
+        all_syms = list(input_symbols) + new_symbols
+        return [s for s, f in zip(all_syms, export) if f]
     mq = MQDecoder(payload[pos:])
     iadh = ArithIntDecoder()
     iadw = ArithIntDecoder()

@@ -96,6 +96,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
             ctypes.c_int, ctypes.c_void_p,
         ]
+        lib.jbig2_symbol_dict.restype = ctypes.c_int
+        lib.jbig2_symbol_dict.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _LIB = lib
     except Exception:  # noqa: BLE001
         logger.exception("native library unavailable; using Python fallbacks")
@@ -191,6 +197,41 @@ def jbig2_generic_native(
     if rc != 0:
         return None
     return out.astype(bool)
+
+
+def jbig2_symbol_dict_native(
+    data: bytes,
+    pixels: "list[tuple[int, int]]",
+    num_new: int,
+    num_input: int,
+    max_pixels: int = 32_000_000,
+) -> "Optional[tuple[np.ndarray, np.ndarray, np.ndarray]]":
+    """Native JBIG2 symbol-dictionary decode (whole dictionary in one
+    call). Returns (dims[num_new, 2] as (h, w), packed row-major bits,
+    export flags[num_input+num_new] bool), or None (use Python path)."""
+    lib = get_lib()
+    if lib is None or not (0 < len(pixels) <= 16):
+        return None
+    dx = np.array([p[0] for p in pixels], np.int8)
+    dy = np.array([p[1] for p in pixels], np.int8)
+    dims = np.zeros(max(num_new, 1) * 2, np.int32)
+    bits = np.empty(max_pixels, np.uint8)
+    export = np.zeros(num_input + num_new + 1, np.uint8)
+    rc = lib.jbig2_symbol_dict(
+        data, len(data), len(pixels),
+        dx.ctypes.data_as(ctypes.c_void_p), dy.ctypes.data_as(ctypes.c_void_p),
+        num_new, num_input, max_pixels,
+        dims.ctypes.data_as(ctypes.c_void_p),
+        bits.ctypes.data_as(ctypes.c_void_p),
+        export.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        return None
+    return (
+        dims.reshape(-1, 2),
+        bits,
+        export[: num_input + num_new].astype(bool),
+    )
 
 
 def patchify_native(

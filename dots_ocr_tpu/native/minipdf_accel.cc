@@ -359,22 +359,15 @@ static int mq_decode(MQDec* d, uint8_t* icx, uint8_t* mps, int cx) {
     return dbit;
 }
 
-// out: uint8[height*width] (0/1). dx/dy: template pixel offsets sorted
-// by (dy, dx), MSB first — npix <= 16. Returns 0, or -1 on bad input.
-int jbig2_generic(const uint8_t* data, long n, int width, int height,
-                  int npix, const int8_t* dx, const int8_t* dy,
-                  int tpgdon, int sltp_cx, uint8_t* out) {
-    if (npix <= 0 || npix > 16 || width <= 0 || height <= 0) return -1;
-    int ncx = 1 << npix;
-    uint8_t* icx = (uint8_t*)calloc((size_t)ncx * 2, 1);
-    if (!icx) return -1;
-    uint8_t* mps = icx + ncx;
-    MQDec d;
-    mq_init(&d, data, n);
+// Decode one generic region into `out` using a live coder + contexts.
+static void generic_into(MQDec* d, uint8_t* icx, uint8_t* mps, int width,
+                         int height, int npix, const int8_t* dx,
+                         const int8_t* dy, int tpgdon, int sltp_cx,
+                         uint8_t* out) {
     int ltp = 0;
     for (int y = 0; y < height; ++y) {
         if (tpgdon) {
-            if (mq_decode(&d, icx, mps, sltp_cx)) ltp ^= 1;
+            if (mq_decode(d, icx, mps, sltp_cx)) ltp ^= 1;
             if (ltp) {
                 if (y > 0)
                     std::memcpy(out + (long)y * width,
@@ -395,11 +388,156 @@ int jbig2_generic(const uint8_t* data, long n, int width, int height,
                     bit = out[(long)yy * width + xx];
                 cx = (cx << 1) | bit;
             }
-            row[x] = (uint8_t)mq_decode(&d, icx, mps, cx);
+            row[x] = (uint8_t)mq_decode(d, icx, mps, cx);
         }
     }
+}
+
+// out: uint8[height*width] (0/1). dx/dy: template pixel offsets sorted
+// by (dy, dx), MSB first — npix <= 16. Returns 0, or -1 on bad input.
+int jbig2_generic(const uint8_t* data, long n, int width, int height,
+                  int npix, const int8_t* dx, const int8_t* dy,
+                  int tpgdon, int sltp_cx, uint8_t* out) {
+    if (npix <= 0 || npix > 16 || width <= 0 || height <= 0) return -1;
+    int ncx = 1 << npix;
+    uint8_t* icx = (uint8_t*)calloc((size_t)ncx * 2, 1);
+    if (!icx) return -1;
+    uint8_t* mps = icx + ncx;
+    MQDec d;
+    mq_init(&d, data, n);
+    generic_into(&d, icx, mps, width, height, npix, dx, dy, tpgdon,
+                 sltp_cx, out);
     free(icx);
     return 0;
+}
+
+// T.88 Annex A arithmetic integer decoding over a 512-context tree.
+// Returns 1 with *out set, or 0 for OOB.
+static int mq_int(MQDec* d, uint8_t* icx, uint8_t* mps, int* out) {
+    int prev = 1;
+    int bits_total = 0;
+#define IBIT(var)                                                     \
+    do {                                                              \
+        var = mq_decode(d, icx, mps, prev);                           \
+        prev = prev < 256 ? ((prev << 1) | var)                       \
+                          : (((((prev << 1) | var)) & 511) | 256);    \
+    } while (0)
+    int sign, b;
+    IBIT(sign);
+    long offset;
+    IBIT(b);
+    if (!b) {
+        offset = 0;
+        bits_total = 2;
+    } else {
+        IBIT(b);
+        if (!b) {
+            offset = 4;
+            bits_total = 4;
+        } else {
+            IBIT(b);
+            if (!b) {
+                offset = 20;
+                bits_total = 6;
+            } else {
+                IBIT(b);
+                if (!b) {
+                    offset = 84;
+                    bits_total = 8;
+                } else {
+                    IBIT(b);
+                    if (!b) {
+                        offset = 340;
+                        bits_total = 12;
+                    } else {
+                        offset = 4436;
+                        bits_total = 32;
+                    }
+                }
+            }
+        }
+    }
+    long val = 0;
+    for (int i = 0; i < bits_total; ++i) {
+        IBIT(b);
+        val = (val << 1) | b;
+    }
+    val += offset;
+#undef IBIT
+    if (sign) {
+        if (val == 0) return 0;  // OOB
+        *out = (int)(-val);
+    } else {
+        *out = (int)val;
+    }
+    return 1;
+}
+
+// Decode a full symbol dictionary (T.88 6.5, SDHUFF=0/SDREFAGG=0) in one
+// call. data: the MQ stream (after the parsed header). Writes per-symbol
+// (h, w) into out_dims[2*i], row-major bits packed consecutively into
+// out_bits (capacity max_pixels), and the export flags for
+// num_input + num_new symbols into out_export. Returns 0, or -1 on
+// malformed/oversized input.
+int jbig2_symbol_dict(const uint8_t* data, long n, int npix,
+                      const int8_t* dx, const int8_t* dy, int num_new,
+                      int num_input, long max_pixels, int32_t* out_dims,
+                      uint8_t* out_bits, uint8_t* out_export) {
+    if (npix <= 0 || npix > 16 || num_new < 0 || num_input < 0) return -1;
+    int ncx = 1 << npix;
+    // GB contexts + one 512-tree per integer procedure (IADH/IADW/IAEX).
+    uint8_t* mem = (uint8_t*)calloc((size_t)ncx * 2 + 512 * 6, 1);
+    if (!mem) return -1;
+    uint8_t* gb_icx = mem;
+    uint8_t* gb_mps = mem + ncx;
+    uint8_t* iadh_icx = gb_mps + ncx;
+    uint8_t* iadh_mps = iadh_icx + 512;
+    uint8_t* iadw_icx = iadh_mps + 512;
+    uint8_t* iadw_mps = iadw_icx + 512;
+    uint8_t* iaex_icx = iadw_mps + 512;
+    uint8_t* iaex_mps = iaex_icx + 512;
+    MQDec d;
+    mq_init(&d, data, n);
+    long used = 0;
+    int count = 0;
+    long height = 0;
+    while (count < num_new) {
+        int dh;
+        if (!mq_int(&d, iadh_icx, iadh_mps, &dh)) goto fail;
+        height += dh;
+        long width = 0;
+        for (;;) {
+            int dw;
+            if (!mq_int(&d, iadw_icx, iadw_mps, &dw)) break;  // OOB
+            width += dw;
+            if (width <= 0 || height <= 0 || count >= num_new ||
+                used + width * height > max_pixels)
+                goto fail;
+            generic_into(&d, gb_icx, gb_mps, (int)width, (int)height, npix,
+                         dx, dy, 0, 0, out_bits + used);
+            out_dims[2 * count] = (int32_t)height;
+            out_dims[2 * count + 1] = (int32_t)width;
+            used += width * height;
+            count += 1;
+        }
+    }
+    {
+        int total = num_input + num_new;
+        int flag = 0, got = 0;
+        while (got < total) {
+            int run;
+            if (!mq_int(&d, iaex_icx, iaex_mps, &run) || run < 0) goto fail;
+            if (run > total - got) run = total - got;
+            for (int i = 0; i < run; ++i) out_export[got + i] = (uint8_t)flag;
+            got += run;
+            flag ^= 1;
+        }
+    }
+    free(mem);
+    return 0;
+fail:
+    free(mem);
+    return -1;
 }
 
 }  // extern "C"

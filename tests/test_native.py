@@ -234,3 +234,43 @@ def test_jbig2_generic_native_matches_python():
             )
             assert nat is not None
             assert np.array_equal(nat, py) and np.array_equal(nat, bm)
+
+
+def test_jbig2_symbol_dict_native_matches_python():
+    """The C++ whole-dictionary decoder returns the same symbols as the
+    Python shared-coder path."""
+    import numpy as np
+    import pytest
+
+    import dots_ocr_tpu.native as native
+    from dots_ocr_tpu.ingest.jbig2 import (
+        decode_symbol_dictionary, encode_symbol_dictionary,
+    )
+
+    if native.get_lib() is None:
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(23)
+    symbols = [
+        rng.random((h, int(rng.integers(4, 14)))) < 0.4
+        for h in sorted(rng.integers(5, 18, 12))
+    ]
+    payload = encode_symbol_dictionary(symbols, template=0)
+    out_native = decode_symbol_dictionary(payload, [])
+
+    old = os.environ.get("DOTS_OCR_DISABLE_NATIVE")
+    os.environ["DOTS_OCR_DISABLE_NATIVE"] = "1"
+    native._TRIED, native._LIB = False, None
+    try:
+        out_py = decode_symbol_dictionary(payload, [])
+    finally:
+        if old is None:
+            os.environ.pop("DOTS_OCR_DISABLE_NATIVE", None)
+        else:
+            os.environ["DOTS_OCR_DISABLE_NATIVE"] = old
+        native._TRIED, native._LIB = False, None
+
+    assert out_native is not None and out_py is not None
+    assert len(out_native) == len(out_py) == len(symbols)
+    for a, b, c in zip(out_native, out_py, symbols):
+        assert np.array_equal(a, b) and np.array_equal(a, c)
