@@ -551,7 +551,11 @@ def decode_symbol_dictionary(
     gb = MQContexts(1 << 16)  # template 0 is the widest (16 context bits)
     new_symbols: List[np.ndarray] = []
     height = 0
+    classes = 0
     while len(new_symbols) < num_new:
+        classes += 1
+        if classes > num_new + 64:
+            return None  # hostile stream: classes yielding no symbols
         dh = iadh.decode(mq)
         if dh is None:
             return None
@@ -642,7 +646,9 @@ def decode_text_region(
     pos = 19
     num_instances = int.from_bytes(payload[pos : pos + 4], "big")
     pos += 4
-    if num_instances > 1_000_000:
+    # Every instance costs bits on the wire; a count far beyond what the
+    # payload could encode is a hostile header.
+    if num_instances > 1_000_000 or num_instances > 64 * len(payload):
         return None
     code_len = _sym_code_len(len(symbols))
     mq = MQDecoder(payload[pos:])

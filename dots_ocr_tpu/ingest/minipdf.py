@@ -1373,6 +1373,8 @@ def _jbig2_decode(
             else:
                 pos += 1
             ref_size = 1 if seg_num <= 256 else (2 if seg_num <= 65536 else 4)
+            if count * ref_size > n - pos:
+                return  # hostile count: refs cannot fit in the buffer
             refs = [
                 int.from_bytes(buf[pos + i * ref_size : pos + (i + 1) * ref_size], "big")
                 for i in range(count)
@@ -1406,6 +1408,11 @@ def _jbig2_decode(
         painted = True
 
     sym_dicts: dict = {}  # segment number -> exported symbol bitmaps
+    # Hostile-stream budget: random bytes parse as plausible segment
+    # headers, and each region decode costs O(rw*rh) MQ decisions — a
+    # few hundred bytes must not be able to demand hundreds of
+    # multi-megapixel decodes.
+    pixel_budget = max(16_000_000, 8 * height * width)
     for buf in (globals_data, data):
         for seg_num, seg_type, refs, payload in segments(buf):
             if seg_type == 0:  # symbol dictionary
@@ -1422,6 +1429,12 @@ def _jbig2_decode(
             if seg_type in (6, 7):  # immediate text region
                 from .jbig2 import decode_text_region
 
+                if len(payload) >= 8:
+                    pixel_budget -= int.from_bytes(
+                        payload[0:4], "big"
+                    ) * int.from_bytes(payload[4:8], "big")
+                    if pixel_budget < 0:
+                        return None
                 symbols = []
                 for r in refs:
                     symbols.extend(sym_dicts.get(r, []))
@@ -1469,8 +1482,9 @@ def _jbig2_decode(
                     )
                     for i in range(18, at_end, 2)
                 ]
-                if rw * rh > 64_000_000:  # hostile header guard
-                    return None
+                pixel_budget -= rw * rh
+                if rw * rh > 64_000_000 or pixel_budget < 0:
+                    return None  # hostile header guard
                 bits = decode_generic_region(
                     payload[at_end:], rw, rh,
                     template=template, at=at, tpgdon=tpgdon,

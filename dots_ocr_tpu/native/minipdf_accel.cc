@@ -500,8 +500,10 @@ int jbig2_symbol_dict(const uint8_t* data, long n, int npix,
     mq_init(&d, data, n);
     long used = 0;
     int count = 0;
+    int classes = 0;
     long height = 0;
     while (count < num_new) {
+        if (++classes > num_new + 64) goto fail;  // hostile: empty classes
         int dh;
         if (!mq_int(&d, iadh_icx, iadh_mps, &dh)) goto fail;
         height += dh;

@@ -139,3 +139,46 @@ def test_normal_page_unaffected_by_cap():
     doc = minipdf.open_pdf(_pdf_with_mediabox(b"[0 0 612 792]"))
     img = minipdf.render_page(doc, 0, dpi=200)
     assert img.size == (round(612 * 200 / 72), round(792 * 200 / 72))
+
+
+def test_jbig2_hostile_streams_bounded():
+    """Random bytes parsed as JBIG2 segment streams must neither crash
+    nor burn unbounded CPU: hostile referred-to counts, region dims past
+    the pixel budget, empty symbol height classes, and inflated instance
+    counts all bail out quickly."""
+    import time
+
+    import numpy as np
+
+    from dots_ocr_tpu.ingest.jbig2 import (
+        decode_symbol_dictionary, decode_text_region,
+    )
+    from dots_ocr_tpu.ingest.minipdf import _jbig2_decode
+
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    for _ in range(300):
+        n = int(rng.integers(10, 400))
+        buf = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        try:
+            _jbig2_decode(buf, b"", 64, 64)
+        except Exception:
+            pass  # the minipdf call site wraps in try/except
+    # symbol dictionary announcing 50 new symbols over OOB-spam classes
+    for _ in range(25):
+        payload = (
+            bytes([0, 0]) + bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+            + (50).to_bytes(4, "big") + (50).to_bytes(4, "big")
+            + bytes(rng.integers(0, 256, 30, dtype=np.uint8))
+        )
+        decode_symbol_dictionary(payload, [])
+    # text region whose header claims a million instances
+    hdr = (
+        (64).to_bytes(4, "big") * 2 + (0).to_bytes(4, "big") * 2
+        + b"\x00" + b"\x00\x00" + (999999).to_bytes(4, "big")
+    )
+    assert decode_text_region(
+        hdr + bytes(rng.integers(0, 256, 40, dtype=np.uint8)),
+        [np.ones((3, 3), bool)],
+    ) is None
+    assert time.perf_counter() - t0 < 60  # CI slack; ~0.2 s typical
