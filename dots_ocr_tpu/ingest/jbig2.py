@@ -491,7 +491,8 @@ def _sym_code_len(num_symbols: int) -> int:
     return max(n, 1)
 
 
-_MAX_SYMBOL_PIXELS = 16_000_000
+_MAX_SYMBOL_PIXELS = 1 << 20  # glyphs are tiny; 1 Mpx/symbol is abuse
+_MAX_DICT_PIXELS = 8_000_000  # cumulative across one dictionary
 _MAX_REGION_PIXELS = 64_000_000
 
 
@@ -531,7 +532,8 @@ def decode_symbol_dictionary(
     from ..native import jbig2_symbol_dict_native
 
     native = jbig2_symbol_dict_native(
-        payload[pos:], _template(template, at), num_new, len(input_symbols)
+        payload[pos:], _template(template, at), num_new, len(input_symbols),
+        max_pixels=_MAX_DICT_PIXELS,
     )
     if native is not None:
         dims, bits, export = native
@@ -552,6 +554,7 @@ def decode_symbol_dictionary(
     new_symbols: List[np.ndarray] = []
     height = 0
     classes = 0
+    total_pixels = 0
     while len(new_symbols) < num_new:
         classes += 1
         if classes > num_new + 64:
@@ -573,6 +576,9 @@ def decode_symbol_dictionary(
                 or len(new_symbols) >= num_new
             ):
                 return None
+            total_pixels += width * height
+            if total_pixels > _MAX_DICT_PIXELS:
+                return None  # cumulative decode-work cap (DoS guard)
             new_symbols.append(
                 decode_generic_region(
                     b"", width, height, template=template, at=at, mq=mq, gb=gb
@@ -583,24 +589,30 @@ def decode_symbol_dictionary(
     all_syms = list(input_symbols) + new_symbols
     export_flags: List[int] = []
     cur = 0
+    runs = 0
     while len(export_flags) < len(all_syms):
+        runs += 1
+        if runs > 2 * len(all_syms) + 64:
+            return None  # exhausted stream yielding zero-runs forever
         run = iaex.decode(mq)
         if run is None or run < 0:
             return None
+        run = min(run, len(all_syms) - len(export_flags))  # clamp alloc
         export_flags.extend([cur] * run)
         cur ^= 1
     return [s for s, f in zip(all_syms, export_flags) if f]
 
 
-def _compose(dst: np.ndarray, src: np.ndarray, x0: int, y0: int, op: int) -> None:
+def _compose(dst: np.ndarray, src: np.ndarray, x0: int, y0: int, op: int) -> bool:
     """Clip-composite src onto dst at (x0, y0) with a JBIG2 external
-    combination operator (0 OR, 1 AND, 2 XOR, 3 XNOR, 4 REPLACE)."""
+    combination operator (0 OR, 1 AND, 2 XOR, 3 XNOR, 4 REPLACE).
+    Returns whether any pixels intersected."""
     H, W = dst.shape
     h, w = src.shape
     xa, ya = max(x0, 0), max(y0, 0)
     xb, yb = min(x0 + w, W), min(y0 + h, H)
     if xa >= xb or ya >= yb:
-        return
+        return False
     sub = src[ya - y0 : yb - y0, xa - x0 : xb - x0]
     region = dst[ya:yb, xa:xb]
     if op == 0:
@@ -613,6 +625,7 @@ def _compose(dst: np.ndarray, src: np.ndarray, x0: int, y0: int, op: int) -> Non
         region[:] = ~(region ^ sub)
     else:
         region[:] = sub
+    return True
 
 
 def decode_text_region(
@@ -665,6 +678,9 @@ def decode_text_region(
     stript = -dt0  # in strip units
     firsts = 0
     inst = 0
+    # Composition-work budget: legit text ink is O(region); an exhausted
+    # stream re-stamping a large symbol per "instance" is not.
+    compose_budget = 4 * rw * rh + 1_000_000
     while inst < num_instances:
         dt = iadt.decode(mq)
         if dt is None:
@@ -695,6 +711,9 @@ def decode_text_region(
                 return None
             sym = symbols[sym_id]
             hi, wi = sym.shape
+            compose_budget -= hi * wi
+            if compose_budget < 0:
+                return None
             # Reference corners: 0 BL, 1 TL, 2 BR, 3 TR. Along the S axis
             # the span is [curs, curs+adv] regardless of corner (T.88
             # 6.4.5 advances CURS before drawing for the far corners);

@@ -1390,22 +1390,9 @@ def _jbig2_decode(
 
     def compose(bits, rx, ry, comb_op):
         nonlocal painted
-        y1 = min(height, ry + bits.shape[0])
-        x1 = min(width, rx + bits.shape[1])
-        if y1 <= ry or x1 <= rx:
-            return
-        sub = bits[: y1 - ry, : x1 - rx]
-        if comb_op == 1:  # AND
-            page[ry:y1, rx:x1] &= sub
-        elif comb_op == 2:  # XOR
-            page[ry:y1, rx:x1] ^= sub
-        elif comb_op == 3:  # XNOR
-            page[ry:y1, rx:x1] = ~(page[ry:y1, rx:x1] ^ sub)
-        elif comb_op == 4:  # REPLACE
-            page[ry:y1, rx:x1] = sub
-        else:  # OR
-            page[ry:y1, rx:x1] |= sub
-        painted = True
+        from .jbig2 import _compose
+
+        painted = _compose(page, bits, rx, ry, comb_op) or painted
 
     sym_dicts: dict = {}  # segment number -> exported symbol bitmaps
     # Hostile-stream budget: random bytes parse as plausible segment
@@ -1419,12 +1406,18 @@ def _jbig2_decode(
                 from .jbig2 import decode_symbol_dictionary
 
                 inputs = []
-                for r in refs:
+                for r in dict.fromkeys(refs):  # dedup: no ref amplification
                     inputs.extend(sym_dicts.get(r, []))
                 syms = decode_symbol_dictionary(payload, inputs)
                 if syms is None:
                     return None
+                pixel_budget -= sum(s.size for s in syms if s is not None)
                 sym_dicts[seg_num] = syms
+                if (
+                    pixel_budget < 0
+                    or sum(map(len, sym_dicts.values())) > 65536
+                ):
+                    return None  # chained-dictionary amplification guard
                 continue
             if seg_type in (6, 7):  # immediate text region
                 from .jbig2 import decode_text_region

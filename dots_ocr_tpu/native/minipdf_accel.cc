@@ -512,7 +512,11 @@ int jbig2_symbol_dict(const uint8_t* data, long n, int npix,
             int dw;
             if (!mq_int(&d, iadw_icx, iadw_mps, &dw)) break;  // OOB
             width += dw;
-            if (width <= 0 || height <= 0 || count >= num_new ||
+            // Bound each dimension BEFORE multiplying: unbounded
+            // accumulated deltas overflow the product and bypass the
+            // buffer cap (heap overflow otherwise).
+            if (width <= 0 || height <= 0 || width > (1 << 20) ||
+                height > (1 << 20) || count >= num_new ||
                 used + width * height > max_pixels)
                 goto fail;
             generic_into(&d, gb_icx, gb_mps, (int)width, (int)height, npix,
@@ -525,8 +529,11 @@ int jbig2_symbol_dict(const uint8_t* data, long n, int npix,
     }
     {
         int total = num_input + num_new;
-        int flag = 0, got = 0;
+        int flag = 0, got = 0, runs = 0;
         while (got < total) {
+            // zero-length runs are legal but an exhausted hostile stream
+            // can yield them forever — bound the run count.
+            if (++runs > 2 * total + 64) goto fail;
             int run;
             if (!mq_int(&d, iaex_icx, iaex_mps, &run) || run < 0) goto fail;
             if (run > total - got) run = total - got;

@@ -182,3 +182,78 @@ def test_jbig2_hostile_streams_bounded():
         [np.ones((3, 3), bool)],
     ) is None
     assert time.perf_counter() - t0 < 60  # CI slack; ~0.2 s typical
+
+
+def test_jbig2_crafted_dictionary_attacks():
+    """Regressions from an adversarial review: (1) unbounded height/width
+    deltas must not overflow the pixel-cap product (native heap overflow),
+    (2) trained zero-length export runs on an exhausted stream must not
+    spin forever, (3) a single giant export run must not allocate
+    run-length memory. All must fail fast; legit dictionaries decode."""
+    import time
+
+    import numpy as np
+
+    from dots_ocr_tpu.ingest.jbig2 import (
+        ArithIntEncoder, MQContexts, MQEncoder, NOMINAL_AT, _template,
+        decode_symbol_dictionary, encode_generic_region,
+        encode_symbol_dictionary,
+    )
+    from dots_ocr_tpu.native import jbig2_symbol_dict_native
+
+    def dict_header(num_ex, num_new):
+        at = b"".join(
+            bytes([dx & 0xFF, dy & 0xFF]) for dx, dy in NOMINAL_AT[0]
+        )
+        return (
+            b"\x00\x00" + at
+            + num_ex.to_bytes(4, "big") + num_new.to_bytes(4, "big")
+        )
+
+    t0 = time.perf_counter()
+
+    # (1) dimension-overflow stream
+    mq = MQEncoder()
+    iadh, iadw = ArithIntEncoder(), ArithIntEncoder()
+    iadh.encode(mq, 2**31 - 1)
+    iadw.encode(mq, None)
+    iadh.encode(mq, 2**31 - 1)
+    iadw.encode(mq, None)
+    iadh.encode(mq, 1002)
+    iadw.encode(mq, 2**31 - 1)
+    data = mq.flush()
+    assert decode_symbol_dictionary(dict_header(1, 1) + data, []) is None
+    assert jbig2_symbol_dict_native(data, _template(0, None), 1, 0) is None
+
+    # (2) zero-run export spam after one real symbol
+    mq = MQEncoder()
+    iadh, iadw, iaex = ArithIntEncoder(), ArithIntEncoder(), ArithIntEncoder()
+    gb = MQContexts(1 << 16)
+    iadh.encode(mq, 3)
+    iadw.encode(mq, 3)
+    encode_generic_region(np.ones((3, 3), np.uint8), mq=mq, gb=gb)
+    iadw.encode(mq, None)
+    for _ in range(400):
+        iaex.encode(mq, 0)
+    assert decode_symbol_dictionary(dict_header(1, 1) + mq.flush(), []) is None
+
+    # (3) giant single export run clamps instead of allocating
+    mq = MQEncoder()
+    iadh, iadw, iaex = ArithIntEncoder(), ArithIntEncoder(), ArithIntEncoder()
+    gb = MQContexts(1 << 16)
+    iadh.encode(mq, 3)
+    iadw.encode(mq, 3)
+    encode_generic_region(np.ones((3, 3), np.uint8), mq=mq, gb=gb)
+    iadw.encode(mq, None)
+    iaex.encode(mq, 0)
+    iaex.encode(mq, 2**31)
+    out = decode_symbol_dictionary(dict_header(1, 1) + mq.flush(), [])
+    assert out is not None and len(out) == 1
+
+    # legit dictionaries unaffected
+    rng = np.random.default_rng(1)
+    symbols = [rng.random((h, w)) < 0.4 for h, w in [(8, 5), (8, 7), (10, 6)]]
+    out = decode_symbol_dictionary(encode_symbol_dictionary(symbols), [])
+    assert all(np.array_equal(a, b) for a, b in zip(out, symbols))
+
+    assert time.perf_counter() - t0 < 60
