@@ -82,7 +82,9 @@ def bench_serving(config, params) -> float:
 
     slots = int(os.environ.get("BENCH_SLOTS", 64))
     max_new = int(os.environ.get("BENCH_DECODE_TOKENS", 256))
-    ps = 64
+    # page 128 = the shipping default (deploy/launch_server_tpu.sh) and the
+    # alignment the int8-KV multi-page kernel needs for its f32 scale DMAs.
+    ps = int(os.environ.get("BENCH_PAGE_SIZE", 128))
     seq_cap = ps * ((16 + max_new + ps - 1) // ps) + ps
     sched = SchedulerConfig(
         num_pages=slots * (seq_cap // ps) + 8,
