@@ -30,6 +30,49 @@ def pytest_configure(config):
     # XLA's DEFAULT matmul precision truncates f32 inputs (bf16-class passes,
     # on CPU and TPU alike). Numerical-equivalence tests need true f32.
     jax.config.update("jax_default_matmul_precision", "highest")
+    config.addinivalue_line(
+        "markers",
+        "slow: jit/engine-heavy module (>20 s on the 1-core CI host); "
+        "the fast tier is `pytest -m 'not slow'` (<2 min)",
+    )
+
+
+# Modules whose whole-file wall time exceeds ~20 s on the 1-core reference
+# host (measured r4; mostly XLA:CPU compiles of engine/kernel/TP programs).
+# `pytest -m "not slow"` runs the parity/postproc/eval/ingest core in
+# under two minutes; the slow tier covers kernels, the serving engine,
+# quantization, TP, and the soak/fuzz batteries.
+SLOW_MODULES = {
+    "test_aux",
+    "test_chunked_prefill",
+    "test_chunked_scheduler",
+    "test_distributed_multihost",
+    "test_engine",
+    "test_flash_attention",
+    "test_logit_bias",
+    "test_logprobs",
+    "test_minipdf_fuzz",
+    "test_model",
+    "test_paged",
+    "test_parallel",
+    "test_parity_harness",
+    "test_penalties",
+    "test_quantize",
+    "test_scheduler_soak",
+    "test_seed",
+    "test_server",
+    "test_serving_tp",
+    "test_spec_realism",
+    "test_speculative",
+    "test_streaming",
+    "test_windowed",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
 
 
 @pytest.fixture(scope="session")
