@@ -197,6 +197,25 @@ class PageAllocator:
 # ---------------------------------------------------------------------------
 
 
+def scatter_pool_rows(pool: jnp.ndarray, slots: jnp.ndarray,
+                      updates: jnp.ndarray) -> jnp.ndarray:
+    """Scatter token rows into a [KV, N, D] pool leaf via its flat
+    [KV*N, D] row view. Same layout rationale as
+    ``models.decoder.scatter_kv_rows`` (which takes token-major updates):
+    a middle-axis scatter makes XLA pick a {2,0,1:T(2,128)} result layout
+    that the Pallas paged-attention call then converts back with a 16.8 MB
+    copy per leaf; the 2-D row scatter keeps the default layout end to end.
+
+    updates: [KV, T, D] (head-major, matching this module's callers).
+    """
+    kv, n, d = pool.shape
+    rows = (
+        jnp.arange(kv, dtype=slots.dtype)[:, None] * n + slots[None, :]
+    ).reshape(-1)
+    upd = updates.reshape(-1, d).astype(pool.dtype)
+    return pool.reshape(kv * n, d).at[rows].set(upd).reshape(kv, n, d)
+
+
 def write_prefill_kv(
     paged: PagedKV, k_new: jnp.ndarray, v_new: jnp.ndarray, slot_mapping: jnp.ndarray
 ) -> PagedKV:
@@ -229,10 +248,12 @@ def write_prefill_kv(
         ).reshape(-1)
         return PagedKV(
             tuple(
-                paged.k[l].at[:, slots].set(qk[l]) for l in range(num_layers)
+                scatter_pool_rows(paged.k[l], slots, qk[l])
+                for l in range(num_layers)
             ),
             tuple(
-                paged.v[l].at[:, slots].set(qv[l]) for l in range(num_layers)
+                scatter_pool_rows(paged.v[l], slots, qv[l])
+                for l in range(num_layers)
             ),
             tuple(
                 paged.k_scale[l].at[flat_idx].set(sk[l].reshape(-1))
@@ -243,14 +264,13 @@ def write_prefill_kv(
                 for l in range(num_layers)
             ),
         )
-    dtype = paged.k[0].dtype
     return PagedKV(
         tuple(
-            paged.k[l].at[:, slots].set(flat_k[l].astype(dtype))
+            scatter_pool_rows(paged.k[l], slots, flat_k[l])
             for l in range(num_layers)
         ),
         tuple(
-            paged.v[l].at[:, slots].set(flat_v[l].astype(dtype))
+            scatter_pool_rows(paged.v[l], slots, flat_v[l])
             for l in range(num_layers)
         ),
     )

@@ -65,6 +65,30 @@ def _project_qkv(x: jnp.ndarray, attn_p: dict, cfg: DecoderConfig):
     return q, k, v
 
 
+def scatter_kv_rows(pool: jnp.ndarray, slots: jnp.ndarray,
+                    updates: jnp.ndarray) -> jnp.ndarray:
+    """Write per-token K/V rows into a [KV, N, D] pool leaf, in place.
+
+    The scatter runs on a flat [KV*N, D] row view, NOT on the 3-D pool.
+    A middle-axis scatter (``pool.at[:, slots].set``) makes XLA:TPU pick a
+    scatter-friendly {2,0,1:T(2,128)} layout for the result while the
+    Pallas paged-attention custom call constrains its operand to the
+    default {2,1,0} tiling — so every decode iteration inserted TWO 16.8 MB
+    layout-conversion copies per pool leaf (~2.7 ms/iter across 28 layers
+    at 64 slots, the single largest line in the r4 decode profile). A row
+    scatter on the 2-D view has only one sensible layout ({1,0}), the
+    reshapes are bitcasts, and the while-loop carry stays copy-free.
+
+    pool: [KV, N, D]; slots: [T] flat slot ids; updates: [T, KV, D].
+    """
+    kv, n, d = pool.shape
+    rows = (
+        jnp.arange(kv, dtype=slots.dtype)[:, None] * n + slots[None, :]
+    ).reshape(-1)
+    upd = updates.transpose(1, 0, 2).reshape(-1, d).astype(pool.dtype)
+    return pool.reshape(kv * n, d).at[rows].set(upd).reshape(kv, n, d)
+
+
 def decoder_layer_prefill(
     x: jnp.ndarray,
     block_params: dict,
@@ -288,8 +312,8 @@ def decoder_decode_step_paged(
         if quantized:
             qk, sk = quantize_kv(k)  # [S, KV, hd], [S, KV]
             qv, sv = quantize_kv(v)
-            k_layer = k_layer.at[:, slots].set(qk.transpose(1, 0, 2))
-            v_layer = v_layer.at[:, slots].set(qv.transpose(1, 0, 2))
+            k_layer = scatter_kv_rows(k_layer, slots, qk)
+            v_layer = scatter_kv_rows(v_layer, slots, qv)
             # Scale leaves are flat [KV * N]: head * N + slot indexing.
             n_slots = k_layer.shape[1]
             flat_idx = (
@@ -304,12 +328,8 @@ def decoder_decode_step_paged(
             ks_out.append(ks_layer)
             vs_out.append(vs_layer)
         else:
-            k_layer = k_layer.at[:, slots].set(
-                k.transpose(1, 0, 2).astype(k_layer.dtype)
-            )
-            v_layer = v_layer.at[:, slots].set(
-                v.transpose(1, 0, 2).astype(v_layer.dtype)
-            )
+            k_layer = scatter_kv_rows(k_layer, slots, k)
+            v_layer = scatter_kv_rows(v_layer, slots, v)
             scale_kwargs = {}
 
         paged_k = k_layer.reshape(kv_heads, -1, page_size, head_dim)
@@ -430,8 +450,8 @@ def decoder_spec_step_paged(
         if quantized:
             qk, sk = quantize_kv(k_flat)
             qv, sv = quantize_kv(v_flat)
-            k_layer = k_layer.at[:, flat_slots].set(qk.transpose(1, 0, 2))
-            v_layer = v_layer.at[:, flat_slots].set(qv.transpose(1, 0, 2))
+            k_layer = scatter_kv_rows(k_layer, flat_slots, qk)
+            v_layer = scatter_kv_rows(v_layer, flat_slots, qv)
             n_slots = k_layer.shape[1]
             flat_idx = (
                 jnp.arange(kv_heads)[:, None] * n_slots + flat_slots[None, :]
@@ -445,12 +465,8 @@ def decoder_spec_step_paged(
                 v_scales=vs_layer.reshape(kv_heads, -1, page_size),
             )
         else:
-            k_layer = k_layer.at[:, flat_slots].set(
-                k_flat.transpose(1, 0, 2).astype(k_layer.dtype)
-            )
-            v_layer = v_layer.at[:, flat_slots].set(
-                v_flat.transpose(1, 0, 2).astype(v_layer.dtype)
-            )
+            k_layer = scatter_kv_rows(k_layer, flat_slots, k_flat)
+            v_layer = scatter_kv_rows(v_layer, flat_slots, v_flat)
             scale_kwargs = {}
         k_out.append(k_layer)
         v_out.append(v_layer)
@@ -630,8 +646,8 @@ def decoder_prefill_extend_batched(
         if quantized:
             qk, sk = quantize_kv(k_flat)  # [B*C, KV, hd], [B*C, KV]
             qv, sv = quantize_kv(v_flat)
-            k_layer = k_layer.at[:, flat_slots].set(qk.transpose(1, 0, 2))
-            v_layer = v_layer.at[:, flat_slots].set(qv.transpose(1, 0, 2))
+            k_layer = scatter_kv_rows(k_layer, flat_slots, qk)
+            v_layer = scatter_kv_rows(v_layer, flat_slots, qv)
             n_slots = k_layer.shape[1]
             flat_idx = (
                 jnp.arange(kv_heads)[:, None] * n_slots + flat_slots[None, :]
@@ -654,12 +670,8 @@ def decoder_prefill_extend_batched(
                 jnp.bfloat16
             ) * jnp.take(vs_layer, scale_idx).astype(jnp.bfloat16)[..., None]
         else:
-            k_layer = k_layer.at[:, flat_slots].set(
-                k_flat.transpose(1, 0, 2).astype(k_layer.dtype)
-            )
-            v_layer = v_layer.at[:, flat_slots].set(
-                v_flat.transpose(1, 0, 2).astype(v_layer.dtype)
-            )
+            k_layer = scatter_kv_rows(k_layer, flat_slots, k_flat)
+            v_layer = scatter_kv_rows(v_layer, flat_slots, v_flat)
             k_full = jnp.take(k_layer, flat_gather, axis=1)  # [KV, B*kv_hi, D]
             v_full = jnp.take(v_layer, flat_gather, axis=1)
         k_out.append(k_layer)
