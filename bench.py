@@ -26,7 +26,8 @@ wall (r3: 117 s warm; warm-cache runs reuse every program).
 Env tunables: BENCH_SLOTS (64), BENCH_DECODE_TOKENS (256),
 BENCH_PAGE_SIZE (shipping PAGE_SIZE, 128), BENCH_QUANT (shipping
 QUANTIZE, int8; set bf16 to skip quantization), BENCH_KV (shipping
-KV_DTYPE), BENCH_WAVES (3), BENCH_COMPARE (1 = also run one bf16 wave;
+KV_DTYPE), BENCH_WAVES (3), BENCH_PRIME (1 = one unmeasured priming wave per engine),
+BENCH_COMPARE (1 = also run one bf16 wave;
 0 skips), BENCH_COMPILE_CACHE (dir; empty string disables),
 BENCH_SPEC_K (0 — speculation stays OFF here: zeros-weights greedy decode
 is a period-1 token stream where n-gram acceptance is ~100%, which would
@@ -160,6 +161,13 @@ def bench_serving(config, params, waves: int, label: str) -> list:
 
     temp = float(os.environ.get("BENCH_TEMP", 0.0))
     rates = []
+    if int(os.environ.get("BENCH_PRIME", 1)):
+        # One unmeasured priming wave: the first wave after warmup runs
+        # 10-30% slow (allocator/page-table ramp, lazy device init through
+        # the tunnel) and was the whole r4 wave spread; discard it so the
+        # measured waves are like-for-like.
+        steady, _ = run_wave(eng, slots, max_new, temp)
+        log(f"[{label}] prime wave (unmeasured): steady {steady:.0f} tok/s")
     for w in range(waves):
         steady, wave_rate = run_wave(eng, slots, max_new, temp)
         rates.append(steady)

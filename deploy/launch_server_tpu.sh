@@ -25,6 +25,9 @@ PORT="${2:-8000}"
 EXTRA=()
 [[ -n "${QUANTIZE:-}" ]] && EXTRA+=(--quantize "$QUANTIZE")
 [[ -n "${COMPILE_CACHE:-}" ]] && EXTRA+=(--compile-cache "$COMPILE_CACHE")
+[[ -n "${VISION_ATTN:-}" ]] && EXTRA+=(--vision-attn "$VISION_ATTN")
+[[ -n "${VISION_WINDOW:-}" ]] && EXTRA+=(--vision-window-patches "$VISION_WINDOW")
+[[ -n "${VISION_FULL_LAYERS:-}" ]] && EXTRA+=(--vision-full-layers "$VISION_FULL_LAYERS")
 
 exec python -m dots_ocr_tpu.serve.server \
   --weights "$WEIGHTS" \

@@ -107,21 +107,44 @@ def sample_logits(
     safe_t = jnp.where(temperature > 0, temperature, 1.0)
     scaled = logits / safe_t[:, None]
 
+    # All-greedy batches (temperature 0 everywhere — the layout/OCR
+    # serving default) skip the stochastic draw entirely: a full-vocab
+    # Gumbel-max costs several passes over the [B, V] logits per decode
+    # step for a result the final where() would discard. lax.cond keeps
+    # the skip data-dependent (one compiled program either way); when any
+    # row samples, the computation is bit-identical to the unconditional
+    # path.
+    any_sampled = jnp.any(temperature > 0)
+
     if nucleus:
-        k = min(NUCLEUS_TOP_K, logits.shape[-1])
-        top_vals, top_idx = nucleus_top_k(scaled, k)  # [B, k], descending
-        # True (full-vocab) probabilities of the top-k candidates.
-        lse = jax.nn.logsumexp(scaled, axis=-1, keepdims=True)
-        top_probs = jnp.exp(top_vals - lse)
-        cumprobs = jnp.cumsum(top_probs, axis=-1)
-        # Keep tokens while the cumulative mass *before* them is < top_p;
-        # the first token is always kept.
-        keep = (cumprobs - top_probs) < top_p[:, None]
-        rng_k, rng_full = _subkeys(rng, 0), _subkeys(rng, 1)
-        pick_k = _categorical(rng_k, jnp.where(keep, top_vals, -jnp.inf))
-        token_k = jnp.take_along_axis(top_idx, pick_k[:, None], axis=-1)[:, 0]
-        token_full = _categorical(rng_full, scaled)
-        sampled = jnp.where(top_p < 1.0, token_k, token_full).astype(jnp.int32)
+        def _draw_nucleus(_):
+            k = min(NUCLEUS_TOP_K, logits.shape[-1])
+            top_vals, top_idx = nucleus_top_k(scaled, k)  # [B,k] descending
+            # True (full-vocab) probabilities of the top-k candidates.
+            lse = jax.nn.logsumexp(scaled, axis=-1, keepdims=True)
+            top_probs = jnp.exp(top_vals - lse)
+            cumprobs = jnp.cumsum(top_probs, axis=-1)
+            # Keep tokens while the cumulative mass *before* them is
+            # < top_p; the first token is always kept.
+            keep = (cumprobs - top_probs) < top_p[:, None]
+            rng_k, rng_full = _subkeys(rng, 0), _subkeys(rng, 1)
+            pick_k = _categorical(rng_k, jnp.where(keep, top_vals, -jnp.inf))
+            token_k = jnp.take_along_axis(
+                top_idx, pick_k[:, None], axis=-1
+            )[:, 0]
+            token_full = _categorical(rng_full, scaled)
+            return jnp.where(
+                top_p < 1.0, token_k, token_full
+            ).astype(jnp.int32)
+
+        sampled = jax.lax.cond(
+            any_sampled, _draw_nucleus, lambda _: greedy_tokens, None
+        )
     else:
-        sampled = _categorical(rng, scaled).astype(jnp.int32)
+        sampled = jax.lax.cond(
+            any_sampled,
+            lambda _: _categorical(rng, scaled).astype(jnp.int32),
+            lambda _: greedy_tokens,
+            None,
+        )
     return jnp.where(temperature > 0, sampled, greedy_tokens)

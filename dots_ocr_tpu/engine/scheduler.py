@@ -805,6 +805,16 @@ class SchedulerConfig:
     # steps_per_sync to disable. Rows that hit EOS mid-chunk exit the
     # on-device loop early, so deep chunks waste no device work.
     max_steps_per_sync: int = 64
+    # Pipelined decode (lookahead-1): during pure steady-state decode
+    # (no admissions, prefills, stop strings/ids, streaming, logprobs,
+    # penalties, bias or speculation pending) dispatch chunk N+1 off the
+    # DEVICE-RESIDENT carry before fetching chunk N's results, so the
+    # host-link round trip (~50-150 ms tunneled) and host bookkeeping hide
+    # behind device execution instead of serializing with it. Rows that
+    # hit EOS inside chunk N decode one extra chunk of discarded tokens
+    # (their pages are freed only once the pipeline drains, so the writes
+    # are harmless); any scheduling event drains the pipeline first.
+    pipeline_decode: bool = True
     # Decode-degeneration guard: stop a sequence whose tail is a periodic
     # token loop (period <= repetition_max_period repeating >=
     # repetition_min_repeats times). 0 disables.
@@ -1127,6 +1137,12 @@ class ContinuousBatchingEngine:
         # device). Any event sets this to None and the next chunk rebuilds
         # from host state.
         self._dev: Optional[dict] = None
+        # Pipelined decode (SchedulerConfig.pipeline_decode): the dispatched
+        # -but-unfetched chunk {"packed", "active", "chunk", "use_lp",
+        # "tokens" (assumed emissions)} plus req ids whose pages must not be
+        # reused until the in-flight chunk (which still writes them) lands.
+        self._inflight: Optional[dict] = None
+        self._deferred_free: List[int] = []
         # Adaptive speculation state (see SchedulerConfig.
         # spec_min_tokens_per_iter): EWMA of emitted tokens per verify
         # slot-iteration, consecutive below-threshold chunks, and the gate.
@@ -2013,7 +2029,14 @@ class ContinuousBatchingEngine:
             req.final_text = req.text
         if req.detok is not None:
             self._emit_stream(req, final=True)
-        self.allocator.free(req.req_id)
+        if self._inflight is not None:
+            # An in-flight pipelined chunk may still write this request's
+            # pages (post-EOS discard tokens); freeing them now could hand
+            # them to another sequence mid-write. Defer until the pipeline
+            # drains (_drain_inflight flushes).
+            self._deferred_free.append(req.req_id)
+        else:
+            self.allocator.free(req.req_id)
         self._finished[req.req_id] = req
         self._slot_req[slot] = None
         self._lengths[slot] = 0
@@ -2098,11 +2121,81 @@ class ContinuousBatchingEngine:
 
     # -- the step --------------------------------------------------------
 
+    def _apply_chunk_results(
+        self,
+        packed,
+        active: List[int],
+        chunk: int,
+        use_lp: bool,
+        use_spec: bool,
+    ) -> None:
+        """Fetch one decode chunk's packed result and fold it into host
+        state (token append, EOS/stop/budget finishes, spec gate). Shared
+        by the synchronous path and the pipelined drain."""
+        packed = np.asarray(packed)  # the chunk's single fetch
+        tokens_out, num_decoded = packed[:, :-1], packed[:, -1]
+        lps = None
+        if use_lp and not use_spec:
+            w = (packed.shape[1] - 1) // 2
+            tokens_out = packed[:, :w]
+            lps = np.ascontiguousarray(
+                packed[:, w : 2 * w]
+            ).view(np.float32)
+        if use_spec:
+            emitted = int(num_decoded.sum())
+            self.metrics["spec_emitted"] = (
+                self.metrics.get("spec_emitted", 0) + emitted
+            )
+            self._update_spec_gate(emitted, chunk, len(active))
+        self.metrics["steps"] += 1
+        for i in active:
+            req = self._slot_req[i]
+            if req is None:
+                # Slot finished while this chunk was in flight (pipelined
+                # drain): its post-EOS tokens are discard-only.
+                continue
+            n = int(num_decoded[i])
+            self._lengths[i] += n
+            for t_idx, token in enumerate(tokens_out[i, :n].tolist()):
+                req.output_ids.append(int(token))
+                if req.logprobs and lps is not None:
+                    req.output_logprobs.append(float(lps[i, t_idx]))
+                self.metrics["generated_tokens"] += 1
+                if (
+                    token == self.config.special.eos_token_id
+                    or token in req.stop_token_ids
+                    or len(req.output_ids) >= req.max_new_tokens
+                ):
+                    break
+            if self._slot_req[i] is not None:
+                self._tokens[i] = req.output_ids[-1]
+                self._update_text(i)  # may finish on stop string
+                self._maybe_finish(i)
+
+    def _drain_inflight(self) -> None:
+        """Land the pipelined chunk (if any) and flush deferred page frees.
+        Must run before any admission, preemption-capable reservation, or
+        host-state-derived device-input rebuild."""
+        inflight, self._inflight = self._inflight, None
+        if inflight is not None:
+            self._apply_chunk_results(
+                inflight["packed"], inflight["active"], inflight["chunk"],
+                inflight["use_lp"], inflight["use_spec"],
+            )
+        if self._inflight is None and self._deferred_free:
+            for rid in self._deferred_free:
+                self.allocator.free(rid)
+            self._deferred_free.clear()
+
     def step(self) -> List[ScheduledRequest]:
         """Admit + at most one prefill chunk + one multi-step decode chunk.
         Returns newly finished requests."""
         before = set(self._finished)
         t0 = time.perf_counter()
+        if self._inflight is not None and self._waiting:
+            # Admission reuses freed slots/pages; the in-flight chunk still
+            # writes them. Land it first.
+            self._drain_inflight()
         self._try_admit()
         t1 = time.perf_counter()
         self.metrics["t_admit_s"] += t1 - t0
@@ -2158,36 +2251,66 @@ class ContinuousBatchingEngine:
                 self.sched.steps_per_sync,
                 self.sched.max_steps_per_sync // tokens_per_iter,
             )
-            if deep > chunk:
-                live = [self._slot_req[i] for i in active]
-                remaining = min(
-                    r.max_new_tokens - len(r.output_ids) for r in live
+            live = [self._slot_req[i] for i in active]
+            # remaining is in TOKENS; a chunk can emit up to
+            # chunk * tokens_per_iter of them. With a pipelined chunk in
+            # flight, host lengths lag by up to `ahead` assumed emissions.
+            remaining = min(
+                r.max_new_tokens - len(r.output_ids) for r in live
+            )
+            ahead = (
+                self._inflight["tokens"] if self._inflight is not None else 0
+            )
+            prefilling = any(
+                r is not None and r.state == PREFILLING
+                for r in self._slot_req
+            )
+            event_free = (
+                not self._waiting
+                and not prefilling  # don't starve an in-flight prefill
+                and not any(
+                    # Anything needing per-chunk host checks caps the
+                    # depth: streaming deltas, stop STRINGS, and stop
+                    # TOKEN ids (the device loop only early-exits on
+                    # the config EOS — a deep chunk would keep
+                    # decoding ~deep iterations past a fired stop id).
+                    r.stream_cb is not None or r.stop or r.stop_token_ids
+                    for r in live
                 )
-                prefilling = any(
-                    r is not None and r.state == PREFILLING
-                    for r in self._slot_req
-                )
-                if (
-                    # remaining is in TOKENS; a deep chunk can emit up to
-                    # deep * tokens_per_iter of them.
-                    remaining >= deep * tokens_per_iter
-                    and not self._waiting
-                    and not prefilling  # don't starve an in-flight prefill
-                    and not any(
-                        # Anything needing per-chunk host checks caps the
-                        # depth: streaming deltas, stop STRINGS, and stop
-                        # TOKEN ids (the device loop only early-exits on
-                        # the config EOS — a deep chunk would keep
-                        # decoding ~deep iterations past a fired stop id).
-                        r.stream_cb is not None or r.stop or r.stop_token_ids
-                        for r in live
-                    )
-                ):
-                    # Deep chunk: nothing needs a host sync for `deep`
-                    # tokens — amortize the dispatch RTT further. The budget
-                    # gate guarantees no request can overshoot
-                    # max_new_tokens inside the chunk.
-                    chunk = deep
+            )
+            if (
+                deep > chunk
+                and event_free
+                and remaining - ahead >= deep * tokens_per_iter
+            ):
+                # Deep chunk: nothing needs a host sync for `deep`
+                # tokens — amortize the dispatch RTT further. The budget
+                # gate guarantees no request can overshoot
+                # max_new_tokens inside the chunk.
+                chunk = deep
+            # Lookahead-1 pipelining (SchedulerConfig.pipeline_decode):
+            # plain event-free decode dispatches the next chunk off the
+            # device carry BEFORE fetching the in-flight one. The modes
+            # that fold per-chunk host state back into the next dispatch
+            # (speculation buffers, penalties counts, logprobs unpacking)
+            # stay synchronous.
+            pipeline_now = (
+                self.sched.pipeline_decode
+                and event_free
+                and not (use_spec or use_lp or use_pen or use_bias)
+                and remaining - ahead >= chunk * tokens_per_iter
+            )
+            if self._inflight is not None and (
+                not pipeline_now or self._dev is None
+            ):
+                # Pipeline must break (event pending, mode flip, or the
+                # device carry was invalidated): land the in-flight chunk,
+                # then continue this step against true host state.
+                self._drain_inflight()
+                ahead = 0
+                active = [
+                    i for i in active if self._slot_req[i] is not None
+                ]
             # Pass 1: reserve chunk pages per slot; preemption may clear any
             # slot (including ones already reserved), so state is re-read in
             # pass 2. Any page allocation changes a table row, so the cached
@@ -2197,7 +2320,10 @@ class ContinuousBatchingEngine:
                 req = self._slot_req[i]
                 if req is None:  # preempted by an earlier iteration
                     continue
-                pos = int(self._lengths[i])  # write position of current token
+                # Write position of the current token; while a pipelined
+                # chunk is in flight the device is up to `ahead` tokens
+                # past the host view, so reserve for the worst case.
+                pos = int(self._lengths[i]) + ahead
                 # Reservation looks one chunk ahead; clamp it to the
                 # per-sequence capacity so the cap NEVER raises here (the
                 # submit-time budget clamp guarantees the request finishes
@@ -2214,11 +2340,64 @@ class ContinuousBatchingEngine:
                         self.allocator.extend(req.req_id, target)
                         break
                     except OutOfPages:
+                        if self._inflight is not None:
+                            # Preempting a victim would free pages the
+                            # in-flight chunk still writes; land it first
+                            # (also flushes deferred frees) and retry with
+                            # the true position before reaching for
+                            # preemption.
+                            self._drain_inflight()
+                            ahead = 0
+                            pipeline_now = False
+                            if self._slot_req[i] is None:
+                                break  # this row finished in the drain
+                            target = min(
+                                int(self._lengths[i])
+                                + chunk * tokens_per_iter,
+                                self.sched.max_pages_per_seq
+                                * self.sched.page_size,
+                            )
+                            continue
                         self._preempt_youngest()
                         if self._slot_req[i] is None:
                             break  # we preempted ourselves
             if self.allocator.free_pages != free_before:
-                self._dev = None
+                if self._inflight is not None and self._dev is not None:
+                    # Mid-pipeline page growth: only the table CONTENTS
+                    # changed (host-knowable from the allocator); the
+                    # tokens/positions carry lives on device and must not
+                    # be rebuilt from the lagging host state. Refresh the
+                    # tables upload alone.
+                    live_now = [
+                        i for i in active if self._slot_req[i] is not None
+                    ]
+                    max_pages_now = 1
+                    for i in live_now:
+                        max_pages_now = max(
+                            max_pages_now,
+                            self.allocator.pages_needed(
+                                int(self._lengths[i]) + ahead
+                                + chunk * tokens_per_iter
+                            ),
+                        )
+                    if self._static_width:
+                        mp_bucket = self.sched.max_pages_per_seq
+                    else:
+                        mp_bucket = 1
+                        while mp_bucket < max_pages_now:
+                            mp_bucket *= 2
+                        mp_bucket = min(
+                            mp_bucket, self.sched.max_pages_per_seq
+                        )
+                    tables = np.zeros((s, mp_bucket), np.int32)
+                    for i in live_now:
+                        full = self.allocator.padded_table(
+                            self._slot_req[i].req_id
+                        )
+                        tables[i] = full[:mp_bucket]
+                    self._dev["tables"] = self._put(tables)
+                else:
+                    self._dev = None
 
             # Pass 2: device inputs. On an event-free chunk the previous
             # chunk's device-side carry (tokens/positions/rng) is still
@@ -2373,41 +2552,32 @@ class ContinuousBatchingEngine:
                 # Chain the device-side carry BEFORE host accounting: a
                 # finish/preempt below just resets self._dev to None.
                 dev["tokens"], dev["positions"] = carry
-                packed = np.asarray(packed)  # the chunk's single fetch
-                tokens_out, num_decoded = packed[:, :-1], packed[:, -1]
-                lps = None
-                if use_lp and not use_spec:
-                    w = (packed.shape[1] - 1) // 2
-                    tokens_out = packed[:, :w]
-                    lps = np.ascontiguousarray(
-                        packed[:, w : 2 * w]
-                    ).view(np.float32)
-                if use_spec:
-                    emitted = int(num_decoded.sum())
-                    self.metrics["spec_emitted"] = (
-                        self.metrics.get("spec_emitted", 0) + emitted
+                if pipeline_now:
+                    # Lookahead-1: stash this chunk's (device-side) results
+                    # and process the PREVIOUS chunk's while this one runs —
+                    # the fetch RTT + host accounting hide behind device
+                    # execution.
+                    prev = self._inflight
+                    self._inflight = {
+                        "packed": packed,
+                        "active": list(active),
+                        "chunk": chunk,
+                        "use_lp": use_lp,
+                        "use_spec": use_spec,
+                        "tokens": chunk * tokens_per_iter,
+                    }
+                    self.metrics["pipelined_chunks"] = (
+                        self.metrics.get("pipelined_chunks", 0) + 1
                     )
-                    self._update_spec_gate(emitted, chunk, len(active))
-                self.metrics["steps"] += 1
-                for i in active:
-                    req = self._slot_req[i]
-                    n = int(num_decoded[i])
-                    self._lengths[i] += n
-                    for t_idx, token in enumerate(tokens_out[i, :n].tolist()):
-                        req.output_ids.append(int(token))
-                        if req.logprobs and lps is not None:
-                            req.output_logprobs.append(float(lps[i, t_idx]))
-                        self.metrics["generated_tokens"] += 1
-                        if (
-                            token == self.config.special.eos_token_id
-                            or token in req.stop_token_ids
-                            or len(req.output_ids) >= req.max_new_tokens
-                        ):
-                            break
-                    if self._slot_req[i] is not None:
-                        self._tokens[i] = req.output_ids[-1]
-                        self._update_text(i)  # may finish on stop string
-                        self._maybe_finish(i)
+                    if prev is not None:
+                        self._apply_chunk_results(
+                            prev["packed"], prev["active"], prev["chunk"],
+                            prev["use_lp"], prev["use_spec"],
+                        )
+                else:
+                    self._apply_chunk_results(
+                        packed, active, chunk, use_lp, use_spec
+                    )
             self.metrics["t_decode_s"] += time.perf_counter() - t2
 
         if not self._spec_enabled and not self.has_work():

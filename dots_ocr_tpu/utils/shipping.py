@@ -30,7 +30,42 @@ _FALLBACK = {
     "MAX_SLOTS": "16",
     "STEPS_PER_SYNC": "16",
     "WARMUP": "full",
+    "VISION_ATTN": "windowed",
+    "VISION_WINDOW": "16",
+    "VISION_FULL_LAYERS": "6,13,20,27,34,41",
 }
+
+
+def apply_vision_policy(config, ship: Dict[str, str] | None = None):
+    """Apply the shipping VISION_ATTN policy to a DotsOCRConfig.
+
+    'windowed' -> window VISION_WINDOW raw patches with VISION_FULL_LAYERS
+    staying image-wide; 'full' -> image-wide everywhere; 'config' -> return
+    unchanged (the checkpoint's own declared policy, models/loader.py).
+    """
+    import dataclasses
+
+    ship = ship or shipping_config()
+    mode = ship.get("VISION_ATTN", "windowed")
+    if mode == "full":
+        vision = dataclasses.replace(
+            config.vision, window_size=0, full_attn_layers=()
+        )
+    elif mode == "windowed":
+        full = tuple(
+            int(i)
+            for i in ship.get("VISION_FULL_LAYERS", "").split(",")
+            if i.strip()
+        )
+        full = tuple(i for i in full if i < config.vision.num_layers)
+        vision = dataclasses.replace(
+            config.vision,
+            window_size=int(ship.get("VISION_WINDOW", "16")),
+            full_attn_layers=full,
+        )
+    else:  # "config"
+        return config
+    return config.replace(vision=vision)
 
 
 def shipping_config(path: str | None = None) -> Dict[str, str]:
