@@ -2294,14 +2294,24 @@ class ContinuousBatchingEngine:
             # that fold per-chunk host state back into the next dispatch
             # (speculation buffers, penalties counts, logprobs unpacking)
             # stay synchronous.
+            # Speculation composes with the pipeline: the n-gram buffer is
+            # part of the device carry (chained at dispatch) and `ahead`
+            # already assumes the (spec_k+1)-per-iteration worst case for
+            # budgets/reservations; an adaptive-gate flip after processing
+            # shows up as a decode-mode change on self._dev, which drains.
             pipeline_now = (
                 self.sched.pipeline_decode
                 and event_free
-                and not (use_spec or use_lp or use_pen or use_bias)
+                and not (use_lp or use_pen or use_bias)
                 and remaining - ahead >= chunk * tokens_per_iter
             )
+            mode_flip = self._dev is not None and (
+                self._dev.get("spec") != use_spec
+                or self._dev.get("pen") != use_pen
+                or self._dev.get("bias") != use_bias
+            )
             if self._inflight is not None and (
-                not pipeline_now or self._dev is None
+                not pipeline_now or self._dev is None or mode_flip
             ):
                 # Pipeline must break (event pending, mode flip, or the
                 # device carry was invalidated): land the in-flight chunk,

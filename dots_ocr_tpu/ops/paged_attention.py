@@ -85,6 +85,10 @@ def paged_attention_reference(
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     out = jnp.einsum("bkgs,kbsd->bkgd", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
+    # Inactive rows (length 0) are defined to output exact zeros — the
+    # finite mask turns a fully-masked softmax into uniform attention over
+    # garbage, so zero them explicitly (matches the kernels' semantics).
+    out = jnp.where(lengths[:, None, None, None] > 0, out, 0.0)
     return out.reshape(batch, num_heads, head_dim).astype(q.dtype)
 
 
@@ -301,6 +305,7 @@ def _multipage_kernel(
     group: int,
     quantized: bool,
     nq: int = 1,
+    batch: int = 0,
 ):
     if quantized:
         (q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref,
@@ -310,26 +315,38 @@ def _multipage_kernel(
         ks_buf = vs_buf = None
     b = pl.program_id(0)
     length = lengths_ref[b]
-    # Multi-query (speculative verify): nq tokens per sequence at positions
-    # [length-1, length-1+nq); query j attends tokens < length + j. Pages
-    # must cover the furthest query's keys.
-    n_pages = jnp.where(
-        length > 0,
-        jax.lax.div(length + (nq - 1) + page_size - 1, page_size),
-        0,
-    )
+
+    def pages_of(seq_len):
+        # Multi-query (speculative verify): nq tokens per sequence at
+        # positions [length-1, length-1+nq); query j attends tokens
+        # < length + j. Pages must cover the furthest query's keys.
+        return jnp.where(
+            seq_len > 0,
+            jax.lax.div(seq_len + (nq - 1) + page_size - 1, page_size),
+            0,
+        )
+
+    n_pages = pages_of(length)
     fpb = pages_per_block
     n_blocks = jax.lax.div(n_pages + fpb - 1, fpb)
     blk = fpb * page_size
+    # Single-block regime: the whole page table fits one DMA block (the
+    # steady-state decode shape — width-bucketed tables at page 128 are
+    # 1-4 pages). Cross-SEQUENCE double buffering then applies: grid step
+    # b computes sequence b out of buffer slot b%2 while sequence b+1
+    # streams into slot (b+1)%2 — without it every grid step serializes
+    # issue -> DMA latency -> compute, and that per-step stall (~1.5 us x
+    # 28 layers x 64 seqs) was ~2.7 ms/iter of the r4 decode profile.
+    single_block = max_pages <= fpb and batch > 1
 
-    def copies(slot, block):
+    def copies(seq, slot, block, seq_pages):
         # Logical pages past the end are clamped to the last valid page
         # (their tokens are masked out below) so every block issues exactly
         # the same number of DMAs — the waits stay static.
         out = []
         for f in range(fpb):
-            logical = jnp.minimum(block * fpb + f, n_pages - 1)
-            page = page_idx_ref[b * max_pages + logical]
+            logical = jnp.minimum(block * fpb + f, seq_pages - 1)
+            page = page_idx_ref[seq * max_pages + logical]
             dst = slice(f * page_size, (f + 1) * page_size)
             out.append(
                 pltpu.make_async_copy(
@@ -356,10 +373,31 @@ def _multipage_kernel(
                 )
         return out
 
-    @pl.when(n_blocks > 0)
-    def _warmup():
-        for c in copies(0, 0):
-            c.start()
+    if single_block:
+        slot_base = jax.lax.rem(b, 2)
+
+        @pl.when((b == 0) & (n_blocks > 0))
+        def _warmup():
+            for c in copies(b, slot_base, 0, n_pages):
+                c.start()
+
+        # Prefetch the NEXT sequence's pages into the other slot before
+        # waiting on this sequence's — issued here, consumed by grid step
+        # b+1 (sequential grid; scratch buffers/semaphores persist).
+        nxt = jnp.minimum(b + 1, batch - 1)
+        nxt_pages = pages_of(lengths_ref[nxt])
+
+        @pl.when((b + 1 < batch) & (nxt_pages > 0))
+        def _prefetch_next():
+            for c in copies(nxt, 1 - slot_base, 0, nxt_pages):
+                c.start()
+    else:
+        slot_base = jnp.int32(0)
+
+        @pl.when(n_blocks > 0)
+        def _warmup():
+            for c in copies(b, 0, 0, n_pages):
+                c.start()
 
     rows = kv_heads * group * nq
     m0 = jnp.full((rows, 1), -jnp.inf, jnp.float32)
@@ -381,14 +419,15 @@ def _multipage_kernel(
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
-        slot = jax.lax.rem(i, 2)
+        slot = jax.lax.rem(i + slot_base, 2)
 
         @pl.when(i + 1 < n_blocks)
         def _prefetch():
-            for c in copies(jax.lax.rem(i + 1, 2), i + 1):
+            for c in copies(b, jax.lax.rem(i + 1 + slot_base, 2), i + 1,
+                            n_pages):
                 c.start()
 
-        for c in copies(slot, i):
+        for c in copies(b, slot, i, n_pages):
             c.wait()
 
         token_pos = i * blk + jax.lax.broadcasted_iota(
@@ -629,6 +668,7 @@ def paged_attention_multiquery(
         group=group,
         quantized=quantized,
         nq=nq,
+        batch=batch,
     )
     out = pl.pallas_call(
         kernel,
