@@ -306,37 +306,57 @@ def main():
                           temperature=0.0, max_new_tokens=16)
     frozen.warmup_decode()
 
-    t0 = time.perf_counter()
-    frozen.generate_one(prompt, images=[make_page_image(seed=2)],
-                        temperature=0.1, max_new_tokens=args.max_new)
-    fr_page_s = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    frozen.generate_batch([prompt] * n_req, [[im] for im in imgs],
-                          temperature=0.0, max_new_tokens=args.max_new)
-    fr_wave_s = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    frozen.generate_one(
-        dict_promptmode_to_prompt["prompt_image_to_svg"].format(
-            width=700, height=980
-        ),
-        images=[imgs[0]], temperature=0.9, top_p=0.9,
-        max_new_tokens=args.max_new * 4,
+    # Each frozen row is the MEDIAN of 3 back-to-back repetitions (same
+    # process, same scope): the remote-compile/transfer tunnel on this
+    # host drifts 3-5x between runs, and the r3->r4 comparison showed a
+    # single-shot frozen row can swing far beyond any code change. The
+    # per-rep values ship alongside so the spread is visible. Scope
+    # (workload, config) remains exactly the pinned r2 method.
+    reps = 3
+    fr_page, fr_wave, fr_svg = [], [], []
+    svg_prompt_fr = dict_promptmode_to_prompt["prompt_image_to_svg"].format(
+        width=700, height=980
     )
-    fr_svg_s = time.perf_counter() - t0
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        frozen.generate_one(prompt, images=[make_page_image(seed=2)],
+                            temperature=0.1, max_new_tokens=args.max_new)
+        fr_page.append(time.perf_counter() - t0)
 
+        t0 = time.perf_counter()
+        frozen.generate_batch([prompt] * n_req, [[im] for im in imgs],
+                              temperature=0.0, max_new_tokens=args.max_new)
+        fr_wave.append(time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        frozen.generate_one(
+            svg_prompt_fr, images=[imgs[0]], temperature=0.9, top_p=0.9,
+            max_new_tokens=args.max_new * 4,
+        )
+        fr_svg.append(time.perf_counter() - t0)
+        log(f"  frozen rep {rep + 1}/{reps}: page {fr_page[-1]:.2f}s wave "
+            f"{n_req / fr_wave[-1]:.3f} pages/s svg {fr_svg[-1]:.2f}s")
+
+    fr_page_s = float(np.median(fr_page))
+    fr_wave_s = float(np.median(fr_wave))
+    fr_svg_s = float(np.median(fr_svg))
     results["frozen_r2"] = {
         "config": "bf16 weights, full attention, spec k=3, page 128",
         "single_image_layout_s": round(fr_page_s, 3),
         "wave_pages_per_s": round(n_req / fr_wave_s, 3),
         "wave_total_s": round(fr_wave_s, 3),
         "svg_1024tok_s": round(fr_svg_s, 3),
+        "reps": {
+            "single_image_layout_s": [round(v, 3) for v in fr_page],
+            "wave_total_s": [round(v, 3) for v in fr_wave],
+            "svg_1024tok_s": [round(v, 3) for v in fr_svg],
+        },
         "r2_reference": {"single_image_layout_s": 5.222,
                          "wave_pages_per_s": 0.483,
-                         "svg_1024tok_s": 22.086},
+                         "svg_1024tok_s": 22.086,
+                         "note": "r2 values were single-shot"},
     }
-    log(f"  frozen_r2: page {fr_page_s:.2f}s, wave "
+    log(f"  frozen_r2 (median/3): page {fr_page_s:.2f}s, wave "
         f"{n_req/fr_wave_s:.3f} pages/s, svg {fr_svg_s:.2f}s")
     del frozen
 

@@ -38,6 +38,19 @@ from dots_ocr_tpu.models.config import VisionConfig
 from dots_ocr_tpu.models.layers import linear, rms_norm, swiglu
 from dots_ocr_tpu.models.rope import apply_rope
 from dots_ocr_tpu.ops.attention import attention, make_segment_mask
+from dots_ocr_tpu.ops.window_attention import (
+    window_attention as window_attention_kernel,
+)
+
+# Windowed-layer attention implementation when the encoder runs flash:
+# "xla" = dense batched einsum over [nw, W] windows (DEFAULT — measured
+# fastest: 342 ms/page vs 375 flash vs 402 Pallas window kernel, PERF.md
+# round-4 encoder ablation), "kernel" = fused per-window Pallas kernel,
+# False = the generic flash kernel. At window^2 = 256 tokens every
+# kernel boundary costs more in unfusable [T,H,D]<->head-major relayout
+# copies than its inner loop saves; the plain einsum lets XLA fuse the
+# relayouts into the projections. See ops/window_attention.py.
+USE_WINDOW_KERNEL = "xla"
 
 
 def vision_block(
@@ -85,10 +98,42 @@ def vision_block(
         if window_tokens and use_full is not None and t % window_tokens == 0:
             def window_attn(_):
                 nw = t // window_tokens
+                segw = segment_ids.reshape(nw, window_tokens)
+                if (
+                    USE_WINDOW_KERNEL == "xla"
+                    and attn_impl in ("flash", "flash_interpret")
+                    and mesh is None
+                ):
+                    qw = q.reshape(nw, window_tokens, num_heads, head_dim)
+                    kw = k.reshape(nw, window_tokens, num_heads, head_dim)
+                    vw = v.reshape(nw, window_tokens, num_heads, head_dim)
+                    ow = attention(
+                        qw, kw, vw,
+                        mask=make_segment_mask(segw, segw),
+                        impl="xla",
+                    )
+                    return ow.reshape(t, num_heads, head_dim)
+                if (
+                    USE_WINDOW_KERNEL
+                    and attn_impl in ("flash", "flash_interpret")
+                    and mesh is None
+                ):
+                    # Fused single-tile dense kernel: at window^2 = 256
+                    # tokens each (window, head) score matrix fits VMEM,
+                    # and the [T, H, D] -> [nw, W, H, D] reshape splits
+                    # the leading dim only (layout-free; see the layout
+                    # post-mortem in ops/window_attention.py).
+                    ow = window_attention_kernel(
+                        q.reshape(nw, window_tokens, num_heads, head_dim),
+                        k.reshape(nw, window_tokens, num_heads, head_dim),
+                        v.reshape(nw, window_tokens, num_heads, head_dim),
+                        segw,
+                        interpret=(attn_impl == "flash_interpret"),
+                    )
+                    return ow.reshape(t, num_heads, head_dim)
                 qw = q.reshape(nw, window_tokens, num_heads, head_dim)
                 kw = k.reshape(nw, window_tokens, num_heads, head_dim)
                 vw = v.reshape(nw, window_tokens, num_heads, head_dim)
-                segw = segment_ids.reshape(nw, window_tokens)
                 maskw = (
                     make_segment_mask(segw, segw) if attn_impl == "xla" else None
                 )

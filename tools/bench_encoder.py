@@ -13,8 +13,14 @@ Prints one JSON line with bf16/w8a8 times per variant.
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# Runnable as `python tools/bench_encoder.py` from anywhere: repo root on
+# sys.path directly (NOT via PYTHONPATH — a PYTHONPATH entry shadows a
+# module the axon TPU plugin imports and kills backend discovery).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(msg):
@@ -70,15 +76,19 @@ def main():
     attn = "flash" if jax.devices()[0].platform != "cpu" else "xla"
 
     def run(p, label):
+        # Sync via a tiny data FETCH, not block_until_ready: the tunneled
+        # axon backend's block_until_ready can return before execution
+        # completes (measured: 0.1 ms "runs" of a 42-layer encoder);
+        # pulling bytes is the only reliable barrier.
         t0 = time.perf_counter()
         out = encode_program(p, config, attn_impl=attn, **dev_inputs)
-        out.block_until_ready()
+        np.asarray(out[:1, :1])
         log(f"  {label} compile+run: {time.perf_counter() - t0:.1f}s")
         times = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
             out = encode_program(p, config, attn_impl=attn, **dev_inputs)
-            out.block_until_ready()
+            np.asarray(out[:1, :1])
             times.append(time.perf_counter() - t0)
         best = min(times)
         log(f"  {label}: best {best*1e3:.1f} ms over {args.reps}")
