@@ -98,23 +98,33 @@ def make_engine(config, params):
         SchedulerConfig,
     )
 
-    slots = int(os.environ.get("BENCH_SLOTS", 64))
+    # THE shipping geometry (deploy/shipping.env) — the headline must be
+    # produced by the exact engine parameters launch_server_tpu.sh starts
+    # (VERDICT r4 item 1). Env overrides exist for exploration only.
+    slots = int(os.environ.get("BENCH_SLOTS", SHIP["MAX_SLOTS"]))
     max_new = int(os.environ.get("BENCH_DECODE_TOKENS", 256))
     ps = int(os.environ.get("BENCH_PAGE_SIZE", SHIP["PAGE_SIZE"]))
     kv_dtype = os.environ.get("BENCH_KV", SHIP["KV_DTYPE"])
-    seq_cap = ps * ((16 + max_new + ps - 1) // ps) + ps
+    num_pages = int(os.environ.get("BENCH_NUM_PAGES", SHIP["NUM_PAGES"]))
+    seq_tokens = int(
+        os.environ.get("BENCH_MAX_SEQ_TOKENS", SHIP["MAX_SEQ_TOKENS"])
+    )
     sched = SchedulerConfig(
-        num_pages=slots * (seq_cap // ps) + 8,
+        num_pages=num_pages,
         page_size=ps,
         max_slots=slots,
-        max_pages_per_seq=max(2, seq_cap // ps),
+        max_pages_per_seq=max(2, (seq_tokens + ps - 1) // ps),
         prompt_bucket_step=128,
         vision_bucket_step=512,
         steps_per_sync=int(SHIP["STEPS_PER_SYNC"]),
+        prefill_chunk_tokens=int(SHIP["PREFILL_CHUNK"]),
         # Zeros-weights greedy decode is a period-1 token loop by
         # construction; the degeneration guard would stop every request.
         repetition_min_repeats=0,
         kv_cache_dtype="int8" if kv_dtype == "int8" else "bf16",
+        # Speculation also stays off in the headline for the same reason
+        # (period-1 stream => ~100% n-gram acceptance, an inflated number);
+        # see BENCH_SPEC_CURVE / tools/spec_realism.py for the honest curve.
         speculate_k=int(os.environ.get("BENCH_SPEC_K", 0)),
     )
     return ContinuousBatchingEngine(

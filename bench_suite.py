@@ -28,6 +28,7 @@ and MUST NOT change scope in future rounds; new methods get new keys.
 Usage: python bench_suite.py [--size tiny|small|flagship] [--json out.json]
 """
 
+import os
 import argparse
 import io
 import json
@@ -99,15 +100,22 @@ def main():
     flagship = args.size == "flagship"
 
     # SHIPPING config (launch_server_tpu.sh defaults): int8 decoder
-    # weights + continuous engine w/ chunked prefill + speculation +
-    # windowed vision (deploy/shipping.env VISION_ATTN — the r4 default,
-    # see docs/windowed_vision.md).
+    # weights + continuous engine w/ chunked prefill + speculation.
+    # Vision attention: shipping.env defaults VISION_ATTN=config (defer to
+    # the checkpoint, ADVICE r4) — zeros weights declare nothing, so the
+    # suite forces windowed EXPLICITLY (quality is moot without weights;
+    # the numbers are reported as windowed-mode numbers, and weights-day
+    # quality gating lives in docs/windowed_vision.md).
     from dots_ocr_tpu.models.quantize import quantize_decoder_params
-    from dots_ocr_tpu.utils.shipping import apply_vision_policy
+    from dots_ocr_tpu.utils.shipping import apply_vision_policy, shipping_config
 
     full_config = config  # image-wide attention (frozen_r2 rows)
     if flagship:
-        config = apply_vision_policy(config)
+        ship_vision = dict(shipping_config())
+        ship_vision["VISION_ATTN"] = os.environ.get(
+            "BENCH_VISION_ATTN", "windowed"
+        )
+        config = apply_vision_policy(config, ship_vision)
 
     params_q = quantize_decoder_params(params)
     # 1024 pages (not the server's 2048): the suite keeps BOTH the bf16

@@ -164,6 +164,24 @@ class PageAllocator:
             table.append(self._free.pop())
         self._lengths[seq_id] = new_length
 
+    def trim(self, seq_id: int, new_length: int) -> None:
+        """Release lookahead-reservation tail pages beyond new_length tokens.
+
+        Shrink-only (a no-op unless the table holds more pages than
+        new_length needs). Callers must never pass new_length below the
+        tokens actually written — this exists so the scheduler can drop a
+        stale pipelined-`ahead` reservation back to the true position
+        after a mid-pass drain (ADVICE r4)."""
+        table = self._tables.get(seq_id)
+        if table is None:
+            return
+        need = max(1, self.pages_needed(new_length))
+        if need >= len(table):
+            return
+        while len(table) > need:
+            self._free.append(table.pop())
+        self._lengths[seq_id] = new_length
+
     def free(self, seq_id: int) -> None:
         pages = self._tables.pop(seq_id, [])
         self._lengths.pop(seq_id, None)

@@ -2142,11 +2142,18 @@ class ContinuousBatchingEngine:
                 packed[:, w : 2 * w]
             ).view(np.float32)
         if use_spec:
-            emitted = int(num_decoded.sum())
             self.metrics["spec_emitted"] = (
-                self.metrics.get("spec_emitted", 0) + emitted
+                self.metrics.get("spec_emitted", 0) + int(num_decoded.sum())
             )
-            self._update_spec_gate(emitted, chunk, len(active))
+            # Gate the EWMA on rows still live at apply time only: slots
+            # whose requests finished while this chunk was pipelined are
+            # discard-only, and counting them (in numerator or denominator)
+            # would skew the acceptance estimate and could disable
+            # speculation marginally early (ADVICE r4).
+            live_rows = [i for i in active if self._slot_req[i] is not None]
+            if live_rows:
+                emitted_live = int(sum(num_decoded[i] for i in live_rows))
+                self._update_spec_gate(emitted_live, chunk, len(live_rows))
         self.metrics["steps"] += 1
         for i in active:
             req = self._slot_req[i]
@@ -2359,6 +2366,27 @@ class ContinuousBatchingEngine:
                             self._drain_inflight()
                             ahead = 0
                             pipeline_now = False
+                            # Rows reserved earlier in this pass used the
+                            # stale `ahead` lookahead; shrink them to the
+                            # true-position target so the pool pressure
+                            # that forced this drain isn't amplified by
+                            # over-held reservations (ADVICE r4). The
+                            # drain also invalidated the pipeline, so a
+                            # full device-input rebuild below is correct.
+                            cap = (self.sched.max_pages_per_seq
+                                   * self.sched.page_size)
+                            for j in active:
+                                if j == i:
+                                    break  # i and later re-reserve below
+                                rj = self._slot_req[j]
+                                if rj is None:
+                                    continue
+                                self.allocator.trim(
+                                    rj.req_id,
+                                    min(int(self._lengths[j])
+                                        + chunk * tokens_per_iter, cap),
+                                )
+                            self._dev = None  # tables may have shrunk
                             if self._slot_req[i] is None:
                                 break  # this row finished in the drain
                             target = min(

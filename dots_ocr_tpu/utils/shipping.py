@@ -28,9 +28,10 @@ _FALLBACK = {
     "PREFILL_CHUNK": "2048",
     "NUM_PAGES": "2048",
     "MAX_SLOTS": "16",
+    "MAX_SEQ_TOKENS": "40960",
     "STEPS_PER_SYNC": "16",
     "WARMUP": "full",
-    "VISION_ATTN": "windowed",
+    "VISION_ATTN": "config",
     "VISION_WINDOW": "16",
     "VISION_FULL_LAYERS": "6,13,20,27,34,41",
 }
@@ -46,7 +47,7 @@ def apply_vision_policy(config, ship: Dict[str, str] | None = None):
     import dataclasses
 
     ship = ship or shipping_config()
-    mode = ship.get("VISION_ATTN", "windowed")
+    mode = ship.get("VISION_ATTN", "config")
     if mode == "full":
         vision = dataclasses.replace(
             config.vision, window_size=0, full_attn_layers=()
