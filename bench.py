@@ -246,20 +246,32 @@ def main() -> None:
     waves = int(os.environ.get("BENCH_WAVES", 3))
     extra = {}
 
-    if quant == "int8":
-        from dots_ocr_tpu.models.quantize import quantize_decoder_params
+    if quant in ("int8", "int4"):
+        from dots_ocr_tpu.models.quantize import (
+            quantize_decoder_params,
+            quantize_decoder_params_int4,
+        )
 
-        qparams = quantize_decoder_params(params)
-        log("decoder quantized to int8 (shipping config — "
-            "deploy/shipping.env QUANTIZE=int8)")
-        rates = bench_serving(config, qparams, waves, "int8")
+        qparams = (
+            quantize_decoder_params_int4(params) if quant == "int4"
+            else quantize_decoder_params(params)
+        )
+        # Free the bf16 decoder copy: at the shipping NUM_PAGES=2048 the
+        # KV pool alone is ~7.5 GB, and holding bf16 (3.2 GB decoder) +
+        # int8 trees + pool would brush the 16 GB chip. The vision tower's
+        # bf16 leaves are shared (quantize copies only decoder linears).
+        params = None
+        log(f"decoder quantized to {quant} "
+            "(shipping config — deploy/shipping.env QUANTIZE)")
+        rates = bench_serving(config, qparams, waves, quant)
         if os.environ.get("BENCH_COMPARE", "1") == "1":
             # bf16 comparison in the SAME capture (round-3 verdict: the
             # int8>bf16 claim must be reproducible per run, not cross-run).
             del qparams
+            params = zeros_params(config)
             bf16 = bench_serving(config, params, 1, "bf16")
             extra["bf16_tok_s"] = round(bf16[0], 1)
-            log(f"int8 median {statistics.median(rates):.0f} vs bf16 "
+            log(f"{quant} median {statistics.median(rates):.0f} vs bf16 "
                 f"{bf16[0]:.0f} tok/s "
                 f"({statistics.median(rates)/bf16[0]:.2f}x)")
     else:

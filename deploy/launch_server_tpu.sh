@@ -36,6 +36,7 @@ exec python -m dots_ocr_tpu.serve.server \
   --page-size "${PAGE_SIZE}" \
   --kv-cache-dtype "${KV_DTYPE}" \
   --max-slots "${MAX_SLOTS}" \
+  --max-seq-tokens "${MAX_SEQ_TOKENS}" \
   --steps-per-sync "${STEPS_PER_SYNC}" \
   --prefill-chunk-tokens "${PREFILL_CHUNK}" \
   --speculate-k "${SPECULATE_K}" \

@@ -172,6 +172,14 @@ def main(argv=None):
         help="dir of ground-truth layout JSON ({page_id}.json) for the full "
         "column set: detection F1@.50:.95, per-category edit, TEDS, order",
     )
+    ap.add_argument(
+        "--gt", default=None,
+        help="official OmniDocBench.json: score through the end2end "
+        "PROTOCOL (eval/end2end.py — element matching via quick_match "
+        "before per-category metrics; the published-table method) instead "
+        "of raw-page edit distance. Drift vs the official pipeline is "
+        "documented in the end2end module docstring",
+    )
     args = ap.parse_args(argv)
 
     os.makedirs(args.output, exist_ok=True)
@@ -196,12 +204,26 @@ def main(argv=None):
         per_page = layout.pop("per_page")
         scores["layout"] = layout
         scores["layout_per_page"] = per_page
+    if args.gt:
+        from dots_ocr_tpu.eval.end2end import (
+            format_table,
+            score_pages_end2end,
+        )
+
+        with open(args.gt, encoding="utf-8") as f:
+            samples = json.load(f)
+        e2e = score_pages_end2end(samples, preds)
+        print("###### Process:  _quick_match")
+        print(format_table(e2e))
+        scores["end2end"] = {
+            k: v for k, v in e2e.items() if k != "pages"
+        }
     if scores:
         headline = {k: v for k, v in scores.items()
                     if k not in ("md_pages", "layout_per_page")}
         print(json.dumps(headline))
         with open(os.path.join(args.output, "scores.json"), "w") as f:
-            json.dump(scores, f, indent=2)
+            json.dump(scores, f, indent=2, default=str)
 
 
 if __name__ == "__main__":

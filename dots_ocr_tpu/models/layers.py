@@ -40,7 +40,13 @@ def linear(
     commute out of the contraction, so dequant is one fused elementwise
     multiply on the [tokens, out] output.
     """
-    if isinstance(kernel, dict) and "qint8_act" in kernel:
+    if isinstance(kernel, dict) and "qint4" in kernel:
+        # Weight-only int4: nibble-packed bytes + group scales, consumed by
+        # the Pallas grouped-dequant matmul (half the HBM stream of int8).
+        from dots_ocr_tpu.ops.int4_matmul import int4_linear
+
+        out = int4_linear(x, kernel).astype(jnp.float32)
+    elif isinstance(kernel, dict) and "qint8_act" in kernel:
         q, s = kernel["qint8_act"], kernel["scale"]
         xf = x.astype(jnp.float32)
         a_scale = jnp.maximum(

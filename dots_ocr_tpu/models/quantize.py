@@ -38,10 +38,17 @@ import jax.numpy as jnp
 
 QUANT_KEYS = ("qint8", "scale")
 ACT_QUANT_KEYS = ("qint8_act", "scale")
+INT4_KEYS = ("qint4", "scale4")
 
 
 def is_quantized_kernel(obj: Any) -> bool:
     return isinstance(obj, dict) and set(obj.keys()) == set(QUANT_KEYS)
+
+
+def is_int4_kernel(obj: Any) -> bool:
+    """Weight-only int4 marker: nibble-packed int8 + [G, out] group scales,
+    consumed by the Pallas grouped-dequant matmul (ops/int4_matmul.py)."""
+    return isinstance(obj, dict) and set(obj.keys()) == set(INT4_KEYS)
 
 
 def is_act_quantized_kernel(obj: Any) -> bool:
@@ -151,6 +158,82 @@ def quantize_vision_params(params: dict) -> dict:
         blocks[group] = grp
     vis["blocks"] = blocks
     return vis
+
+
+def quantize_kernel_int4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """[in, out] -> {qint4: int8[in/2, out] nibble-packed, scale4: f32[G, out]}.
+
+    Group-wise symmetric (128 input rows per group, q ∈ [-7, 7]): at 4 bits
+    a single per-output-channel scale is too coarse, and a group of 128
+    matches the MXU contraction tile so the consuming kernel
+    (ops/int4_matmul.py) runs one dot per group with the scale applied to
+    the accumulator. Packing puts input rows [0, in/2) in low nibbles and
+    [in/2, in) in high nibbles — unpack is two arithmetic shifts, no
+    shuffle. Requires in % 256 == 0 and out % 128 == 0 (all flagship
+    decoder linears qualify); callers fall back to int8 otherwise.
+    """
+    from dots_ocr_tpu.ops.int4_matmul import GROUP, pack_int4
+
+    wf = jnp.asarray(w, jnp.float32)
+    in_dim, out_dim = wf.shape
+    g = in_dim // GROUP
+    wg = wf.reshape(g, GROUP, out_dim)
+    s = jnp.maximum(jnp.max(jnp.abs(wg), axis=1) / 7.0, 1e-8)
+    q = jnp.clip(jnp.round(wg / s[:, None, :]), -7, 7).astype(jnp.int8)
+    return {"qint4": pack_int4(q.reshape(in_dim, out_dim)), "scale4": s}
+
+
+def int4_compatible(w) -> bool:
+    return (
+        hasattr(w, "ndim") and w.ndim in (2, 3)
+        and w.shape[-2] % 256 == 0 and w.shape[-1] % 128 == 0
+    )
+
+
+def quantize_decoder_params_int4(params: dict, include_embed: bool = True) -> dict:
+    """Full-VLM tree with decoder block linears as int4 (embed/lm_head stay
+    int8 — the embedding gather wants per-row int8, and the unembed's huge
+    vocab axis amortizes per-channel int8 well). Kernels whose shapes don't
+    meet the int4 alignment fall back to int8 per-kernel.
+
+    Single-chip only for now: the nibble packing interleaves input-row
+    halves, which a row-parallel TP shard would split incoherently —
+    the server rejects --quantize int4 with --tensor-parallel-size > 1.
+    """
+    if "decoder" in params:
+        out = dict(params)
+        out["decoder"] = quantize_decoder_params_int4(
+            params["decoder"], include_embed=include_embed
+        )
+        return out
+
+    dec = jax.tree.map(lambda x: x, params)
+    blocks = {k: v for k, v in dec["blocks"].items()}
+    for group, name in _BLOCK_KERNELS:
+        if group not in blocks or name not in blocks[group]:
+            continue
+        grp = dict(blocks[group])
+        w = grp[name]
+        if isinstance(w, dict):
+            continue  # already quantized
+        if not int4_compatible(w):
+            grp[name] = (
+                jax.vmap(quantize_kernel)(w) if w.ndim == 3
+                else quantize_kernel(w)
+            )
+        elif w.ndim == 3:  # stacked [L, in, out]
+            qs = jax.vmap(quantize_kernel_int4)(w)
+            grp[name] = {"qint4": qs["qint4"], "scale4": qs["scale4"]}
+        else:
+            grp[name] = quantize_kernel_int4(w)
+        blocks[group] = grp
+    dec = dict(dec)
+    dec["blocks"] = blocks
+    if include_embed and "embed" in dec and not is_quantized_kernel(dec["embed"]):
+        dec["embed"] = quantize_embedding(dec["embed"])
+        if "lm_head" in dec:
+            dec["lm_head"] = quantize_kernel(dec["lm_head"])
+    return dec
 
 
 def quantize_decoder_params(params: dict, include_embed: bool = True) -> dict:

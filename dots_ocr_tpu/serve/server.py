@@ -755,6 +755,15 @@ def main(argv=None):
         "needs for its f32 scale DMAs",
     )
     parser.add_argument("--max-slots", type=int, default=32)
+    parser.add_argument(
+        "--max-seq-tokens", type=int, default=40960,
+        help="per-sequence token envelope (prompt + decode; shipping "
+        "default covers the 14.4k vision prefill + 24k decode of "
+        "SURVEY §5.7). Sets the paged page-table width, a compile-time "
+        "shape: max_pages_per_seq = ceil(max_seq_tokens / page_size). "
+        "The static-width v2 kernel bounds its page loop by each row's "
+        "live length, so a wide table costs nothing at runtime",
+    )
     parser.add_argument("--steps-per-sync", type=int, default=16)
     parser.add_argument(
         "--prefill-chunk-tokens", type=int, default=2048,
@@ -792,9 +801,12 @@ def main(argv=None):
         "continuous engine only)",
     )
     parser.add_argument(
-        "--quantize", choices=["none", "int8"], default="none",
-        help="weight-only quantization of the decoder (int8 per-channel "
-        "scales; halves decode-time parameter HBM reads)",
+        "--quantize", choices=["none", "int8", "int4"], default="none",
+        help="weight-only quantization of the decoder. int8: per-channel "
+        "scales, halves decode-time parameter HBM reads. int4: 128-group "
+        "scales + Pallas grouped-dequant matmuls, halves them again "
+        "(block linears only; embed/lm_head stay int8; single-chip only "
+        "for now)",
     )
     parser.add_argument(
         "--vision-quantize", choices=["none", "int8"], default="none",
@@ -896,16 +908,25 @@ def main(argv=None):
             vision.full_attn_layers,
         )
 
-    if args.quantize == "int8":
+    if args.quantize in ("int8", "int4"):
         from dots_ocr_tpu.models.quantize import (
             quantize_decoder_params,
+            quantize_decoder_params_int4,
             quantized_bytes,
         )
 
+        if args.quantize == "int4" and args.tensor_parallel_size > 1:
+            # The nibble packing interleaves input-row halves, which a
+            # row-parallel shard would split incoherently.
+            raise SystemExit("--quantize int4 is single-chip only for now")
         before = quantized_bytes(params)
-        params = quantize_decoder_params(params)
+        params = (
+            quantize_decoder_params_int4(params)
+            if args.quantize == "int4"
+            else quantize_decoder_params(params)
+        )
         logging.getLogger(__name__).info(
-            "int8 weight quantization: %.2f GB -> %.2f GB",
+            "%s weight quantization: %.2f GB -> %.2f GB", args.quantize,
             before / 1e9, quantized_bytes(params) / 1e9,
         )
 
@@ -950,7 +971,7 @@ def main(argv=None):
                 max_slots=args.max_slots,
                 steps_per_sync=args.steps_per_sync,
                 max_pages_per_seq=max(
-                    1, (args.num_pages // 2) // max(args.max_slots // 4, 1)
+                    2, -(-args.max_seq_tokens // args.page_size)
                 ),
                 kv_cache_dtype=args.kv_cache_dtype,
                 prefill_chunk_tokens=args.prefill_chunk_tokens,

@@ -27,7 +27,7 @@ _FALLBACK = {
     "SPECULATE_K": "3",
     "PREFILL_CHUNK": "2048",
     "NUM_PAGES": "2048",
-    "MAX_SLOTS": "16",
+    "MAX_SLOTS": "64",
     "MAX_SEQ_TOKENS": "40960",
     "STEPS_PER_SYNC": "16",
     "WARMUP": "full",

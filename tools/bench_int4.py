@@ -1,0 +1,124 @@
+"""Microbenchmark: weight-only matmul variants at decode shapes (TPU).
+
+Times each flagship decoder linear at serving decode batch sizes across
+bf16 / int8 (XLA convert-in-dot, the shipping path) / int4 (Pallas
+grouped-dequant, ops/int4_matmul.py) and reports effective HBM bandwidth
+per variant — the decision artifact for VERDICT r4 item 4 ("int4
+weight-only decode, or prove int8 structural").
+
+Usage: python tools/bench_int4.py [--s 64] [--iters 200]
+Writes one JSON line per (shape, variant).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+# (name, in, out) — the flagship decoder's linears (models/config.py).
+SHAPES = [
+    ("wq", 1536, 1536),
+    ("wkv", 1536, 256),
+    ("wo", 1536, 1536),
+    ("gate_up", 1536, 8960),
+    ("down", 8960, 1536),
+]
+
+
+def time_fn(fn, args, iters):
+    jf = jax.jit(fn)
+    jf(*args).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = jf(*args)
+    r.block_until_ready()
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--s", type=int, default=64, help="decode batch rows")
+    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    from dots_ocr_tpu.models.quantize import (
+        quantize_kernel,
+        quantize_kernel_int4,
+    )
+    from dots_ocr_tpu.ops.int4_matmul import int4_matmul
+
+    log(f"device: {jax.devices()[0]}")
+    rows = []
+    key = jax.random.PRNGKey(0)
+    for name, in_dim, out_dim in SHAPES:
+        x = jax.random.normal(key, (args.s, in_dim), jnp.bfloat16)
+        w = jax.random.normal(key, (in_dim, out_dim), jnp.float32) / 32
+        wb = w.astype(jnp.bfloat16)
+        q8 = quantize_kernel(w)
+        q4 = quantize_kernel_int4(w)
+
+        variants = {
+            "bf16": (
+                lambda x, w: jnp.einsum(
+                    "si,io->so", x, w, preferred_element_type=jnp.float32
+                ),
+                (x, wb),
+                in_dim * out_dim * 2,
+            ),
+            "int8": (
+                lambda x, q, s: jnp.einsum(
+                    "si,io->so", x, q.astype(x.dtype),
+                    preferred_element_type=jnp.float32,
+                ) * s,
+                (x, q8["qint8"], q8["scale"]),
+                in_dim * out_dim,
+            ),
+            "int4_pallas": (
+                lambda x, p, s: int4_matmul(x, p, s),
+                (x, q4["qint4"], q4["scale4"]),
+                in_dim * out_dim // 2 + q4["scale4"].size * 4,
+            ),
+        }
+        for vname, (fn, a, bytes_read) in variants.items():
+            dt = time_fn(fn, a, args.iters)
+            row = {
+                "shape": name, "in": in_dim, "out": out_dim, "s": args.s,
+                "variant": vname, "us": round(dt * 1e6, 1),
+                "eff_gb_s": round(bytes_read / dt / 1e9, 1),
+            }
+            rows.append(row)
+            log(f"{name:8s} {vname:12s} {row['us']:8.1f} us  "
+                f"{row['eff_gb_s']:7.1f} GB/s")
+
+    # Weighted per-decode-step projection over a full layer stack:
+    # 28 layers x (wq + 2*wkv(k,v) + wo + 2*gate_up + down).
+    per_layer = {}
+    for v in ("bf16", "int8", "int4_pallas"):
+        t = {r["shape"]: r["us"] for r in rows if r["variant"] == v}
+        per_layer[v] = (
+            t["wq"] + 2 * t["wkv"] + t["wo"] + 2 * t["gate_up"] + t["down"]
+        )
+        log(f"step projection ({v}): 28 x {per_layer[v]:.0f} us = "
+            f"{28 * per_layer[v] / 1000:.2f} ms "
+            f"-> {args.s / (28 * per_layer[v] / 1e6):.0f} tok/s ceiling")
+    out = {"s": args.s, "rows": rows, "per_layer_us": per_layer}
+    print(json.dumps(out))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
