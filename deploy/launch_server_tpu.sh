@@ -22,6 +22,21 @@ done < "$HERE/shipping.env"
 WEIGHTS="${1:-./weights/DotsOCR}"
 PORT="${2:-8000}"
 
+# Relative cache paths resolve against the repo root, not the caller CWD.
+if [[ -n "${COMPILE_CACHE:-}" && "${COMPILE_CACHE}" != /* ]]; then
+  COMPILE_CACHE="$HERE/../${COMPILE_CACHE}"
+fi
+
+# PRIME_CACHE=1: seed the XLA compile cache with the full shipping program
+# set (zeros weights; no checkpoint needed) before binding — turns the
+# ~5-minute first-boot compile outage into a one-time deploy step
+# (tools/prime_cache.py; cold ~288 s vs primed 10-30 s, PERF.md).
+if [[ "${PRIME_CACHE:-0}" == "1" ]]; then
+  python "$HERE/../tools/prime_cache.py" \
+    --cache "${COMPILE_CACHE:-$HERE/../.cache/xla}" \
+    ${WEIGHTS:+--weights "$WEIGHTS"}
+fi
+
 EXTRA=()
 [[ -n "${QUANTIZE:-}" ]] && EXTRA+=(--quantize "$QUANTIZE")
 [[ -n "${COMPILE_CACHE:-}" ]] && EXTRA+=(--compile-cache "$COMPILE_CACHE")

@@ -295,6 +295,7 @@ def paged_attention_stacked(
 def _multipage_kernel(
     lengths_ref,      # scalar prefetch [B]
     page_idx_ref,     # scalar prefetch [B * max_pages]
+    cum_ref,          # scalar prefetch [B + 1]: DMA blocks of sequences < b
     *refs,            # q, k_hbm, v_hbm, [ks_hbm, vs_hbm], o, bufs..., sems
     page_size: int,
     max_pages: int,
@@ -330,14 +331,17 @@ def _multipage_kernel(
     fpb = pages_per_block
     n_blocks = jax.lax.div(n_pages + fpb - 1, fpb)
     blk = fpb * page_size
-    # Single-block regime: the whole page table fits one DMA block (the
-    # steady-state decode shape — width-bucketed tables at page 128 are
-    # 1-4 pages). Cross-SEQUENCE double buffering then applies: grid step
-    # b computes sequence b out of buffer slot b%2 while sequence b+1
-    # streams into slot (b+1)%2 — without it every grid step serializes
-    # issue -> DMA latency -> compute, and that per-step stall (~1.5 us x
-    # 28 layers x 64 seqs) was ~2.7 ms/iter of the r4 decode profile.
-    single_block = max_pages <= fpb and batch > 1
+    # Cross-sequence double buffering in GLOBAL block order: block number
+    # G (counting across sequences, cum_ref[b] + i within sequence b)
+    # lives in buffer slot G % 2, and whoever computes block G prefetches
+    # block G+1 — whether that is this sequence's next block or the next
+    # active sequence's first. Without the cross-sequence handoff every
+    # grid step serializes issue -> DMA latency -> compute, ~1.5 us x
+    # 28 layers x 64 seqs = ~2.7 ms/iter of the r4 decode profile; the
+    # r4 fix only applied when the whole table fit one DMA block, which
+    # the r5 40k-token envelope (static width 320 > fpb 4) broke — a
+    # measured 20% decode tax (12,791 -> 10,282 tok/s).
+    base = cum_ref[b]
 
     def copies(seq, slot, block, seq_pages):
         # Logical pages past the end are clamped to the last valid page
@@ -373,31 +377,20 @@ def _multipage_kernel(
                 )
         return out
 
-    if single_block:
-        slot_base = jax.lax.rem(b, 2)
+    # Issue our own block 0 only when the previous grid step could not
+    # have handed it to us: first sequence, or an inactive predecessor
+    # broke the prefetch chain (costs one serialized DMA at the gap —
+    # rare in saturated decode).
+    prev_len = lengths_ref[jnp.maximum(b - 1, 0)]
+    chain_broken = (b == 0) | (prev_len == 0)
 
-        @pl.when((b == 0) & (n_blocks > 0))
-        def _warmup():
-            for c in copies(b, slot_base, 0, n_pages):
-                c.start()
+    @pl.when(chain_broken & (n_blocks > 0))
+    def _self_issue():
+        for c in copies(b, jax.lax.rem(base, 2), 0, n_pages):
+            c.start()
 
-        # Prefetch the NEXT sequence's pages into the other slot before
-        # waiting on this sequence's — issued here, consumed by grid step
-        # b+1 (sequential grid; scratch buffers/semaphores persist).
-        nxt = jnp.minimum(b + 1, batch - 1)
-        nxt_pages = pages_of(lengths_ref[nxt])
-
-        @pl.when((b + 1 < batch) & (nxt_pages > 0))
-        def _prefetch_next():
-            for c in copies(nxt, 1 - slot_base, 0, nxt_pages):
-                c.start()
-    else:
-        slot_base = jnp.int32(0)
-
-        @pl.when(n_blocks > 0)
-        def _warmup():
-            for c in copies(b, 0, 0, n_pages):
-                c.start()
+    nxt = jnp.minimum(b + 1, batch - 1)
+    nxt_pages = pages_of(lengths_ref[nxt])
 
     rows = kv_heads * group * nq
     m0 = jnp.full((rows, 1), -jnp.inf, jnp.float32)
@@ -419,12 +412,20 @@ def _multipage_kernel(
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
-        slot = jax.lax.rem(i + slot_base, 2)
+        slot = jax.lax.rem(base + i, 2)
 
+        # Prefetch the next block in GLOBAL order into the other slot:
+        # our block i+1, or — at our last block — the next active
+        # sequence's block 0 (slot parity cum_ref[b+1] == 1 - slot).
         @pl.when(i + 1 < n_blocks)
-        def _prefetch():
-            for c in copies(b, jax.lax.rem(i + 1 + slot_base, 2), i + 1,
-                            n_pages):
+        def _prefetch_own():
+            for c in copies(b, 1 - slot, i + 1, n_pages):
+                c.start()
+
+        @pl.when((i + 1 == n_blocks) & (b + 1 < batch) & (nxt_pages > 0))
+        def _prefetch_next_seq():
+            for c in copies(nxt, jax.lax.rem(cum_ref[b + 1], 2), 0,
+                            nxt_pages):
                 c.start()
 
         for c in copies(b, slot, i, n_pages):
@@ -624,9 +625,24 @@ def paged_attention_multiquery(
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
+    # Global-block-order prefix (scalar prefetch): cum[b] = DMA blocks of
+    # sequences < b. Slot parity follows the global order, so the
+    # cross-sequence DMA handoff survives any per-sequence block count
+    # (see _multipage_kernel notes).
+    lengths32 = lengths.astype(jnp.int32)
+    pages_per_seq = jnp.where(
+        lengths32 > 0,
+        jax.lax.div(lengths32 + (nq - 1) + page_size - 1, page_size),
+        0,
+    )
+    nblk = jax.lax.div(pages_per_seq + fpb - 1, fpb)
+    cum_blocks = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nblk).astype(jnp.int32)]
+    )
     inputs = [
-        lengths.astype(jnp.int32),
+        lengths32,
         page_indices.reshape(-1).astype(jnp.int32),
+        cum_blocks,
         qg,
         k_pages,
         v_pages,
@@ -651,7 +667,7 @@ def paged_attention_multiquery(
     scratch_shapes.append(pltpu.SemaphoreType.DMA((2, n_bufs)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(batch,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, kv_heads, group * nq, head_dim), q_index),

@@ -31,6 +31,7 @@ _FALLBACK = {
     "MAX_SEQ_TOKENS": "40960",
     "STEPS_PER_SYNC": "16",
     "WARMUP": "full",
+    "COMPILE_CACHE": ".cache/xla",
     "VISION_ATTN": "config",
     "VISION_WINDOW": "16",
     "VISION_FULL_LAYERS": "6,13,20,27,34,41",

@@ -272,3 +272,51 @@ def test_adaptive_cutoff_pins_to_measured_breakeven(setup):
             emitted=int((floor + 0.05) * 4 * 8), chunk=4, n_active=8
         )
     assert eng2._spec_enabled
+
+
+def test_cutoff_on_mixed_near_breakeven_stream(setup):
+    """VERDICT r4 item 5: pin the adaptive cutoff on a REALISTIC
+    near-break-even mix, not an all-accept/all-reject extreme.
+
+    One greedy slot (period-1 loop: drafts accept ~fully, ~k+1
+    tokens/slot-iter) co-batched with three temp-1.0 slots (uniform-ish
+    151-way tiny softmax: drafts accept ~never, ~1 token/slot-iter) gives
+    an aggregate ~(4 + 3)/4 ~= 1.75 tokens/slot-iter at k=3 — an SVG-like
+    barely-above-break-even stream. The SAME stream must keep speculation
+    enabled under a floor below the mix's rate and disable it under a
+    floor above."""
+
+    def run(floor, greedy_budget, sampled_budget):
+        eng = build(setup, spec_k=3, spec_min_tokens_per_iter=floor)
+        for i in range(4):
+            eng.submit(
+                f"near breakeven stream {i}",
+                temperature=0.0 if i == 0 else 1.0,
+                max_new_tokens=greedy_budget if i == 0 else sampled_budget,
+            )
+        while eng.has_work():
+            eng.step()
+        return eng
+
+    # Sampled rows finish FIRST here, so the stream never degrades into a
+    # pure all-reject tail: mixed phase ~1.75 tok/slot-iter, then a pure
+    # greedy tail at ~k+1. A floor below the mixed rate must never trip.
+    eng_lo = run(floor=1.05, greedy_budget=64, sampled_budget=24)
+    assert eng_lo.metrics.get("spec_auto_disabled", 0) == 0, (
+        "floor below the mix's emitted/slot-iter must keep speculation on"
+    )
+    assert eng_lo.metrics.get("spec_chunks", 0) >= 3
+
+    # Equal budgets: once the greedy row drains, the remaining all-reject
+    # rows sit at ~1 tok/slot-iter — the gate MUST trip (this is exactly
+    # the SVG-at-0.15-acceptance shape from tools/spec_realism.py).
+    eng_hi = run(floor=1.5, greedy_budget=16, sampled_budget=64)
+    assert eng_hi.metrics.get("spec_auto_disabled", 0) == 1, (
+        "an all-reject tail below the shipped floor must trip the cutoff"
+    )
+    # After tripping, the remaining chunks ran plain — every request still
+    # completed its exact budget.
+    budgets = sorted(
+        len(r.output_ids) for r in eng_hi._finished.values()
+    )
+    assert budgets == [16, 64, 64, 64]

@@ -54,6 +54,11 @@ def main():
                     help="<1 measures the NUCLEUS-exact verify program "
                     "(top-K truncated acceptance; r3) — overhead shows in "
                     "spec_ms_per_iter vs the default full-vocab program")
+    ap.add_argument("--k-list", type=str, default=None,
+                    help="measure verify/plain iteration-cost ratios at "
+                    "these k values in ONE process (the tunnel drifts 3-5x "
+                    "between processes) — prints JSON with a 'ratios' map "
+                    "for tools/spec_realism.py --cost-ratios")
     args = ap.parse_args()
 
     import numpy as np
@@ -107,6 +112,64 @@ def main():
             rng, page_size=ps, num_steps=args.steps, spec_k=args.spec_k,
             attn_impl="paged", nucleus=nucleus,
         )
+
+    if args.k_list:
+        # Verify/plain cost ratio per k, one process (VERDICT r4 item 5):
+        # the verify program runs k+1 token positions per iteration, so its
+        # iteration cost grows with k; the realism tool crosses these
+        # ratios with measured acceptance to pick SPECULATE_K.
+        import json
+
+        ks = sorted({int(t) for t in args.k_list.split(",")})
+        nq_max = max(ks) + 1
+        pages_per_seq = -(-(ctx + 4 * args.steps * nq_max + ps) // ps)
+        mp = 1
+        while mp < pages_per_seq:
+            mp *= 2
+        num_pages = s * mp + 1
+        paged = PagedKV.create(config.decoder, num_pages, ps,
+                               dtype=jnp.bfloat16)
+        tables = jnp.asarray(
+            np.arange(s * mp, dtype=np.int32).reshape(s, mp)
+        )
+        dec_times = []
+        for rep in range(4):
+            t0 = time.perf_counter()
+            packed, carry, paged = decode_program(
+                params, config, paged, tokens, positions, tables, active,
+                temps, top_ps, rng, page_size=ps, num_steps=args.steps,
+                attn_impl="paged", nucleus=False,
+            )
+            np.asarray(packed)
+            dec_times.append(time.perf_counter() - t0)
+        dec_ms = min(dec_times[1:]) / args.steps * 1e3
+        log(f"decode: {dec_ms:.2f} ms/iter")
+        ratios, spec_ms_map = {}, {}
+        for k in ks:
+            times = []
+            for rep in range(4):
+                buf = jnp.zeros((s, mp * ps), jnp.int32)
+                t0 = time.perf_counter()
+                packed, carry, paged, buf = spec_decode_program(
+                    params, config, paged, buf, tokens, positions,
+                    jnp.zeros((s,), jnp.int32), tables, active, temps,
+                    top_ps, rng, page_size=ps, num_steps=args.steps,
+                    spec_k=k, attn_impl="paged", nucleus=False,
+                )
+                np.asarray(packed)
+                times.append(time.perf_counter() - t0)
+            spec_ms = min(times[1:]) / args.steps * 1e3
+            ratios[str(k)] = round(spec_ms / dec_ms, 3)
+            spec_ms_map[str(k)] = round(spec_ms, 2)
+            log(f"k={k}: {spec_ms:.2f} ms/iter -> ratio {ratios[str(k)]}")
+        print(json.dumps({
+            "metric": "spec_cost_ratios",
+            "decode_ms_per_iter": round(dec_ms, 2),
+            "spec_ms_per_iter": spec_ms_map,
+            "ratios": ratios,
+            "slots": s, "steps": args.steps, "page_size": ps, "ctx": ctx,
+        }))
+        return
 
     if args.acceptance_sweep:
         import json

@@ -18,13 +18,20 @@ verification items must close in ORDER — each stage gates the next:
   4. windowed   docs/windowed_vision.md checklist steps 1-2 (config keys /
                 processor hints), automated: reports whether windowed
                 attention is checkpoint-sanctioned or must stay off
-  5. specials   true special-token ids from tokenizer_config/added_tokens
+  5. windowed_ab  checklist step 4 automated: greedy parse full vs forced
+                windowed, divergence reported (gates VISION_ATTN=windowed)
+  6. vision_w8a8  --vision-quantize int8 gate: W8A8 vs bf16 parse delta
+  7. quantize_ab  decoder ladder bf16/int8/int4 greedy-token deltas (gates
+                deploy/shipping.env QUANTIZE and the int4 opt-in)
+  8. specials   true special-token ids from tokenizer_config/added_tokens
                 vs utils/consts expectations
-  6. warmup     engine warmup on the real config (catches shape/dtype
+  9. warmup     engine warmup on the real config (catches shape/dtype
                 surprises before serving)
-  7. sample     one real page parse (demo asset) with structural checks:
+ 10. sample     one real page parse (demo asset) with structural checks:
                 valid layout JSON, categories from the known set, bboxes in
                 bounds, reading order sane
+ 11. end2end_scorer  the OmniDocBench protocol scorer runs (--gt scores
+                against the official GT json)
 
 Each stage prints PASS/FAIL/SKIP + a remediation hint; exit 0 iff nothing
 FAILed. Designed so checkpoint-day is an hour, not a week.
@@ -129,6 +136,204 @@ def st_windowed(ctx):
     )
 
 
+@stage("windowed_ab")
+def st_windowed_ab(ctx):
+    """docs/windowed_vision.md checklist step 4, automated: greedy-parse
+    the sample page with full vs forced-windowed encoders and report the
+    output divergence. Zero divergence => windowed is free; otherwise the
+    printed delta is the data for the eval-set decision."""
+    import dataclasses
+
+    import numpy as np
+    from PIL import Image
+
+    from dots_ocr_tpu.engine.scheduler import (
+        ContinuousBatchingEngine,
+        SchedulerConfig,
+    )
+    from dots_ocr_tpu.eval.metrics import normalized_edit_distance
+    from dots_ocr_tpu.utils.prompts import dict_promptmode_to_prompt
+
+    if ctx.args.smoke:
+        win, full_layers = 2, (1,)
+    else:
+        from dots_ocr_tpu.utils.shipping import shipping_config
+
+        ship = shipping_config()
+        win = int(ship.get("VISION_WINDOW", "16"))
+        full_layers = tuple(
+            int(i) for i in ship.get("VISION_FULL_LAYERS", "").split(",")
+            if i.strip()
+        )
+    full_layers = tuple(
+        i for i in full_layers if i < ctx.config.vision.num_layers
+    )
+    windowed_cfg = ctx.config.replace(
+        vision=dataclasses.replace(
+            ctx.config.vision, window_size=win, full_attn_layers=full_layers
+        )
+    )
+    rng = np.random.RandomState(0)
+    img = Image.fromarray(rng.randint(0, 255, (560, 420, 3), np.uint8))
+    prompt = dict_promptmode_to_prompt["prompt_layout_all_en"]
+    budget = 32 if ctx.args.smoke else 512
+    outs = {}
+    for name, cfg in (("full", ctx.config), ("windowed", windowed_cfg)):
+        eng = ContinuousBatchingEngine(
+            ctx.params, cfg, tokenizer=getattr(ctx, "tokenizer", None),
+            sched=SchedulerConfig(**ctx.sched_kw),
+        )
+        outs[name] = eng.generate_one(
+            prompt, images=[img], temperature=0.0, max_new_tokens=budget
+        )
+        del eng
+    if not outs["full"] or not outs["windowed"]:
+        return "FAIL", "empty parse output (prompt rejected? check sched_kw)"
+    dist = normalized_edit_distance(outs["full"], outs["windowed"])
+    verdict = "identical" if dist == 0 else f"edit distance {dist:.4f}"
+    if ctx.args.smoke or dist < 0.05:
+        return "PASS", (
+            f"full-vs-windowed greedy outputs {verdict} (step-4 A/B; run "
+            "the eval-set version before forcing VISION_ATTN=windowed)"
+        )
+    return "FAIL", (
+        f"windowed encoder diverges ({verdict}) — keep VISION_ATTN=config/"
+        "full for eval-quality runs (docs/windowed_vision.md step 4)"
+    )
+
+
+@stage("vision_w8a8")
+def st_vision_w8a8(ctx):
+    """--vision-quantize int8 gate: W8A8 encoder outputs vs bf16 on a real
+    page through the full parse; ship the flag only if outputs agree."""
+    import numpy as np
+    from PIL import Image
+
+    from dots_ocr_tpu.engine.scheduler import (
+        ContinuousBatchingEngine,
+        SchedulerConfig,
+    )
+    from dots_ocr_tpu.eval.metrics import normalized_edit_distance
+    from dots_ocr_tpu.models.quantize import quantize_vision_params
+    from dots_ocr_tpu.utils.prompts import dict_promptmode_to_prompt
+
+    rng = np.random.RandomState(1)
+    img = Image.fromarray(rng.randint(0, 255, (560, 420, 3), np.uint8))
+    prompt = dict_promptmode_to_prompt["prompt_ocr"]
+    budget = 32 if ctx.args.smoke else 512
+    outs = {}
+    for name, params in (
+        ("bf16", ctx.params),
+        ("w8a8", quantize_vision_params(ctx.params)),
+    ):
+        eng = ContinuousBatchingEngine(
+            params, ctx.config, tokenizer=getattr(ctx, "tokenizer", None),
+            sched=SchedulerConfig(**ctx.sched_kw),
+        )
+        outs[name] = eng.generate_one(
+            prompt, images=[img], temperature=0.0, max_new_tokens=budget
+        )
+        del eng
+    if not outs["bf16"] or not outs["w8a8"]:
+        return "FAIL", "empty parse output (prompt rejected? check sched_kw)"
+    dist = normalized_edit_distance(outs["bf16"], outs["w8a8"])
+    if ctx.args.smoke or dist < 0.02:
+        return "PASS", (
+            f"W8A8 vision output edit distance {dist:.4f} vs bf16 — "
+            "--vision-quantize int8 is usable (confirm on an eval set)"
+        )
+    return "FAIL", (
+        f"W8A8 vision diverges (edit distance {dist:.4f}) — keep "
+        "--vision-quantize none"
+    )
+
+
+@stage("quantize_ab")
+def st_quantize_ab(ctx):
+    """Decoder weight-only quantization ladder on the real weights: greedy
+    tokens bf16 vs int8 vs int4 on the sample page. int8 is the shipping
+    default (deploy/shipping.env QUANTIZE); int4 is the opt-in fast path —
+    both must be re-judged the day real weights land."""
+    import numpy as np
+    from PIL import Image
+
+    from dots_ocr_tpu.engine.scheduler import (
+        ContinuousBatchingEngine,
+        SchedulerConfig,
+    )
+    from dots_ocr_tpu.eval.metrics import normalized_edit_distance
+    from dots_ocr_tpu.models.quantize import (
+        quantize_decoder_params,
+        quantize_decoder_params_int4,
+    )
+    from dots_ocr_tpu.utils.prompts import dict_promptmode_to_prompt
+
+    rng = np.random.RandomState(2)
+    img = Image.fromarray(rng.randint(0, 255, (560, 420, 3), np.uint8))
+    prompt = dict_promptmode_to_prompt["prompt_ocr"]
+    budget = 24 if ctx.args.smoke else 512
+    outs = {}
+    for name, params in (
+        ("bf16", ctx.params),
+        ("int8", quantize_decoder_params(ctx.params)),
+        ("int4", quantize_decoder_params_int4(ctx.params)),
+    ):
+        eng = ContinuousBatchingEngine(
+            params, ctx.config, tokenizer=getattr(ctx, "tokenizer", None),
+            sched=SchedulerConfig(**ctx.sched_kw),
+        )
+        outs[name] = eng.generate_one(
+            prompt, images=[img], temperature=0.0, max_new_tokens=budget
+        )
+        del eng
+    if not all(outs.values()):
+        return "FAIL", "empty parse output (prompt rejected? check sched_kw)"
+    d8 = normalized_edit_distance(outs["bf16"], outs["int8"])
+    d4 = normalized_edit_distance(outs["bf16"], outs["int4"])
+    msg = f"vs bf16: int8 edit {d8:.4f}, int4 edit {d4:.4f}"
+    if ctx.args.smoke:
+        return "PASS", msg + " (smoke: divergence expected on random weights)"
+    if d8 < 0.02:
+        return "PASS", msg + (
+            " — int8 ships; int4 usable" if d4 < 0.02
+            else " — int8 ships; hold int4 pending an eval-set run"
+        )
+    return "FAIL", msg + " — re-derive QUANTIZE before serving real weights"
+
+
+@stage("end2end_scorer")
+def st_end2end_scorer(ctx):
+    """Exercise the OmniDocBench protocol scorer (eval/end2end.py): with
+    --gt, score this drill's outputs; otherwise prove the wiring on a
+    built-in fixture (VERDICT r4: the scorer must be part of the drill)."""
+    from dots_ocr_tpu.eval.end2end import score_pages_end2end
+
+    gt = getattr(ctx.args, "gt", None)
+    if gt and os.path.exists(gt):
+        samples = json.load(open(gt, encoding="utf-8"))
+        note = f"against {gt}"
+    else:
+        samples = [{
+            "page_info": {
+                "image_path": "fixture_page.jpg",
+                "page_attribute": {"language": "english"},
+            },
+            "layout_dets": [
+                {"category_type": "text_block", "text": "hello world",
+                 "order": 1},
+                {"category_type": "title", "text": "A Title", "order": 0},
+            ],
+        }]
+        note = "on the built-in fixture (pass --gt OmniDocBench.json)"
+    preds = {"fixture_page": "# A Title\n\nhello world\n"}
+    scores = score_pages_end2end(samples, preds)
+    overall = {
+        k: v for k, v in scores.items()
+        if isinstance(k, str) and k.startswith("overall")
+    }
+    return "PASS", f"protocol scorer ran {note}: {overall}"
+
+
 @stage("specials")
 def st_specials(ctx):
     from dots_ocr_tpu.engine.tokenizer import load_tokenizer
@@ -173,7 +378,10 @@ def st_warmup(ctx):
     dummy = Image.fromarray(np.zeros((560, 420, 3), np.uint8))
     eng.generate_batch(["warmup", "warmup"], [[dummy], []],
                        temperature=0.0, max_new_tokens=4)
-    n = eng.warmup_decode()
+    # Smoke caps the bucket warm (the CPU fallback path buckets table
+    # widths; warming all of them is a multi-minute CI tax with no
+    # orchestration value) — the real drill warms everything.
+    n = eng.warmup_decode(max_len=256 if ctx.args.smoke else None)
     ctx.engine = eng
     return "PASS", f"{n} decode programs compiled"
 
@@ -198,6 +406,8 @@ def st_sample(ctx):
         max_new_tokens=64 if ctx.args.smoke else 4096,
     )
     if ctx.args.smoke:
+        if not text:
+            return "FAIL", "tiny-model sample decoded nothing (rejected?)"
         return "PASS", f"tiny-model sample decoded {len(text)} chars"
     cells = clean_string_data(text).data
     if not isinstance(cells, list) or not cells:
@@ -229,6 +439,8 @@ def main(argv=None):
     ap.add_argument("--out-dir", default="./weights_day_out")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny random-weight end-to-end orchestration test")
+    ap.add_argument("--gt", default=None,
+                    help="OmniDocBench.json for the end2end_scorer stage")
     args = ap.parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -245,13 +457,20 @@ def main(argv=None):
 
         ctx.config = DotsOCRConfig.tiny()
         ctx.params = init_params(jax.random.PRNGKey(0), ctx.config)
-        ctx.sched_kw = dict(num_pages=64, page_size=8, max_slots=4,
-                            max_pages_per_seq=32, prompt_bucket_step=32,
+        # The layout prompt + a 560x420 image is ~1.2k tokens = ~150 pages
+        # at page_size 8 — the pool must actually ADMIT it or every image
+        # stage passes vacuously on empty outputs (the stages also guard).
+        # Must admit the LARGEST smoke prompt: the 840x1188 demo asset is
+        # ~1.3k vision + ~0.8k text tokens = ~260 pages at page_size 8.
+        ctx.sched_kw = dict(num_pages=768, page_size=8, max_slots=4,
+                            max_pages_per_seq=320, prompt_bucket_step=32,
                             vision_bucket_step=16, prefill_chunk_tokens=16)
-        stages = [st_warmup, st_sample]
+        stages = [st_warmup, st_sample, st_windowed_ab, st_vision_w8a8,
+                  st_quantize_ab, st_end2end_scorer]
     else:
         stages = [st_download, st_load, st_parity, st_windowed,
-                  st_specials, st_warmup, st_sample]
+                  st_windowed_ab, st_vision_w8a8, st_quantize_ab,
+                  st_specials, st_warmup, st_sample, st_end2end_scorer]
 
     for st in stages:
         status = st(ctx)
