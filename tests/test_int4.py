@@ -166,3 +166,23 @@ def test_pallas_pads_small_batches(s_tokens):
         np.asarray(got, np.float32), np.asarray(ref, np.float32),
         rtol=0.02, atol=0.02,
     )
+
+
+def test_pallas_w4a8_matches_reference():
+    """act_quant=True (int8 x int8 MXU dots) adds only per-token int8
+    activation noise on top of the int4 weight noise."""
+    rng = np.random.RandomState(7)
+    w = rng.randn(512, 384).astype(np.float32) * 0.1
+    x = (rng.randn(8, 512) * 0.5).astype(np.float32)
+    qk = quantize_kernel_int4(jnp.asarray(w))
+    xb = jnp.asarray(x, jnp.bfloat16)
+    ref = np.asarray(
+        int4_matmul_reference(xb, qk["qint4"], qk["scale4"]), np.float32
+    )
+    got = np.asarray(
+        int4_matmul(xb, qk["qint4"], qk["scale4"], interpret=True,
+                    act_quant=True),
+        np.float32,
+    )
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.05, rel  # A8 noise alone: ~1/127 per element

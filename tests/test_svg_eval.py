@@ -247,3 +247,32 @@ class TestScoring:
         res = score_svg(self._matching_svg(), self._target())
         for v in res.values():
             assert isinstance(v, float)
+
+
+def test_composite_falls_back_without_clip():
+    """Zero-egress env: CLIP weights can't load, so the composite must
+    equal the pixel score with clip reported absent (-1)."""
+    from PIL import Image
+
+    from dots_ocr_tpu.eval.svg import score_svg, score_svg_composite
+
+    svg = ('<svg xmlns="http://www.w3.org/2000/svg" width="64" height="64">'
+           '<rect x="0" y="0" width="64" height="64" fill="#ffffff"/>'
+           '<rect x="8" y="8" width="20" height="20" fill="#204080"/></svg>')
+    target = Image.new("RGB", (64, 64), (255, 255, 255))
+    base = score_svg(svg, target)
+    comp = score_svg_composite(svg, target)
+    assert comp["renderable"] == 1.0
+    if comp["clip"] == -1.0:  # offline build env (the expected branch)
+        assert abs(comp["composite"] - base["score"]) < 1e-9
+    else:  # CLIP available (weights-day env)
+        assert 0.0 <= comp["composite"] <= 1.0
+
+
+def test_composite_unrenderable_scores_zero():
+    from PIL import Image
+
+    from dots_ocr_tpu.eval.svg import score_svg_composite
+
+    comp = score_svg_composite("not svg at all", Image.new("RGB", (32, 32)))
+    assert comp["composite"] == 0.0 and comp["clip"] == -1.0

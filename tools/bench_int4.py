@@ -17,6 +17,9 @@ import json
 import sys
 import time
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,12 +49,112 @@ def time_fn(fn, args, iters):
     return (time.perf_counter() - t0) / iters
 
 
+def bench_chain(args):
+    """One-dispatch 28-layer MLP chain (gate_up + down per layer, scanned
+    over stacked weights) — the representative decode-step measurement.
+    The per-matmul mode is dispatch-floor-bound (~14 us/call through the
+    tunnel) at decode shapes; chaining amortizes it away exactly like the
+    real engine's multi-step decode chunks do."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dots_ocr_tpu.models.quantize import (
+        quantize_kernel,
+        quantize_kernel_int4,
+    )
+    from dots_ocr_tpu.ops.int4_matmul import int4_matmul
+
+    L, IN, MID = 28, 1536, 8960
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (args.s, IN), jnp.bfloat16)
+    gate = jax.random.normal(key, (L, IN, MID), jnp.float32) * 0.02
+    down = jax.random.normal(key, (L, MID, IN), jnp.float32) * 0.02
+
+    def stack(q, w):
+        return jax.vmap(q)(w)
+
+    packs = {
+        "bf16": (gate.astype(jnp.bfloat16), down.astype(jnp.bfloat16)),
+        "int8": (stack(quantize_kernel, gate), stack(quantize_kernel, down)),
+        "int4_pallas": (
+            stack(quantize_kernel_int4, gate),
+            stack(quantize_kernel_int4, down),
+        ),
+    }
+    del gate, down
+
+    def apply_one(x, wl, act_quant):
+        if isinstance(wl, dict) and "qint4" in wl:
+            return int4_matmul(x, wl["qint4"], wl["scale4"],
+                               act_quant=act_quant)
+        if isinstance(wl, dict):
+            return (jnp.einsum(
+                "si,io->so", x, wl["qint8"].astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            ) * wl["scale"]).astype(x.dtype)
+        return jnp.einsum(
+            "si,io->so", x, wl, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+
+    results = {}
+    for name in ("bf16", "int8", "int4_pallas", "int4_w4a8"):
+        g, d = packs["int4_pallas" if name == "int4_w4a8" else name]
+        aq = name == "int4_w4a8"
+
+        @jax.jit
+        def chain(x, g=g, d=d, aq=aq):
+            def body(x, wl):
+                gl, dl = wl
+                h = apply_one(x, jax.tree.map(lambda a: a, gl), aq)
+                # keep magnitudes bounded across 28 layers
+                h = (h * 0.05).astype(x.dtype)
+                y = apply_one(h, dl, aq)
+                return (y * 0.05).astype(x.dtype), ()
+
+            out, _ = jax.lax.scan(body, x, (g, d))
+            return out
+
+        chain(x0).block_until_ready()
+        n = 30
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r = chain(x0)
+        r.block_until_ready()
+        dt = (time.perf_counter() - t0) / n
+        bytes_per = {
+            "bf16": L * (IN * MID + MID * IN) * 2,
+            "int8": L * (IN * MID + MID * IN),
+            "int4_pallas": L * (IN * MID + MID * IN) // 2,
+            "int4_w4a8": L * (IN * MID + MID * IN) // 2,
+        }[name]
+        results[name] = {
+            "ms": round(dt * 1e3, 3),
+            "us_per_layer": round(dt / L * 1e6, 1),
+            "eff_gb_s": round(bytes_per / dt / 1e9, 1),
+        }
+        log(f"chain {name:12s} {dt*1e3:8.3f} ms  "
+            f"({dt/L*1e6:6.1f} us/layer, {results[name]['eff_gb_s']:7.1f} "
+            "GB/s weight stream)")
+    out = {"mode": "chain", "s": args.s, "layers": L, "results": results}
+    print(json.dumps(out))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--s", type=int, default=64, help="decode batch rows")
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--json", default=None)
+    ap.add_argument("--chain", action="store_true",
+                    help="28-layer scanned MLP chain in one dispatch (the "
+                    "representative decode measurement)")
     args = ap.parse_args()
+    if args.chain:
+        bench_chain(args)
+        return
 
     from dots_ocr_tpu.models.quantize import (
         quantize_kernel,
@@ -90,6 +193,11 @@ def main():
                 (x, q4["qint4"], q4["scale4"]),
                 in_dim * out_dim // 2 + q4["scale4"].size * 4,
             ),
+            "int4_w4a8": (
+                lambda x, p, s: int4_matmul(x, p, s, act_quant=True),
+                (x, q4["qint4"], q4["scale4"]),
+                in_dim * out_dim // 2 + q4["scale4"].size * 4,
+            ),
         }
         for vname, (fn, a, bytes_read) in variants.items():
             dt = time_fn(fn, a, args.iters)
@@ -105,7 +213,7 @@ def main():
     # Weighted per-decode-step projection over a full layer stack:
     # 28 layers x (wq + 2*wkv(k,v) + wo + 2*gate_up + down).
     per_layer = {}
-    for v in ("bf16", "int8", "int4_pallas"):
+    for v in ("bf16", "int8", "int4_pallas", "int4_w4a8"):
         t = {r["shape"]: r["us"] for r in rows if r["variant"] == v}
         per_layer[v] = (
             t["wq"] + 2 * t["wkv"] + t["wo"] + 2 * t["gate_up"] + t["down"]

@@ -187,6 +187,9 @@ def st_windowed_ab(ctx):
             prompt, images=[img], temperature=0.0, max_new_tokens=budget
         )
         del eng
+        import jax
+
+        jax.clear_caches()  # cap host RAM: each A/B arm compiled its own programs
     if not outs["full"] or not outs["windowed"]:
         return "FAIL", "empty parse output (prompt rejected? check sched_kw)"
     dist = normalized_edit_distance(outs["full"], outs["windowed"])
@@ -234,6 +237,9 @@ def st_vision_w8a8(ctx):
             prompt, images=[img], temperature=0.0, max_new_tokens=budget
         )
         del eng
+        import jax
+
+        jax.clear_caches()  # cap host RAM: each A/B arm compiled its own programs
     if not outs["bf16"] or not outs["w8a8"]:
         return "FAIL", "empty parse output (prompt rejected? check sched_kw)"
     dist = normalized_edit_distance(outs["bf16"], outs["w8a8"])
@@ -286,6 +292,9 @@ def st_quantize_ab(ctx):
             prompt, images=[img], temperature=0.0, max_new_tokens=budget
         )
         del eng
+        import jax
+
+        jax.clear_caches()  # cap host RAM: each A/B arm compiled its own programs
     if not all(outs.values()):
         return "FAIL", "empty parse output (prompt rejected? check sched_kw)"
     d8 = normalized_edit_distance(outs["bf16"], outs["int8"])
