@@ -2057,7 +2057,16 @@ class ContinuousBatchingEngine:
                 return True
         for slot, req in enumerate(self._slot_req):
             if req is not None and req.req_id == req_id:
-                self._finish(slot, "cancelled")
+                if self._inflight is not None:
+                    # Land the pipelined chunk first so _finish frees the
+                    # pages NOW instead of deferring them to a step that a
+                    # disconnecting client will never drive. Cancel is a
+                    # rare host event; the drain is bit-identical to what
+                    # the next step would have applied anyway.
+                    self._drain_inflight()
+                    if req.state == FINISHED:
+                        return False  # drained chunk finished it naturally
+                self._finish(req.slot, "cancelled")
                 self.metrics["cancelled"] = self.metrics.get("cancelled", 0) + 1
                 return True
         return False
