@@ -171,10 +171,19 @@ def _pick_tile(out_dim: int, half: int, groups: int, pad_s: int) -> int:
     VMEM — FEWEST grid steps wins: measured r5, a 256-wide tile put 35
     grid steps on the 1536x8960 matmul and per-step pipeline overhead
     (~1 us) dominated the 200 GB/s-effective kernel; big tiles run the
-    same bytes in 2-4 steps."""
+    same bytes in 2-4 steps.
+
+    DOTS_INT4_MIN_STEPS (env, default 1) forces at least N grid steps:
+    a single-step call cannot overlap its weight DMA with compute, so
+    in-context (inside the decode scan) a floor of 2-4 may win even
+    though it loses standalone — measured by tools/bench_int4.py
+    --chain with the env set."""
+    import os
+
+    min_steps = int(os.environ.get("DOTS_INT4_MIN_STEPS", "1"))
     budget = 11 * 1024 * 1024  # leave headroom of the ~16 MB VMEM
     best = None
-    for n in range(1, out_dim // 128 + 1):
+    for n in range(max(1, min_steps), out_dim // 128 + 1):
         if out_dim % (n * 128):
             continue
         tile = out_dim // n
@@ -245,7 +254,14 @@ def int4_linear(x: jnp.ndarray, kernel: dict, impl: str = "auto") -> jnp.ndarray
 
     impl: 'pallas' (TPU), 'reference' (XLA grouped einsum — CPU tests),
     'interpret' (Pallas interpreter), 'auto' (pallas on TPU else reference).
+
+    DOTS_INT4_ACT=1 (env, read at trace time) switches the Pallas path to
+    W4A8: activations quantize per token to int8 in-kernel and the dots
+    run int8 x int8 on the MXU — the A/B knob for the decode bandwidth
+    study (PERF.md r5); the reference path ignores it (W4A16 numerics).
     """
+    import os
+
     packed, scales = kernel["qint4"], kernel["scale4"]
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "reference"
@@ -254,7 +270,10 @@ def int4_linear(x: jnp.ndarray, kernel: dict, impl: str = "auto") -> jnp.ndarray
     if impl == "reference":
         out = int4_matmul_reference(x2, packed, scales).astype(x.dtype)
     else:
-        out = int4_matmul(x2, packed, scales, interpret=(impl == "interpret"))
+        out = int4_matmul(
+            x2, packed, scales, interpret=(impl == "interpret"),
+            act_quant=os.environ.get("DOTS_INT4_ACT", "0") == "1",
+        )
     return out.reshape(*lead, out.shape[-1])
 
 
