@@ -41,11 +41,14 @@ SHAPES = [
 
 def time_fn(fn, args, iters):
     jf = jax.jit(fn)
-    jf(*args).block_until_ready()
+    # Scalar fetch, not block_until_ready: through the axon tunnel the
+    # latter returns once work is enqueued, so an undrained queue makes the
+    # subsequent timed loop report dispatch cost instead of device time.
+    float(jf(*args).sum())
     t0 = time.perf_counter()
     for _ in range(iters):
         r = jf(*args)
-    r.block_until_ready()
+    float(r.sum())
     return (time.perf_counter() - t0) / iters
 
 
@@ -102,11 +105,16 @@ def bench_chain(args):
         g, d = packs["int4_pallas" if name == "int4_w4a8" else name]
         aq = name == "int4_w4a8"
 
+        # Weights MUST be jit arguments, never defaults/closures: jit embeds
+        # captured arrays as MLIR constants, which pulls the full 1.5 GB
+        # stack device->host during lowering (a multi-minute stall through
+        # the axon tunnel). aq is a Python bool resolved at trace time via
+        # closure, so each variant gets its own jit cache entry.
         @jax.jit
-        def chain(x, g=g, d=d, aq=aq):
+        def chain(x, g, d):
             def body(x, wl):
                 gl, dl = wl
-                h = apply_one(x, jax.tree.map(lambda a: a, gl), aq)
+                h = apply_one(x, gl, aq)
                 # keep magnitudes bounded across 28 layers
                 h = (h * 0.05).astype(x.dtype)
                 y = apply_one(h, dl, aq)
@@ -115,12 +123,16 @@ def bench_chain(args):
             out, _ = jax.lax.scan(body, x, (g, d))
             return out
 
-        chain(x0).block_until_ready()
+        # Force a REAL drain: through the tunnel, block_until_ready returns
+        # once work is enqueued; only a value fetch round-trips the device.
+        float(chain(x0, g, d).sum())
         n = 30
+        x = x0
         t0 = time.perf_counter()
         for _ in range(n):
-            r = chain(x0)
-        r.block_until_ready()
+            # dependency-chain iterations so no dispatch can be elided
+            x = chain(x, g, d)
+        float(x.sum())
         dt = (time.perf_counter() - t0) / n
         bytes_per = {
             "bf16": L * (IN * MID + MID * IN) * 2,
