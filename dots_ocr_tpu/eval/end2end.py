@@ -148,6 +148,28 @@ def gt_elements(sample: dict) -> List[Element]:
     return out
 
 
+def gt_to_markdown(sample: dict) -> str:
+    """Render a GT sample's scored elements as page markdown.
+
+    The round-trip harness (tools/weights_day.py end2end_scorer stage):
+    feeding this back through pred_elements + quick_match should score
+    near-zero edit distance, which pins matching + normalization end to
+    end without predictions.
+    """
+    parts = []
+    for el in gt_elements(sample):
+        if el.category == "table":
+            parts.append(el.content if el.content.lstrip().startswith("<")
+                         else f"<table><tr><td>{el.content}</td></tr></table>")
+        elif el.category == "formula":
+            parts.append(f"$${el.content}$$")
+        elif el.raw_category == "title":
+            parts.append(f"# {el.content}")
+        else:
+            parts.append(el.content)
+    return "\n\n".join(p for p in parts if p.strip())
+
+
 # ---------------------------------------------------------------------------
 # Prediction parsing: page markdown → typed elements
 # ---------------------------------------------------------------------------

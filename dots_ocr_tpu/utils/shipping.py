@@ -24,7 +24,7 @@ _FALLBACK = {
     "PAGE_SIZE": "128",
     "KV_DTYPE": "bf16",
     "QUANTIZE": "int8",
-    "SPECULATE_K": "3",
+    "SPECULATE_K": "2",  # re-derived r5: BENCH_SPEC_CURVE_r5.json
     "PREFILL_CHUNK": "2048",
     "NUM_PAGES": "2048",
     "MAX_SLOTS": "64",

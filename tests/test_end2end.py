@@ -158,6 +158,19 @@ class TestScoring:
         assert scores["overall_EN"] == 0.0
         assert scores["display_formula_CDM_EN"] == "-"
 
+    def test_gt_markdown_roundtrip_scores_zero(self):
+        # weights_day's end2end_scorer stage feeds GT back through
+        # gt_to_markdown as the prediction set; the protocol score must be
+        # exactly zero or the matching/normalization chain has drifted.
+        from dots_ocr_tpu.eval.end2end import gt_to_markdown
+
+        sample = _full_sample()
+        scores = score_pages_end2end(
+            [sample], {"page_0": gt_to_markdown(sample)}
+        )
+        assert scores["overall_EN"] == 0.0
+        assert scores["table_TEDS_EN"] == 100.0
+
     def test_overall_is_mean_of_four_columns(self):
         md = PERFECT_MD.replace("twelve", "thirteen")
         scores = score_pages_end2end([_full_sample()], {"page_0": md})

@@ -5,7 +5,7 @@ COST vs acceptance on-chip, but acceptance itself was only ever exercised
 at the zeros-weights full-acceptance ceiling. This tool measures what the
 engine's actual drafter (bigram prompt-lookup over generated history,
 engine/scheduler.py spec_decode_program) would accept on the workloads
-``SPECULATE_K=3`` ships ON for:
+``SPECULATE_K`` ships ON for (k=2 since r5, BENCH_SPEC_CURVE_r5.json):
 
   * layout JSON  — prompt_layout_all_en output (bbox/category/text cells;
                    the serving default, /root/reference/dots_ocr/utils/prompts.py:3)

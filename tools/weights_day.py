@@ -318,9 +318,37 @@ def st_end2end_scorer(ctx):
     from dots_ocr_tpu.eval.end2end import score_pages_end2end
 
     gt = getattr(ctx.args, "gt", None)
+    preds_dir = getattr(ctx.args, "preds", None)
     if gt and os.path.exists(gt):
         samples = json.load(open(gt, encoding="utf-8"))
-        note = f"against {gt}"
+        if preds_dir and os.path.isdir(preds_dir):
+            preds = {}
+            for name in os.listdir(preds_dir):
+                if name.endswith(".md"):
+                    with open(os.path.join(preds_dir, name),
+                              encoding="utf-8") as f:
+                        preds[os.path.splitext(name)[0]] = f.read()
+            note = f"against {gt} with {len(preds)} predictions"
+        else:
+            # No predictions yet: round-trip the GT through the markdown
+            # emitter as the prediction set — the protocol score should be
+            # near-perfect, which pins matching+normalization end to end.
+            from dots_ocr_tpu.eval.end2end import gt_to_markdown
+
+            preds = {}
+            for s in samples:
+                stem = os.path.splitext(os.path.basename(
+                    (s.get("page_info") or {}).get("image_path", "")))[0]
+                if stem:
+                    preds[stem] = gt_to_markdown(s)
+            note = f"GT round-trip over {gt} (pass --preds DIR for real)"
+        # The one-time official cross-run this environment cannot do
+        # (PARITY.md round-5 item 10): print the exact command pair.
+        print("  cross-check (network day): "
+              "python OmniDocBench/tools/pdf_validation.py --gt %s --pred "
+              "<dir>  VS  python -m dots_ocr_tpu.eval.end2end --gt %s "
+              "--pred <dir> ; diff the 【Overall】 blocks; re-derivation "
+              "choices listed in eval/end2end.py docstring" % (gt, gt))
     else:
         samples = [{
             "page_info": {
@@ -333,8 +361,8 @@ def st_end2end_scorer(ctx):
                 {"category_type": "title", "text": "A Title", "order": 0},
             ],
         }]
+        preds = {"fixture_page": "# A Title\n\nhello world\n"}
         note = "on the built-in fixture (pass --gt OmniDocBench.json)"
-    preds = {"fixture_page": "# A Title\n\nhello world\n"}
     scores = score_pages_end2end(samples, preds)
     overall = {
         k: v for k, v in scores.items()
@@ -450,6 +478,9 @@ def main(argv=None):
                     help="tiny random-weight end-to-end orchestration test")
     ap.add_argument("--gt", default=None,
                     help="OmniDocBench.json for the end2end_scorer stage")
+    ap.add_argument("--preds", default=None,
+                    help="dir of per-page predicted .md for the "
+                    "end2end_scorer stage (default: GT round-trip)")
     args = ap.parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
 
