@@ -5,10 +5,12 @@ with end-to-end timings of the BASELINE scenarios, run with random weights
 (speed/plumbing only — quality needs the real checkpoint).
 
 EVERY scenario runs on the SHIPPING configuration — the continuous
-engine with `deploy/shipping.env` defaults (page_size 128, chunked
-prefill 2048, speculate_k 3, int8 decoder weights, bf16 KV, windowed
-vision attention per VISION_ATTN) — so the headline numbers are what
-`dots-ocr-serve` actually serves (VERDICT r2 item 5).
+engine with `deploy/shipping.env` values read at run time (page size,
+slot count, page-table width, prefill chunk, speculation depth, int8
+decoder weights, bf16 KV, windowed vision attention) — so the headline
+numbers are what `dots-ocr-serve` actually serves (VERDICT r2 item 5;
+one documented exception: 1024 KV pool pages instead of 2048, because
+the suite keeps two param trees resident).
 
   1. single-image layout+text parse (greedy)
   2. OCR-only + grounding prompts with bbox rescale verification
@@ -110,27 +112,35 @@ def main():
     from dots_ocr_tpu.utils.shipping import apply_vision_policy, shipping_config
 
     full_config = config  # image-wide attention (frozen_r2 rows)
+    ship = dict(shipping_config())
     if flagship:
-        ship_vision = dict(shipping_config())
+        ship_vision = dict(ship)
         ship_vision["VISION_ATTN"] = os.environ.get(
             "BENCH_VISION_ATTN", "windowed"
         )
         config = apply_vision_policy(config, ship_vision)
 
     params_q = quantize_decoder_params(params)
-    # 1024 pages (not the server's 2048): the suite keeps BOTH the bf16
-    # and int8 param trees resident (the footnote wave uses bf16), so the
-    # KV pool shrinks to fit the 16 GB chip; identical page geometry.
+    # Geometry comes from deploy/shipping.env (one config, VERDICT r4
+    # weak #1) with ONE documented exception: 1024 pages, not the
+    # server's 2048 — the suite keeps BOTH the bf16 and int8 param trees
+    # resident (the frozen section uses bf16), so the KV pool shrinks to
+    # fit the 16 GB chip; page size / slots / chunk / spec k are shipped.
+    ship_k = int(ship.get("SPECULATE_K", "2"))
     ship_sched = SchedulerConfig(
         num_pages=1024 if flagship else 64,
-        page_size=128 if flagship else 16,
-        max_slots=16 if flagship else 4,
-        max_pages_per_seq=128 if flagship else 32,
+        page_size=int(ship["PAGE_SIZE"]) if flagship else 16,
+        max_slots=int(ship["MAX_SLOTS"]) if flagship else 4,
+        max_pages_per_seq=(
+            -(-int(ship["MAX_SEQ_TOKENS"]) // int(ship["PAGE_SIZE"]))
+            if flagship
+            else 32
+        ),
         prompt_bucket_step=512 if flagship else 32,
         vision_bucket_step=2048 if flagship else 16,
-        steps_per_sync=16,
-        prefill_chunk_tokens=2048 if flagship else 32,
-        speculate_k=3,
+        steps_per_sync=int(ship.get("STEPS_PER_SYNC", "16")),
+        prefill_chunk_tokens=int(ship["PREFILL_CHUNK"]) if flagship else 32,
+        speculate_k=ship_k,
         # The server ships the repetition guard ON, but zeros weights loop
         # period-1 immediately — the guard would cut every request at ~129
         # of the 256-token budget and the wave would measure a shorter
@@ -247,10 +257,16 @@ def main():
         # Label fixed (VERDICT r2 weak #7): tokens over the WHOLE wave wall
         # including prefills — not a decode-phase rate.
         "wave_tok_per_s": round(gen / batch_s, 1),
-        "config": "shipping (page 128, chunked prefill, spec k=3, int8 w, windowed vision)",
+        "config": (
+            f"shipping (page {ship_sched.page_size}, "
+            f"{ship_sched.max_slots} slots, table width "
+            f"{ship_sched.max_pages_per_seq}, chunked prefill, "
+            f"spec k={ship_k}, int8 w, windowed vision)"
+        ),
         "phases_s": {
             k: round(cb.metrics[k], 2)
-            for k in ("t_submit_s", "t_admit_s", "t_prefill_s", "t_decode_s")
+            for k in ("t_submit_s", "t_admit_s", "t_prefill_s",
+                      "t_decode_s", "t_step_other_s")
         },
     }
     log(f"  {n_req} pages in {batch_s:.2f}s = {n_req/batch_s:.2f} pages/s")
@@ -297,8 +313,13 @@ def main():
             params_w8, config, sched=ship_sched,
             default_max_new_tokens=args.max_new,
         )
+        # Same warm protocol as scenario 1: one full-length page (compiles
+        # the W8A8 prefill chain), every decode program, and the wave's
+        # full shape set — the r5-pre capture skipped warmup_decode() here
+        # and its "warm" page swallowed a 12 s decode-program compile.
         eng_w8.generate_one(prompt, images=[page], temperature=0.1,
-                            max_new_tokens=16)
+                            max_new_tokens=args.max_new)
+        eng_w8.warmup_decode()
         eng_w8.generate_batch([prompt] * n_req, [[im] for im in imgs],
                               temperature=0.0, max_new_tokens=16)
         t0 = time.perf_counter()

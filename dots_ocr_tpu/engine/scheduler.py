@@ -1168,6 +1168,11 @@ class ContinuousBatchingEngine:
             "t_admit_s": 0.0,    # admission incl. batched embed dispatch
             "t_prefill_s": 0.0,  # lockstep prefill chunk dispatches
             "t_decode_s": 0.0,   # decode chunk dispatch + packed fetch
+            # step() interior not covered by the three regions above
+            # (active-row bookkeeping, spec-gate math, finish accounting) —
+            # if a wave's wall-clock exceeds the phase sum, this says
+            # whether the gap is inside step() or in the caller.
+            "t_step_other_s": 0.0,
         }
 
     # -- submission ----------------------------------------------------
@@ -2625,7 +2630,10 @@ class ContinuousBatchingEngine:
                     self._apply_chunk_results(
                         packed, active, chunk, use_lp, use_spec
                     )
-            self.metrics["t_decode_s"] += time.perf_counter() - t2
+            t_mark = time.perf_counter()
+            self.metrics["t_decode_s"] += t_mark - t2
+        else:
+            t_mark = t2
 
         if not self._spec_enabled and not self.has_work():
             # Drained idle: the workload that measured below break-even is
@@ -2634,7 +2642,9 @@ class ContinuousBatchingEngine:
             self._spec_ewma = None
             self._spec_low_streak = 0
 
-        return [self._finished[rid] for rid in set(self._finished) - before]
+        out = [self._finished[rid] for rid in set(self._finished) - before]
+        self.metrics["t_step_other_s"] += time.perf_counter() - t_mark
+        return out
 
     def run(self, max_steps: int = 10_000_000) -> None:
         steps = 0
@@ -2663,11 +2673,23 @@ class ContinuousBatchingEngine:
         system_prompt: Optional[str] = None,
         min_pixels: Optional[int] = None,
         max_pixels: Optional[int] = None,
-        seed: Optional[int] = None,
+        seed: Optional[Union[int, Sequence[Optional[int]]]] = None,
         stop: Optional[Sequence[str]] = None,
     ) -> List[str]:
-        if seed is not None:
-            self._rng = jax.random.PRNGKey(seed)
+        # Scalar seed: reseed the engine chain once (historic behavior).
+        # Sequence: per-request — request i samples exactly as
+        # generate_one(..., seed=seed[i]) would (chain reseeded before its
+        # submit), so a batched multi-page parse reproduces the serial
+        # per-page parse bit-for-bit (parser.parse_pdf seed=base+page_no).
+        seeds: Optional[List[Optional[int]]] = None
+        if seed is not None and not isinstance(seed, (int, np.integer)):
+            seeds = [None if s is None else int(s) for s in seed]
+            if len(seeds) != len(prompts):
+                raise ValueError(
+                    f"seed sequence length {len(seeds)} != {len(prompts)} prompts"
+                )
+        elif seed is not None:
+            self._rng = jax.random.PRNGKey(int(seed))
         n = len(prompts)
         images_per_prompt = images_per_prompt or [[] for _ in range(n)]
         temps = np.broadcast_to(np.asarray(temperature, np.float32), (n,))
@@ -2675,6 +2697,8 @@ class ContinuousBatchingEngine:
         group = max(1, self.sched.max_prefill_batch)
         ids = []
         for i in range(n):
+            if seeds is not None and seeds[i] is not None:
+                self._rng = jax.random.PRNGKey(seeds[i])
             ids.append(
                 self.submit(
                     prompts[i],

@@ -169,7 +169,14 @@ class DotsOCRParser:
         fitz_preprocess: bool = False,
         custom_prompt: Optional[str] = None,
         temperature: Optional[float] = None,
+        response: Optional[str] = None,
+        resized_image=None,
     ) -> dict:
+        """``response``/``resized_image``: a model response (and the
+        model-input image it was generated from) produced ahead of time —
+        the batched local-PDF path runs all pages through the continuous
+        engine at once, then funnels each page back through this method
+        for the identical post-processing/artifact pipeline."""
         min_pixels, max_pixels = self.min_pixels, self.max_pixels
         if prompt_mode == "prompt_grounding_ocr":
             min_pixels = min_pixels or MIN_PIXELS
@@ -179,7 +186,9 @@ class DotsOCRParser:
         if max_pixels is not None:
             assert max_pixels <= MAX_PIXELS, f"max_pixels should <= {MAX_PIXELS}"
 
-        if source == "image" and fitz_preprocess:
+        if resized_image is not None:
+            image = resized_image
+        elif source == "image" and fitz_preprocess:
             image = upsample_image_to_dpi(origin_image, target_dpi=self.dpi)
             image = fetch_image(image, min_pixels=min_pixels, max_pixels=max_pixels)
         else:
@@ -187,18 +196,19 @@ class DotsOCRParser:
                 origin_image, min_pixels=min_pixels, max_pixels=max_pixels
             )
         input_height, input_width = smart_resize(image.height, image.width)
-        prompt = self.get_prompt(
-            prompt_mode,
-            bbox,
-            origin_image,
-            image,
-            min_pixels=min_pixels,
-            max_pixels=max_pixels,
-            custom_prompt=custom_prompt,
-        )
-        response = self._inference(
-            image, prompt, temperature=temperature, page_no=page_idx
-        )
+        if response is None:
+            prompt = self.get_prompt(
+                prompt_mode,
+                bbox,
+                origin_image,
+                image,
+                min_pixels=min_pixels,
+                max_pixels=max_pixels,
+                custom_prompt=custom_prompt,
+            )
+            response = self._inference(
+                image, prompt, temperature=temperature, page_no=page_idx
+            )
 
         result = {
             "page_no": page_idx,
@@ -338,6 +348,27 @@ class DotsOCRParser:
             for i, image in enumerate(images_origin)
         ]
 
+        # Local continuous engine: submit every page at once and let the
+        # scheduler's continuous batching overlap encoders/prefills/decodes
+        # across pages — the serial per-page loop (the reference's forced
+        # num_thread=1 HF path, /root/reference/dots_ocr/parser.py:279-280)
+        # leaves the chip idle between pages and runs ~3x slower on
+        # multi-page PDFs (PERF.md r5, multi_page_pdf).
+        if (
+            self.use_local
+            and total_pages > 1
+            and hasattr(self._engine, "submit")
+        ):
+            print(
+                f"Parsing PDF with {total_pages} pages via the local "
+                "continuous-batching engine..."
+            )
+            results = self._parse_pdf_local_batched(tasks)
+            results.sort(key=lambda x: x["page_no"])
+            for r in results:
+                r["file_path"] = input_path
+            return results
+
         num_thread = 1 if self.use_local else min(total_pages, self.num_thread)
         print(f"Parsing PDF with {total_pages} pages using {num_thread} threads...")
 
@@ -356,6 +387,58 @@ class DotsOCRParser:
         for r in results:
             r["file_path"] = input_path
         return results
+
+    def _parse_pdf_local_batched(self, tasks: List[dict]) -> List[dict]:
+        """Run every page of a PDF through the local continuous engine in
+        one batch (encoder admission, chunked prefill, and decode overlap
+        across pages), then per-page post-processing via
+        ``_parse_single_image(response=...)``. Sampling matches the serial
+        path bit-for-bit: seeded parses pass ``seed + page_no`` per
+        request (the engine reseeds its chain before each submit exactly
+        as ``generate_one(seed=...)`` does), unseeded parses draw the same
+        chain keys in the same order."""
+        images, prompts = [], []
+        for t in tasks:
+            img = fetch_image(
+                t["origin_image"],
+                min_pixels=self.min_pixels,
+                max_pixels=self.max_pixels,
+            )
+            images.append(img)
+            prompts.append(
+                self.get_prompt(
+                    t["prompt_mode"],
+                    None,
+                    t["origin_image"],
+                    img,
+                    min_pixels=self.min_pixels,
+                    max_pixels=self.max_pixels,
+                    custom_prompt=t["custom_prompt"],
+                )
+            )
+        temperature = tasks[0]["temperature"]
+        temperature = self.temperature if temperature is None else temperature
+        seeds = (
+            None
+            if self.seed is None
+            else [self.seed + t["page_idx"] for t in tasks]
+        )
+        responses = self._engine.generate_batch(
+            prompts,
+            [[img] for img in images],
+            temperature=temperature,
+            top_p=self.top_p,
+            max_new_tokens=self.max_completion_tokens,
+            min_pixels=self.min_pixels,
+            max_pixels=self.max_pixels,
+            seed=seeds,
+        )
+        return [
+            self._parse_single_image(
+                **t, response=resp, resized_image=img
+            )
+            for t, resp, img in zip(tasks, responses, images)
+        ]
 
     def parse_file(
         self,

@@ -65,6 +65,7 @@ SLOW_MODULES = {
     "test_spec_realism",
     "test_speculative",
     "test_streaming",
+    "test_tools_smoke",
     "test_windowed",
 }
 

@@ -216,3 +216,55 @@ def test_no_seed_by_default(tmp_path, image_file):
     parser = _parser(tmp_path, engine=engine)
     parser.parse_file(image_file, prompt_mode="prompt_ocr")
     assert engine.calls[0]["kwargs"]["seed"] is None
+
+
+class FakeContinuousEngine(FakeEngine):
+    """FakeEngine + the continuous-engine surface (`submit`) that makes
+    the parser route multi-page PDFs through ONE generate_batch call."""
+
+    def submit(self, *a, **kw):  # pragma: no cover - presence-only marker
+        raise NotImplementedError
+
+    def generate_batch(self, prompts, images_per_prompt, **kwargs):
+        return super().generate_batch(prompts, images_per_prompt, **kwargs)
+
+
+def test_local_pdf_batches_through_engine(tmp_path, pdf_file):
+    """A local continuous engine gets the whole PDF as one batch (the
+    scheduler overlaps encoders/prefills/decodes across pages) — not a
+    serial per-page generate_one loop."""
+    engine = FakeContinuousEngine()
+    parser = _parser(tmp_path, engine=engine, seed=100)
+    results = parser.parse_file(pdf_file, prompt_mode="prompt_layout_all_en")
+    assert len(engine.calls) == 1
+    call = engine.calls[0]
+    assert len(call["prompts"]) == 2
+    # per-request seed list, matching the serial path's seed + page_no
+    assert call["kwargs"]["seed"] == [100, 101]
+    # full artifact pipeline ran for each page
+    assert [r["page_no"] for r in results] == [0, 1]
+    for r in results:
+        assert os.path.exists(r["layout_info_path"])
+        assert os.path.exists(r["md_content_path"])
+        assert r["input_height"] > 0 and r["input_width"] > 0
+
+
+def test_local_pdf_batched_unseeded(tmp_path, pdf_file):
+    engine = FakeContinuousEngine()
+    parser = _parser(tmp_path, engine=engine)
+    parser.parse_file(pdf_file, prompt_mode="prompt_ocr")
+    assert len(engine.calls) == 1
+    assert engine.calls[0]["kwargs"]["seed"] is None
+
+
+def test_local_single_page_pdf_stays_serial(tmp_path):
+    """One-page PDFs take the plain path (no batch bookkeeping)."""
+    p = tmp_path / "one.pdf"
+    buf = io.BytesIO()
+    Image.new("RGB", (300, 200), (250, 250, 250)).save(buf, format="PDF")
+    p.write_bytes(buf.getvalue())
+    engine = FakeContinuousEngine(response="text")
+    parser = _parser(tmp_path, engine=engine)
+    results = parser.parse_file(str(p), prompt_mode="prompt_ocr")
+    assert len(results) == 1
+    assert len(engine.calls) == 1  # via generate_one -> generate_batch

@@ -175,3 +175,34 @@ def test_http_seed_validation_and_reproducibility():
     assert server._validate_params({"seed": True}) is not None
     assert server._validate_params({"seed": 42}) is None
     assert server._validate_params({}) is None
+
+
+def test_seed_sequence_matches_serial_generate_one(setup):
+    """generate_batch(seed=[s0, s1, ...]) must reproduce, bit-for-bit,
+    what serial generate_one(seed=si) calls produce — the contract the
+    parser's batched local-PDF path relies on (each page keeps its
+    seed + page_no stream regardless of co-batching)."""
+    cfg, params = setup
+    serial = []
+    for s in (100, 101, 102):
+        eng = _engine(cfg, params)
+        serial.append(
+            eng.generate_one(
+                "page text here", temperature=0.9, top_p=0.9, seed=s,
+                max_new_tokens=12,
+            )
+        )
+    eng = _engine(cfg, params)
+    batched = eng.generate_batch(
+        ["page text here"] * 3,
+        [[], [], []],
+        temperature=0.9,
+        top_p=0.9,
+        seed=[100, 101, 102],
+        max_new_tokens=12,
+    )
+    assert batched == serial
+    # distinct seeds -> distinct streams (sanity on the fixture)
+    assert len(set(serial)) > 1
+    with pytest.raises(ValueError, match="seed sequence length"):
+        eng.generate_batch(["a", "b"], [[], []], seed=[1])

@@ -9,7 +9,8 @@ and output tokens must equal the simulator's prediction token-for-token.
 
 The simulator is then what tools/spec_realism.py uses to measure draft
 acceptance on realistic layout-JSON / markdown / HTML / SVG streams
-(VERDICT r3 #6 — the evidence behind the SPECULATE_K=3 shipping default).
+(VERDICT r3 #6 / r4 item 5 — the acceptance half of the measured curve
+behind the SPECULATE_K=2 shipping default, BENCH_SPEC_CURVE_r5.json).
 """
 
 import dataclasses

@@ -73,11 +73,22 @@ def make_config(windowed: bool) -> DotsOCRConfig:
 def run(tag: str, windowed: bool, w8a8: bool):
     config = make_config(windowed)
     p = quantize_vision_params(params_q) if w8a8 else params_q
+    # Same geometry as bench_suite.py flagship: shipping.env values with
+    # the suite's documented 1024-page pool exception — so the two tools
+    # share persistent-cache entries for every engine program.
+    from dots_ocr_tpu.utils.shipping import shipping_config
+
+    ship = shipping_config()
     sched = SchedulerConfig(
-        num_pages=1024, page_size=128, max_slots=16,
-        max_pages_per_seq=128, prompt_bucket_step=512,
-        vision_bucket_step=2048, steps_per_sync=16,
-        prefill_chunk_tokens=2048, speculate_k=3,
+        num_pages=1024, page_size=int(ship["PAGE_SIZE"]),
+        max_slots=int(ship["MAX_SLOTS"]),
+        max_pages_per_seq=-(-int(ship["MAX_SEQ_TOKENS"])
+                            // int(ship["PAGE_SIZE"])),
+        prompt_bucket_step=512,
+        vision_bucket_step=2048,
+        steps_per_sync=int(ship.get("STEPS_PER_SYNC", "16")),
+        prefill_chunk_tokens=int(ship["PREFILL_CHUNK"]),
+        speculate_k=int(ship.get("SPECULATE_K", "2")),
         repetition_min_repeats=0,
     )
     eng = ContinuousBatchingEngine(
@@ -98,7 +109,8 @@ def run(tag: str, windowed: bool, w8a8: bool):
                          temperature=0.1, max_new_tokens=args.max_new)
         dt = time.perf_counter() - t0
         phases = {k: round(eng.metrics[k], 2) for k in (
-            "t_submit_s", "t_admit_s", "t_prefill_s", "t_decode_s")}
+            "t_submit_s", "t_admit_s", "t_prefill_s", "t_decode_s",
+            "t_step_other_s")}
         if best is None or dt < best[0]:
             best = (dt, phases)
     print(f"{tag:12s}: warm {best[0]:.2f}s  phases={best[1]}  "

@@ -51,6 +51,10 @@ import time
 import traceback
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# `python tools/weights_day.py` puts tools/ (not the repo root) on
+# sys.path; the drill must run from a bare checkout with no install.
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 RESULTS = []
 
