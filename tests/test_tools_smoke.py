@@ -17,7 +17,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args, env_extra=None):
+def _run(args, env_extra=None, timeout=1200):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.setdefault("XLA_FLAGS", "")
@@ -29,7 +29,7 @@ def _run(args, env_extra=None):
         env=env,
         capture_output=True,
         text=True,
-        timeout=1200,
+        timeout=timeout,
     )
 
 
@@ -49,7 +49,20 @@ def test_prime_cache_tiny_seeds_cache(tmp_path):
 
 
 def test_weights_day_smoke_drill():
-    r = _run(["tools/weights_day.py", "--smoke"])
+    # The drill compiles ~30 XLA:CPU engine programs (~25 min cold on the
+    # 1-core CI host — the warmup stage alone is ~22 min). A persistent
+    # compile cache makes repeat runs cheap; the timeout covers a cold
+    # cache under CI contention.
+    r = _run(
+        ["tools/weights_day.py", "--smoke"],
+        env_extra={
+            "JAX_COMPILATION_CACHE_DIR": os.path.join(
+                REPO, ".cache", "xla-cpu-tests"
+            ),
+            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "2",
+        },
+        timeout=3600,
+    )
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
     combined = r.stdout + r.stderr
     # The four r4-era gates VERDICT item 8 demanded must all have run.

@@ -26,6 +26,9 @@ ap = argparse.ArgumentParser()
 ap.add_argument("--max-new", type=int, default=256)
 ap.add_argument("--reps", type=int, default=2)
 ap.add_argument("--configs", default="full,windowed,full+w8a8,win+w8a8")
+ap.add_argument("--wave", action="store_true",
+                help="also measure the 8-page wave (suite scenario 4 "
+                "shapes) with the phase split")
 args = ap.parse_args()
 
 import os
@@ -115,6 +118,31 @@ def run(tag: str, windowed: bool, w8a8: bool):
             best = (dt, phases)
     print(f"{tag:12s}: warm {best[0]:.2f}s  phases={best[1]}  "
           f"(compile {compile_s:.0f}s)", file=sys.stderr)
+    if args.wave:
+        # 8-page wave anatomy (bench_suite scenario 4 shapes).
+        imgs = [make_page_image(seed=10 + i, width=1540, height=2044)
+                for i in range(8)]
+        eng.generate_batch([prompt] * 8, [[im] for im in imgs],
+                           temperature=0.0, max_new_tokens=16)
+        wbest = None
+        for rep in range(args.reps):
+            for k in list(eng.metrics):
+                eng.metrics[k] = (
+                    0 if not isinstance(eng.metrics[k], float) else 0.0)
+            t0 = time.perf_counter()
+            eng.generate_batch([prompt] * 8, [[im] for im in imgs],
+                               temperature=0.0, max_new_tokens=args.max_new)
+            dt = time.perf_counter() - t0
+            phases = {k: round(eng.metrics[k], 2) for k in (
+                "t_submit_s", "t_admit_s", "t_prefill_s", "t_decode_s",
+                "t_step_other_s")}
+            extra = {k: eng.metrics.get(k, 0) for k in (
+                "steps", "spec_chunks", "prefill_chunks",
+                "pipelined_chunks", "generated_tokens")}
+            if wbest is None or dt < wbest[0]:
+                wbest = (dt, phases, extra)
+        print(f"{tag:12s}: wave {wbest[0]:.2f}s ({8 / wbest[0]:.2f} pages/s)"
+              f"  phases={wbest[1]}  counts={wbest[2]}", file=sys.stderr)
     del eng, p
     return best
 
